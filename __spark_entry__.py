@@ -1,38 +1,49 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship KG query end-to-end on sf0.001;
+``queries()``/``oracle_sql()`` expose one entry per implemented operator
+family from SURVEY.md §2, oracle-checked against DuckDB where the operator
+is SQL-expressible (see coco_search_spark/entry_queries.py).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from coco_search_spark.entry_queries import ORACLES, QUERIES  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: full KG construction over
+    the derived transcripts (segment → extract → link → canonicalize →
+    materialize) and return the predicate histogram of the resolved edges."""
+    from pyspark.sql import functions as F
+
+    from coco_search_spark.entry_queries import derived_transcripts
+    from coco_search_spark.pipeline import run_pipeline
+
+    t = derived_transcripts(spark, "/root/testdata/sf0.001")
+    res = run_pipeline(spark, t)
+    return (
+        res.edges.groupBy("pred")
+        .agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            F.countDistinct("subj_id").alias("n_subjects"),
+            F.countDistinct("obj_id").alias("n_objects"),
+        )
+        .orderBy(F.desc("n_edges"), F.asc("pred"))
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLES)

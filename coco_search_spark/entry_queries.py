@@ -1,0 +1,603 @@
+"""Driver-contract query registry: Spark queries + DuckDB oracle SQL.
+
+Each entry in QUERIES is one operator family from SURVEY.md §2 exercised
+through this engine's public API; ORACLES carries the equivalent ANSI SQL
+that DuckDB runs over the same parquet tables (views: region nation
+customer supplier part orders lineitem events documents embeddings).
+Column names/aliases match pairwise — the driver compares sorted-by-name
+value hashes.
+
+The KG queries run over a **derived transcripts table** built
+deterministically from ``documents`` in pure SQL (identical text in both
+engines), with one relation sentence injected per row so triple extraction
+has exact ground truth; the corpus vocabulary is verified free of relation
+verbs, so the oracle regexp matches exactly what the pipeline extracts.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from coco_search_spark.functions.embed import cosine_expr
+from coco_search_spark.functions.text import portable_hash_col
+from coco_search_spark.operators.extract import extract_mentions, extract_triples
+from coco_search_spark.operators.graph import transitive_closure
+from coco_search_spark.operators.segments import segment_turns
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def load_views(spark: SparkSession, sf_dir: str) -> None:
+    for t in TABLES:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+
+
+# ---------------------------------------------------------------------------
+# Derived transcripts: documents → (conv_id, turn_idx, role, text, tool, ts)
+# Pure SQL, byte-identical in Spark and DuckDB.
+# ---------------------------------------------------------------------------
+
+_PHRASE_CASE = (
+    "CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 'depends on' WHEN 1 THEN 'calls' "
+    "WHEN 2 THEN 'imports' WHEN 3 THEN 'uses' ELSE 'emits' END"
+)
+_PRED_CASE = (
+    "CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 'depends_on' WHEN 1 THEN 'calls' "
+    "WHEN 2 THEN 'imports' WHEN 3 THEN 'uses' ELSE 'emits' END"
+)
+
+DERIVED_TRANSCRIPTS_SQL = f"""
+SELECT
+  'conv-' || (doc_id % 50)                         AS conv_id,
+  CAST(FLOOR(doc_id / 50.0) AS INT)                AS turn_idx,
+  CASE CAST(doc_id % 4 AS INT)
+    WHEN 0 THEN 'user' WHEN 2 THEN 'tool' ELSE 'assistant' END AS role,
+  text || ' ' || source || '_svc ' || {_PHRASE_CASE} || ' ' || lang || '_store .' AS text,
+  CASE WHEN CAST(doc_id % 4 AS INT) = 2 THEN 'grep' ELSE NULL END AS tool
+FROM documents
+"""
+
+# the same rows with the injected ground-truth triple exposed as columns —
+# used only inside oracle CTEs
+_ORACLE_TRIPLES_CTE = f"""
+WITH t AS ({DERIVED_TRANSCRIPTS_SQL}),
+gt AS (
+  SELECT 'conv-' || (doc_id % 50) AS conv_id,
+         CAST(FLOOR(doc_id / 50.0) AS INT) AS turn_idx,
+         source || '_svc' AS subj,
+         {_PRED_CASE} AS pred,
+         lang || '_store' AS obj
+  FROM documents
+)
+"""
+
+
+def derived_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir)
+    return spark.sql(DERIVED_TRANSCRIPTS_SQL)
+
+
+def _triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return extract_triples(segment_turns(derived_transcripts(spark, sf_dir)))
+
+
+# ---------------------------------------------------------------------------
+# KG pipeline queries
+# ---------------------------------------------------------------------------
+
+def q_kg_extract_triples(spark, sf_dir):
+    """X4 analog: segmentation + native-regex triple extraction."""
+    return _triples(spark, sf_dir)
+
+
+def q_kg_top_predicates(spark, sf_dir):
+    """A4 analog: predicate histogram with distinct-subject counts."""
+    return (
+        _triples(spark, sf_dir)
+        .groupBy("pred")
+        .agg(
+            F.count(F.lit(1)).alias("n_triples"),
+            F.countDistinct("subj").alias("n_subjects"),
+        )
+        .orderBy(F.desc("n_triples"), F.asc("pred"))
+    )
+
+
+def q_kg_mentions(spark, sf_dir):
+    """X2 analog: distinct mention surfaces with occurrence counts."""
+    m = extract_mentions(_triples(spark, sf_dir))
+    return (
+        m.groupBy("mention", "mention_role")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy("mention", "mention_role")
+    )
+
+
+def q_kg_conv_hash(spark, sf_dir):
+    """F7/J2 analog: per-conversation sha256 content hash over ordered turn
+    texts — the incremental-diff identity."""
+    from coco_search_spark.state import conversation_hashes
+
+    t = derived_transcripts(spark, sf_dir)
+    return conversation_hashes(t).select("conv_id", "content_hash", "rows_in")
+
+
+def q_kg_turn_window(spark, sf_dir):
+    """W3/W4 analog: per-conversation neighbor window over turn ordering."""
+    from pyspark.sql import Window as W
+
+    t = derived_transcripts(spark, sf_dir)
+    w = W.partitionBy("conv_id").orderBy("turn_idx")
+    return t.select(
+        "conv_id",
+        "turn_idx",
+        F.length("text").alias("turn_len"),
+        F.coalesce(F.lag(F.length("text")).over(w), F.lit(0)).alias("prev_len"),
+        F.coalesce(F.lead(F.length("text")).over(w), F.lit(0)).alias("next_len"),
+        F.row_number().over(w).alias("turn_rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid ranking / RRF
+# ---------------------------------------------------------------------------
+
+def q_rrf_fusion_docs(spark, sf_dir):
+    """J1+A1: full Reciprocal Rank Fusion over two ranked lists (k=60),
+    exactly the reference's rrf_fusion math (hybrid.py:306-416): leg A ranks
+    documents by length, leg B by a keyword-ish portable hash; full-outer
+    join on doc_id, score = Σ 1/(60+rank), tie-break keyword-present then
+    doc_id (hybrid.py:409-414)."""
+    from pyspark.sql import Window as W
+
+    load_views(spark, sf_dir)
+    docs = spark.table("documents")
+    leg_a = (
+        docs.withColumn(
+            "rank_a",
+            F.row_number().over(W.orderBy(F.desc("n_chars"), F.asc("doc_id"))),
+        )
+        .filter(F.col("rank_a") <= 100)
+        .select("doc_id", "rank_a")
+    )
+    leg_b = (
+        docs.withColumn(
+            "rank_b",
+            F.row_number().over(
+                W.orderBy(F.asc(F.pmod(portable_hash_col(F.col("text")), F.lit(997))), F.asc("doc_id"))
+            ),
+        )
+        .filter(F.col("rank_b") <= 100)
+        .select("doc_id", "rank_b")
+    )
+    fused = (
+        leg_a.join(leg_b, "doc_id", "full_outer")
+        .withColumn(
+            "rrf_score",
+            F.round(
+                F.coalesce(1.0 / (F.lit(60) + F.col("rank_a")), F.lit(0.0))
+                + F.coalesce(1.0 / (F.lit(60) + F.col("rank_b")), F.lit(0.0)),
+                9,
+            ),
+        )
+        .withColumn(
+            "match_type",
+            F.when(F.col("rank_a").isNotNull() & F.col("rank_b").isNotNull(), "both")
+            .when(F.col("rank_a").isNotNull(), "semantic")
+            .otherwise("keyword"),
+        )
+    )
+    from pyspark.sql import Window as W2
+
+    w = W2.orderBy(
+        F.desc("rrf_score"), F.desc(F.col("rank_b").isNotNull().cast("int")), F.asc("doc_id")
+    )
+    return (
+        fused.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("doc_id", "rrf_score", "match_type", F.col("rn").alias("final_rank"))
+    )
+
+
+ORACLE_RRF = """
+WITH leg_a AS (
+  SELECT doc_id, row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) AS rank_a
+  FROM documents QUALIFY rank_a <= 100
+),
+leg_b AS (
+  SELECT doc_id, row_number() OVER (
+    ORDER BY (CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) % 997) ASC, doc_id ASC
+  ) AS rank_b
+  FROM documents QUALIFY rank_b <= 100
+),
+fused AS (
+  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+         ROUND(COALESCE(1.0/(60+rank_a), 0) + COALESCE(1.0/(60+rank_b), 0), 9) AS rrf_score,
+         CASE WHEN rank_a IS NOT NULL AND rank_b IS NOT NULL THEN 'both'
+              WHEN rank_a IS NOT NULL THEN 'semantic' ELSE 'keyword' END AS match_type,
+         rank_a, rank_b
+  FROM leg_a a FULL OUTER JOIN leg_b b USING (doc_id)
+)
+SELECT doc_id, rrf_score, match_type,
+       row_number() OVER (ORDER BY rrf_score DESC,
+                          (rank_b IS NOT NULL) DESC, doc_id ASC) AS final_rank
+FROM fused
+QUALIFY final_rank <= 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# Relational operator coverage (TPC-H-ish)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark, sf_dir):
+    """A1-style aggregation with pushdown-able filter (TPC-H Q1 shape)."""
+    load_views(spark, sf_dir)
+    li = spark.table("lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_top_orders_per_customer(spark, sf_dir):
+    """W1/W2: per-group top-k via row_number window."""
+    from pyspark.sql import Window as W
+
+    load_views(spark, sf_dir)
+    o = spark.table("orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("totalprice"), "rk")
+    )
+
+
+def q_customers_without_orders(spark, sf_dir):
+    """U2/J2: anti join."""
+    load_views(spark, sf_dir)
+    c, o = spark.table("customer"), spark.table("orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+def q_revenue_per_nation(spark, sf_dir):
+    """J3-style star join with broadcast dimensions."""
+    load_views(spark, sf_dir)
+    c = spark.table("customer")
+    o = spark.table("orders")
+    n = spark.table("nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("n_name")
+    )
+
+
+def q_event_neighbors(spark, sf_dir):
+    """W3 on the event stream table: per-user lag/lead."""
+    from pyspark.sql import Window as W
+
+    load_views(spark, sf_dir)
+    e = spark.table("events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.coalesce(F.lag("value").over(w), F.lit(0.0)), 6).alias("prev_value"),
+        F.round(F.coalesce(F.lead("value").over(w), F.lit(0.0)), 6).alias("next_value"),
+        F.row_number().over(w).alias("seq"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text-analysis / training-data ops over documents
+# ---------------------------------------------------------------------------
+
+def q_doc_language_stats(spark, sf_dir):
+    """A3 analog: per-language corpus stats."""
+    load_views(spark, sf_dir)
+    d = spark.table("documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q_doc_token_stats(spark, sf_dir):
+    """F1-F4 analog (portable subset): word counts + distinct word counts."""
+    load_views(spark, sf_dir)
+    d = spark.table("documents")
+    words = F.split(F.col("text"), r"\s+")
+    return d.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        F.size(F.array_distinct(words)).alias("n_distinct_words"),
+        F.length("text").alias("n_chars_exact"),
+    ).orderBy("doc_id")
+
+
+def q_doc_quality(spark, sf_dir):
+    """Quality scoring: stopword ratio + mean word length, rounded."""
+    load_views(spark, sf_dir)
+    d = spark.table("documents")
+    words = F.split(F.col("text"), r"\s+")
+    stop = F.array(*[F.lit(s) for s in ["the", "a", "of", "and", "to"]])
+    n_stop = F.size(F.filter(words, lambda x: F.array_contains(stop, x)))
+    return d.select(
+        "doc_id",
+        F.round(n_stop / F.size(words), 6).alias("stopword_ratio"),
+        F.round(
+            F.aggregate(words, F.lit(0), lambda acc, x: acc + F.length(x))
+            / F.size(words).cast("double"),
+            6,
+        ).alias("mean_word_len"),
+    ).orderBy("doc_id")
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """F7/F12 + exact dedup: sha256 + portable 60-bit fingerprint; duplicate
+    groups surface as n_dups > 1 (hash-groupBy dedup)."""
+    load_views(spark, sf_dir)
+    d = spark.table("documents")
+    fp = d.select(
+        "doc_id",
+        F.sha2(F.col("text"), 256).alias("sha"),
+        portable_hash_col(F.col("text")).alias("fingerprint"),
+    )
+    dup = fp.groupBy("sha").agg(F.count(F.lit(1)).alias("n_dups"))
+    return (
+        fp.join(dup, "sha")
+        .select("doc_id", "fingerprint", "n_dups")
+        .orderBy("doc_id")
+    )
+
+
+def q_doc_minhash(spark, sf_dir):
+    """MinHash (portable hash) over word shingles: 4 signature values per
+    doc — the dedup/LSH building block, oracle-checked value for value."""
+    load_views(spark, sf_dir)
+    d = spark.table("documents")
+    words = F.array_distinct(F.split(F.col("text"), r"\s+"))
+    cols = [
+        F.array_min(
+            F.transform(
+                words,
+                lambda x: portable_hash_col(F.concat(F.lit(str(seed) + "|"), x)),
+            )
+        ).alias(f"mh{seed}")
+        for seed in range(4)
+    ]
+    return d.select("doc_id", *cols).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+def q_ann_topk(spark, sf_dir):
+    """K1 analog: brute-force cosine top-k against the vec_id=0 query vector
+    (exact baseline; LSH variant is the scale path)."""
+    from pyspark.sql import Window as W
+
+    load_views(spark, sf_dir)
+    e = spark.table("embeddings")
+    qvec = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").cast("array<double>").alias("qv")
+    )
+    sims = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qvec))
+        .select(
+            "vec_id",
+            "label",
+            F.round(
+                cosine_expr(F.col("embedding").cast("array<double>"), F.col("qv")), 4
+            ).alias("cos_sim"),
+        )
+    )
+    w = W.orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        sims.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("vec_id", "label", "cos_sim", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Graph traversal: iterative-join BFS vs recursive-CTE oracle
+# ---------------------------------------------------------------------------
+
+def q_graph_reach(spark, sf_dir):
+    """G3-G5 analog: reverse transitive closure from region node r-0 over the
+    supplier→nation→region containment graph (iterative frontier joins with
+    visited-set, vs DuckDB WITH RECURSIVE)."""
+    load_views(spark, sf_dir)
+    s = spark.table("supplier")
+    n = spark.table("nation")
+    e1 = s.select(
+        F.concat(F.lit("s-"), F.col("s_suppkey")).alias("subj_id"),
+        F.lit("in_nation").alias("pred"),
+        F.concat(F.lit("n-"), F.col("s_nationkey")).alias("obj_id"),
+    )
+    e2 = n.select(
+        F.concat(F.lit("n-"), F.col("n_nationkey")).alias("subj_id"),
+        F.lit("in_region").alias("pred"),
+        F.concat(F.lit("r-"), F.col("n_regionkey")).alias("obj_id"),
+    )
+    edges = e1.unionByName(e2)
+    roots = spark.createDataFrame([("r-0",)], "node string")
+    return transitive_closure(edges, roots, direction="reverse").orderBy("node")
+
+
+ORACLE_GRAPH = """
+WITH RECURSIVE edges AS (
+  SELECT 's-' || s_suppkey AS subj_id, 'n-' || s_nationkey AS obj_id FROM supplier
+  UNION ALL
+  SELECT 'n-' || n_nationkey, 'r-' || n_regionkey FROM nation
+),
+walk(node, depth) AS (
+  SELECT 'r-0', 0
+  UNION
+  SELECT e.subj_id, w.depth + 1
+  FROM walk w JOIN edges e ON e.obj_id = w.node
+  WHERE w.depth < 5
+)
+SELECT node, MIN(depth) AS depth FROM walk GROUP BY node ORDER BY node
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "kg_extract_triples": q_kg_extract_triples,
+    "kg_top_predicates": q_kg_top_predicates,
+    "kg_mentions": q_kg_mentions,
+    "kg_conv_hash": q_kg_conv_hash,
+    "kg_turn_window": q_kg_turn_window,
+    "rrf_fusion_docs": q_rrf_fusion_docs,
+    "pricing_summary": q_pricing_summary,
+    "top_orders_per_customer": q_top_orders_per_customer,
+    "customers_without_orders": q_customers_without_orders,
+    "revenue_per_nation": q_revenue_per_nation,
+    "event_neighbors": q_event_neighbors,
+    "doc_language_stats": q_doc_language_stats,
+    "doc_token_stats": q_doc_token_stats,
+    "doc_quality": q_doc_quality,
+    "doc_fingerprint": q_doc_fingerprint,
+    "doc_minhash": q_doc_minhash,
+    "ann_topk": q_ann_topk,
+    "graph_reach": q_graph_reach,
+}
+
+_PORTABLE_HASH = "CAST(('0x' || substr(md5({e}), 1, 15)) AS BIGINT)"
+
+ORACLES: dict[str, str] = {
+    "kg_extract_triples": _ORACLE_TRIPLES_CTE
+    + "SELECT conv_id, turn_idx, subj, pred, obj FROM gt",
+    "kg_top_predicates": _ORACLE_TRIPLES_CTE
+    + """SELECT pred, COUNT(*) AS n_triples, COUNT(DISTINCT subj) AS n_subjects
+         FROM gt GROUP BY pred ORDER BY n_triples DESC, pred ASC""",
+    "kg_mentions": _ORACLE_TRIPLES_CTE
+    + """SELECT mention, mention_role, COUNT(*) AS n_occurrences FROM (
+           SELECT DISTINCT conv_id, turn_idx, subj AS mention, 'subj' AS mention_role FROM gt
+           UNION
+           SELECT DISTINCT conv_id, turn_idx, obj AS mention, 'obj' AS mention_role FROM gt
+         ) m GROUP BY mention, mention_role ORDER BY mention, mention_role""",
+    "kg_conv_hash": f"""WITH t AS ({DERIVED_TRANSCRIPTS_SQL})
+         SELECT conv_id, sha256(string_agg(text, '' ORDER BY turn_idx)) AS content_hash,
+                COUNT(*) AS rows_in
+         FROM t GROUP BY conv_id""",
+    "kg_turn_window": f"""WITH t AS ({DERIVED_TRANSCRIPTS_SQL})
+         SELECT conv_id, turn_idx, length(text) AS turn_len,
+                COALESCE(lag(length(text)) OVER w, 0) AS prev_len,
+                COALESCE(lead(length(text)) OVER w, 0) AS next_len,
+                row_number() OVER w AS turn_rank
+         FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)""",
+    "rrf_fusion_docs": ORACLE_RRF,
+    "pricing_summary": """
+         SELECT l_returnflag, l_linestatus,
+                SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+                ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                COUNT(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+    "top_orders_per_customer": """
+         SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS totalprice, rk FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+           FROM orders) x WHERE rk <= 3""",
+    "customers_without_orders": """
+         SELECT c_custkey, c_name FROM customer
+         WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+         ORDER BY c_custkey""",
+    "revenue_per_nation": """
+         SELECT n_name, ROUND(SUM(o_totalprice), 2) AS revenue, COUNT(*) AS n_orders
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name ORDER BY n_name""",
+    "event_neighbors": """
+         SELECT event_id, user_id,
+                ROUND(COALESCE(lag(value) OVER w, 0.0), 6) AS prev_value,
+                ROUND(COALESCE(lead(value) OVER w, 0.0), 6) AS next_value,
+                row_number() OVER w AS seq
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+    "doc_language_stats": """
+         SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+                COUNT(DISTINCT source) AS n_sources
+         FROM documents GROUP BY lang ORDER BY lang""",
+    "doc_token_stats": r"""
+         SELECT doc_id,
+                len(string_split_regex(text, '\s+')) AS n_words,
+                len(list_distinct(string_split_regex(text, '\s+'))) AS n_distinct_words,
+                length(text) AS n_chars_exact
+         FROM documents ORDER BY doc_id""",
+    "doc_quality": r"""
+         SELECT doc_id,
+                ROUND(len(list_filter(string_split_regex(text, '\s+'),
+                          x -> list_contains(['the','a','of','and','to'], x)))
+                      / CAST(len(string_split_regex(text, '\s+')) AS DOUBLE), 6)
+                  AS stopword_ratio,
+                ROUND(list_sum(list_transform(string_split_regex(text, '\s+'),
+                                              x -> length(x)))
+                      / CAST(len(string_split_regex(text, '\s+')) AS DOUBLE), 6)
+                  AS mean_word_len
+         FROM documents ORDER BY doc_id""",
+    "doc_fingerprint": f"""
+         WITH fp AS (
+           SELECT doc_id, sha256(text) AS sha,
+                  {_PORTABLE_HASH.format(e='text')} AS fingerprint
+           FROM documents)
+         SELECT doc_id, fingerprint, COUNT(*) OVER (PARTITION BY sha) AS n_dups
+         FROM fp ORDER BY doc_id""",
+    "doc_minhash": r"""
+         SELECT doc_id,
+    """
+    + ",\n".join(
+        f"""            list_min(list_transform(list_distinct(string_split_regex(text, '\\s+')),
+                 x -> CAST(('0x' || substr(md5('{seed}|' || x), 1, 15)) AS BIGINT))) AS mh{seed}"""
+        for seed in range(4)
+    )
+    + "\n         FROM documents ORDER BY doc_id",
+    "ann_topk": """
+         WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+         sims AS (
+           SELECT vec_id, label,
+                  ROUND(list_cosine_similarity(embedding::DOUBLE[], qv), 4) AS cos_sim
+           FROM embeddings, q WHERE vec_id <> 0)
+         SELECT vec_id, label, cos_sim,
+                row_number() OVER (ORDER BY cos_sim DESC, vec_id ASC) AS rk
+         FROM sims QUALIFY rk <= 10""",
+    "graph_reach": ORACLE_GRAPH,
+}

@@ -1,0 +1,120 @@
+"""Code-aware tokenization and portable hashing as native Spark columns.
+
+Re-expresses the reference's tsvector preparation
+(reference: src/cocosearch/indexer/tsvector.py:17-144 — camelCase /
+snake_case identifier splitting with the original preserved, plus lowercased
+raw words) as pure Catalyst expressions: ``regexp_extract_all`` + higher-order
+array functions, so the whole tokenizer stays inside whole-stage codegen —
+no Python in the hot path. A pure-Python twin (``py_*``) exists only for
+hermetic unit-test assertions.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Identifier pattern — tsvector.py:103 analog.
+IDENT_RE = r"[A-Za-z_][A-Za-z0-9_]*"
+# camelCase/PascalCase component pattern — tsvector.py:38-40 analog.
+CAMEL_RE = r"[A-Z]?[a-z]+|[A-Z]+(?=[A-Z][a-z]|\d|\W|$)|\d+"
+
+
+def split_identifier_col(ident: Column) -> Column:
+    """array<string> of tokens for one identifier: original, plus camel
+    components when there are >1, plus snake/kebab components when there
+    are >1 (tsvector.py:17-50 semantics)."""
+    camel = F.regexp_extract_all(ident, F.lit(CAMEL_RE), 0)
+    snake = F.filter(F.split(ident, r"[_\-]"), lambda p: p != F.lit(""))
+    return F.concat(
+        F.array(ident),
+        F.when(F.size(camel) > 1, camel).otherwise(F.array().cast("array<string>")),
+        F.when(
+            ident.rlike(r"[_\-]") & (F.size(snake) > 1), snake
+        ).otherwise(F.array().cast("array<string>")),
+    )
+
+
+def tokenize_col(text: Column) -> Column:
+    """Full content tokenizer: identifiers ≥2 chars split into components
+    (originals preserved) followed by all lowercased words
+    (tsvector.py:90-120 semantics). Returns array<string> with duplicates —
+    dedup is the consumer's choice, as with to_tsvector."""
+    idents = F.filter(
+        F.regexp_extract_all(text, F.lit(IDENT_RE), 0),
+        lambda i: F.length(i) >= 2,
+    )
+    ident_tokens = F.flatten(F.transform(idents, split_identifier_col))
+    words = F.regexp_extract_all(F.lower(text), F.lit(r"\w+"), 0)
+    return F.concat(ident_tokens, words)
+
+
+def normalize_name_col(name: Column) -> Column:
+    """Canonical surface-form normalization used for alias blocking:
+    camel/snake components, lowercased, joined by '_'. paymentGateway,
+    PaymentGateway and payment_gateway all map to 'payment_gateway' —
+    the key the canonicalizer blocks on (resolver.build_index analog,
+    reference: src/cocosearch/deps/resolver.py:109-133)."""
+    camel = F.regexp_extract_all(name, F.lit(CAMEL_RE), 0)
+    parts = F.flatten(
+        F.transform(
+            F.filter(F.split(name, r"[_\-]"), lambda p: p != F.lit("")),
+            lambda p: F.when(
+                F.size(F.regexp_extract_all(p, F.lit(CAMEL_RE), 0)) > 0,
+                F.regexp_extract_all(p, F.lit(CAMEL_RE), 0),
+            ).otherwise(F.array(p)),
+        )
+    )
+    _ = camel
+    return F.lower(F.array_join(parts, "_"))
+
+
+def portable_hash_col(c: Column) -> Column:
+    """Deterministic 60-bit hash identical in Spark and DuckDB:
+    first 15 hex chars of md5 parsed base-16. Used wherever a hash must be
+    oracle-checkable (MinHash, fingerprints, bucket keys)."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+PORTABLE_HASH_DUCKDB = "CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def sha256_col(c: Column) -> Column:
+    """Content hash for incremental-state identity
+    (reference: flow.py:348-351 sha256 file identity)."""
+    return F.sha2(c, 256)
+
+
+# ---------------------------------------------------------------- python twin
+
+def py_split_identifier(identifier: str) -> list[str]:
+    toks = [identifier]
+    camel = re.findall(CAMEL_RE, identifier)
+    if len(camel) > 1:
+        toks.extend(camel)
+    if "_" in identifier or "-" in identifier:
+        snake = [p for p in re.split(r"[_\-]", identifier) if p]
+        if len(snake) > 1:
+            toks.extend(snake)
+    return toks
+
+
+def py_tokenize(text: str) -> list[str]:
+    out: list[str] = []
+    for ident in re.findall(IDENT_RE, text):
+        if len(ident) >= 2:
+            out.extend(py_split_identifier(ident))
+    out.extend(re.findall(r"\w+", text.lower()))
+    return out
+
+
+def py_normalize_name(name: str) -> str:
+    parts: list[str] = []
+    for p in re.split(r"[_\-]", name):
+        if not p:
+            continue
+        camel = re.findall(CAMEL_RE, p)
+        parts.extend(camel if camel else [p])
+    return "_".join(parts).lower()

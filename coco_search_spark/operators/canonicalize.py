@@ -1,0 +1,204 @@
+"""Alias canonicalization: MinHash/LSH blocking + connected components.
+
+The reference resolves aliases with a deterministic module-index lookup
+(reference: src/cocosearch/deps/resolver.py:101-566) and dedups edges
+(extractor.py:181-203); at 10^12-turn scale the north rule generalizes this
+to similarity-blocked clustering:
+
+1. **Shingle** each distinct surface form into character 3-grams.
+2. **MinHash** signatures (m seeded hash functions, portable md5-based hash
+   so every value is DuckDB-oracle-checkable), banded into b bands of r rows
+   — classic LSH: only pairs sharing a band bucket are compared, so the
+   candidate set is near-linear instead of O(n²).
+3. **Verify** candidate pairs with exact Jaccard over shingle sets; keep
+   pairs ≥ threshold, plus free "exact normalized name" edges
+   (paymentGateway ↔ payment_gateway).
+4. **Connected components** over the similarity graph via iterative
+   hash-to-min label propagation (DataFrame joins + localCheckpoint to cut
+   lineage) — GraphFrames is not available in this sandbox; the loop is the
+   standard alternative and converges in O(log n) iterations for the
+   small-diameter alias clusters this graph produces.
+5. Canonical id = lexicographic min normalized form per component
+   (deterministic under any partitioning).
+
+Scale notes: every join is equi-keyed; bucket keys are salted implicitly by
+band index; AQE skew-join covers hot buckets; signatures are computed in one
+Catalyst projection (no Python).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from coco_search_spark.functions.text import normalize_name_col, portable_hash_col
+
+N_HASHES = 12
+N_BANDS = 4          # 4 bands × 3 rows
+# Verified-pair threshold: alias spelling variants of the same name score
+# ≳0.7 on 3-gram Jaccard (payment_gateway vs paymentGateway), while distinct
+# entities sharing only a kind-suffix (auth_router vs graph_router) score
+# ≈0.35 — 0.6 cleanly separates the two populations.
+JACCARD_THRESHOLD = 0.6
+MAX_CC_ITERATIONS = 20
+
+
+def shingles_col(s, k: int = 3):
+    """Distinct character k-grams of lower(s); whole string when shorter."""
+    low = F.lower(s)
+    return F.when(F.length(low) <= k, F.array(low)).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(low) - (k - 1)),
+                lambda i: F.substr(low, i, F.lit(k)),
+            )
+        )
+    )
+
+
+def minhash_signature_col(shingles, n_hashes: int = N_HASHES):
+    """array<long> of length n_hashes: min over shingles of
+    portable_hash(seed || shingle)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+        lambda seed: F.array_min(
+            F.transform(shingles, lambda sh: portable_hash_col(F.concat(seed.cast("string"), F.lit("|"), sh)))
+        ),
+    )
+
+
+def band_keys_col(signature, n_bands: int = N_BANDS, n_hashes: int = N_HASHES):
+    """array<struct<band:int, key:string>>: each band's slice of the
+    signature serialized to a bucket key."""
+    rows_per_band = n_hashes // n_bands
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda b: F.struct(
+            b.cast("int").alias("band"),
+            F.array_join(
+                F.transform(
+                    F.slice(signature, b * rows_per_band + 1, rows_per_band),
+                    lambda v: v.cast("string"),
+                ),
+                "_",
+            ).alias("key"),
+        ),
+    )
+
+
+def candidate_pairs(
+    surfaces: DataFrame,
+    n_hashes: int = N_HASHES,
+    n_bands: int = N_BANDS,
+    jaccard_threshold: float = JACCARD_THRESHOLD,
+) -> DataFrame:
+    """surfaces(surface) → verified similar pairs (a, b), a < b.
+
+    LSH bucket self-join + exact-Jaccard verification + exact-normalized
+    union. Output is symmetric-free (a < b) and distinct.
+    """
+    base = (
+        surfaces.select("surface")
+        .distinct()
+        .withColumn("norm", normalize_name_col(F.col("surface")))
+        .withColumn("sh", shingles_col(F.col("surface")))
+    )
+    sig = base.withColumn("sig", minhash_signature_col(F.col("sh"), n_hashes))
+    banded = sig.select(
+        "surface",
+        "norm",
+        "sh",
+        F.explode(band_keys_col(F.col("sig"), n_bands, n_hashes)).alias("bk"),
+    ).select("surface", "norm", "sh", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    left = banded.select(
+        F.col("band"), F.col("key"),
+        F.col("surface").alias("a"), F.col("sh").alias("sh_a"),
+    )
+    right = banded.select(
+        F.col("band"), F.col("key"),
+        F.col("surface").alias("b"), F.col("sh").alias("sh_b"),
+    )
+    lsh_pairs = (
+        left.join(right, ["band", "key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "sh_a", "sh_b")
+        .distinct()
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+            / F.size(F.array_union(F.col("sh_a"), F.col("sh_b"))),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("a", "b")
+    )
+
+    # exact normalized-name pairs are always edges (resolver exact lookup)
+    ln = base.select(F.col("norm"), F.col("surface").alias("a"))
+    rn = base.select(F.col("norm"), F.col("surface").alias("b"))
+    norm_pairs = ln.join(rn, "norm").filter(F.col("a") < F.col("b")).select("a", "b")
+
+    return lsh_pairs.unionByName(norm_pairs).distinct()
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    max_iterations: int = MAX_CC_ITERATIONS,
+) -> DataFrame:
+    """nodes(surface) + edges(a, b) → (surface, component) where component is
+    the min surface (lexicographic) reachable. Hash-to-min label propagation:
+    label(v) ← min(label(v), min label over neighbors), iterated to fixpoint.
+    localCheckpoint each round cuts the lineage (mandatory for iterative
+    DataFrame algorithms — SURVEY §7.3)."""
+    # materialize the (possibly expensive) edge DAG ONCE — the loop must
+    # never re-run the upstream LSH self-join per iteration
+    sym = (
+        edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    labels = nodes.select(
+        F.col("surface"), F.col("surface").alias("component")
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max_iterations):
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.surface)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        # one pass computes both the new label and the changed flag —
+        # one localCheckpoint + one tiny agg job per iteration
+        new_labels = (
+            labels.join(neighbor_min, labels.surface == neighbor_min.src, "left")
+            .select(
+                labels.surface.alias("surface"),
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
+                ).alias("new_component"),
+                (
+                    F.coalesce(F.col("nbr_component"), F.col("component"))
+                    < F.col("component")
+                ).cast("int").alias("changed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = new_labels.agg(F.sum("changed")).collect()[0][0] or 0
+        labels = new_labels.select("surface", F.col("new_component").alias("component"))
+        if changed == 0:
+            break
+    return labels.select("surface", "component")
+
+
+def canonicalize_surfaces(surfaces: DataFrame, **kwargs) -> DataFrame:
+    """surfaces(surface) → (surface, canon_id): canonical id = min normalized
+    form within the component."""
+    pairs = candidate_pairs(surfaces, **kwargs)
+    comp = connected_components(surfaces.select("surface").distinct(), pairs)
+    canon = (
+        comp.withColumn("norm", normalize_name_col(F.col("surface")))
+        .groupBy("component")
+        .agg(F.min("norm").alias("canon_id"))
+    )
+    return comp.join(canon, "component").select("surface", "canon_id")

@@ -1,0 +1,81 @@
+"""Graph queries over the triples/edges table.
+
+Re-expresses the reference's dependency-graph query layer
+(reference: src/cocosearch/deps/query.py):
+
+- forward / reverse neighbor lookup  (get_dependencies :52-102,
+  get_dependents :105-155) → partition-pruned filters;
+- transitive BFS with visited-set cycle exclusion and depth cap
+  (get_dependency_tree :179-243, get_impact :246-293, batch variants
+  :296-421) → iterative frontier ⋈ edges joins with ``left_anti`` against
+  the visited set, localCheckpoint per level;
+- unresolved/external nodes (obj_id null, models.py:33-35) stay leaves —
+  they never join the frontier, same termination semantics as the
+  reference's external-node handling (query.py:214-230).
+
+Scale: each BFS level is one equi-join keyed on the frontier side; the
+visited set stays small relative to the edge table, so Catalyst/AQE
+broadcast the frontier. Depth cap 5 matches the reference default.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MAX_DEPTH = 5  # reference default depth cap, deps/query.py:179-243
+
+
+def forward_edges(edges: DataFrame, subj_id: str, pred: str | None = None) -> DataFrame:
+    out = edges.filter(F.col("subj_id") == subj_id)
+    if pred is not None:
+        out = out.filter(F.col("pred") == pred)
+    return out
+
+
+def reverse_edges(edges: DataFrame, obj_id: str, pred: str | None = None) -> DataFrame:
+    out = edges.filter(F.col("obj_id") == obj_id)
+    if pred is not None:
+        out = out.filter(F.col("pred") == pred)
+    return out
+
+
+def transitive_closure(
+    edges: DataFrame,
+    roots: DataFrame,
+    direction: str = "forward",
+    max_depth: int = MAX_DEPTH,
+) -> DataFrame:
+    """Multi-root BFS (batch variant, deps/query.py:296-365 analog).
+
+    roots: DataFrame with one column ``node``. Returns (node, depth) for all
+    reached nodes with the minimal depth, roots at depth 0. Cycle exclusion
+    via left_anti against the visited set each level.
+    """
+    if direction == "forward":
+        step = edges.select(F.col("subj_id").alias("src"), F.col("obj_id").alias("dst"))
+    elif direction == "reverse":
+        step = edges.select(F.col("obj_id").alias("src"), F.col("subj_id").alias("dst"))
+    else:
+        raise ValueError(direction)
+    # materialize once: levels must not re-run the upstream edge DAG
+    step = step.filter(F.col("dst").isNotNull()).distinct().localCheckpoint(eager=True)
+
+    visited = roots.select(F.col("node"), F.lit(0).alias("depth")).distinct().localCheckpoint(
+        eager=True
+    )
+    frontier = visited.select("node")
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            step.join(frontier.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("depth", F.lit(depth))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("node")
+    return visited

@@ -1,0 +1,153 @@
+"""Entity linking: hybrid candidate scoring with Reciprocal Rank Fusion.
+
+The Spark re-expression of the reference's two retrieval legs and fusion:
+
+- candidate generation = the resolver's module→file index probe
+  (reference: src/cocosearch/deps/resolver.py:109-142 build_index/resolve)
+  as a **broadcast hash join** from mention tokens to an alias-token index;
+- vector leg = pgvector cosine top-k (hybrid.py:263-275) as an Arrow-batched
+  cosine + ``row_number`` window rank;
+- keyword leg = ts_rank top-k (hybrid.py:169-186) as token-set Jaccard +
+  window rank;
+- fusion = Reciprocal Rank Fusion, score = Σ 1/(k + rank), k = 60
+  (hybrid.py:29 RRF_K, rrf_fusion hybrid.py:306-416) as a full-outer join of
+  the two ranked lists + ``sum``;
+- exact-match boost ×2.0 = the definition boost (hybrid.py:33,419-481);
+- tie-break favors the keyword-matched side (hybrid.py:409-414), then the
+  stable entity_id so results are deterministic under any partitioning.
+
+Scale design: linking runs over **distinct mention surfaces**, not mention
+occurrences — at 10^12 turns the distinct-surface table is orders of
+magnitude smaller, and occurrences get their link back via a cheap join.
+The alias-token index is a dimension table → ``F.broadcast``; no shuffle on
+the big side until the final occurrence join (which AQE can also broadcast).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from coco_search_spark.functions.embed import cosine_pandas_udf, make_embed_udf
+from coco_search_spark.functions.text import normalize_name_col
+
+RRF_K = 60                      # hybrid.py:29
+EXACT_MATCH_BOOST = 2.0         # DEFINITION_BOOST_MULTIPLIER, hybrid.py:33
+MAX_PREFETCH = 100              # hybrid.py:37
+
+
+def norm_tokens_col(name_col):
+    """Distinct lowercase components of an identifier surface form."""
+    return F.array_distinct(F.split(normalize_name_col(name_col), "_"))
+
+
+def build_alias_index(catalog: DataFrame) -> DataFrame:
+    """catalog(entity_id, alias) → token-inverted index
+    (token, entity_id, alias, alias_norm). The GIN-index analog
+    (schema_migration.py:74-90) as a small DataFrame."""
+    return (
+        catalog.withColumn("alias_norm", normalize_name_col(F.col("alias")))
+        .withColumn("token", F.explode(norm_tokens_col(F.col("alias"))))
+        .select("token", "entity_id", "alias", "alias_norm")
+    )
+
+
+def link_mentions(
+    mentions: DataFrame,
+    catalog: DataFrame,
+    embed_dim: int = 64,
+    prefetch: int = MAX_PREFETCH,
+    rrf_k: int = RRF_K,
+    min_score: float = 0.0,
+) -> DataFrame:
+    """mentions(conv_id, turn_idx, mention, mention_role) × catalog(entity_id,
+    alias) → one row per mention occurrence with its best entity link.
+
+    Output adds: entity_id (null = unlinked, the reference's
+    target_file=None external semantics, models.py:33-35), link_score,
+    match_type ∈ {both, semantic, keyword}.
+    """
+    embed = make_embed_udf(embed_dim)
+
+    surfaces = mentions.select("mention").distinct()
+    surfaces = surfaces.withColumn("m_norm", normalize_name_col(F.col("mention"))).withColumn(
+        "m_tokens", norm_tokens_col(F.col("mention"))
+    )
+
+    alias_idx = build_alias_index(catalog)
+
+    # candidate pairs: any shared normalized token (resolver probe analog)
+    cand = (
+        surfaces.withColumn("token", F.explode(F.col("m_tokens")))
+        .join(F.broadcast(alias_idx), "token")
+        .select("mention", "m_norm", "m_tokens", "entity_id", "alias", "alias_norm")
+        .distinct()
+    )
+
+    # ---- score both legs per (mention, alias) pair, then best per entity
+    scored_pair = cand.withColumn(
+        "vec_sim",
+        cosine_pandas_udf(embed(F.col("mention")), embed(F.col("alias"))),
+    ).withColumn(
+        "kw_sim",
+        F.size(F.array_intersect(F.col("m_tokens"), norm_tokens_col(F.col("alias"))))
+        / F.size(F.array_union(F.col("m_tokens"), norm_tokens_col(F.col("alias")))),
+    )
+    scored = scored_pair.groupBy("mention", "m_norm", "entity_id").agg(
+        F.max("vec_sim").alias("vec_sim"),
+        F.max("kw_sim").alias("kw_sim"),
+        F.max((F.col("alias_norm") == F.col("m_norm")).cast("int")).alias("exact_norm"),
+    )
+
+    # ---- per-leg prefetch rank (deterministic tie-break on entity_id)
+    w_vec = Window.partitionBy("mention").orderBy(F.desc("vec_sim"), F.asc("entity_id"))
+    w_kw = Window.partitionBy("mention").orderBy(F.desc("kw_sim"), F.asc("entity_id"))
+    vec_leg = (
+        scored.withColumn("v_rank", F.row_number().over(w_vec))
+        .filter(F.col("v_rank") <= prefetch)
+        .select("mention", "m_norm", "entity_id", "exact_norm", "vec_sim", "v_rank")
+    )
+    kw_leg = (
+        scored.withColumn("k_rank", F.row_number().over(w_kw))
+        .filter((F.col("k_rank") <= prefetch) & (F.col("kw_sim") > 0))
+        .select("mention", "entity_id", "kw_sim", "k_rank")
+    )
+
+    # ---- RRF fusion: full-outer join of the two ranked lists (rrf_fusion
+    # hybrid.py:306-416); Σ 1/(k+rank) with absent legs contributing 0.
+    fused = (
+        vec_leg.join(kw_leg, ["mention", "entity_id"], "full_outer")
+        .withColumn(
+            "rrf",
+            F.coalesce(1.0 / (F.lit(rrf_k) + F.col("v_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(rrf_k) + F.col("k_rank")), F.lit(0.0)),
+        )
+        .withColumn(
+            "match_type",
+            F.when(F.col("v_rank").isNotNull() & F.col("k_rank").isNotNull(), "both")
+            .when(F.col("v_rank").isNotNull(), "semantic")
+            .otherwise("keyword"),
+        )
+        .withColumn(
+            "link_score",
+            F.when(F.col("exact_norm") == 1, F.col("rrf") * EXACT_MATCH_BOOST).otherwise(
+                F.col("rrf")
+            ),
+        )
+    )
+
+    # ---- top-1 per mention; tie → keyword-present first (hybrid.py:409-414),
+    # then stable entity_id.
+    w_best = Window.partitionBy("mention").orderBy(
+        F.desc("link_score"),
+        F.desc(F.col("k_rank").isNotNull().cast("int")),
+        F.asc("entity_id"),
+    )
+    best = (
+        fused.withColumn("rn", F.row_number().over(w_best))
+        .filter((F.col("rn") == 1) & (F.col("link_score") >= min_score))
+        .select("mention", "entity_id", "link_score", "match_type")
+    )
+
+    # ---- attach back to occurrences; unlinked mentions keep entity_id null
+    return mentions.join(best, "mention", "left")

@@ -1,0 +1,153 @@
+"""End-to-end KG-construction pipeline.
+
+transcripts → segment → extract triples → link mentions (hybrid RRF) →
+canonicalize (LSH + connected components) → materialize node/edge tables,
+with per-stage state commits so a killed run resumes from the last snapshot.
+
+This is the Spark re-expression of the reference's ``run_index`` driver loop
+(reference: flow.py:236-511 — validate → preflight → diff → per-file chunk/
+embed/extract/upsert → delete removed → parse-tracking) as ONE declarative
+DAG per stage, not a Python loop over files. Incremental semantics follow
+the reference's correctness rule: extraction is per-conversation
+incremental, linking + canonicalization re-run globally
+(extractor.py:8-12, 374-399).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from coco_search_spark.operators.canonicalize import canonicalize_surfaces
+from coco_search_spark.operators.extract import (
+    extract_mentions,
+    extract_triples,
+    extract_triples_arrow,
+)
+from coco_search_spark.operators.linking import link_mentions
+from coco_search_spark.operators.materialize import build_nodes, resolve_edges, write_graph
+from coco_search_spark.operators.segments import segment_turns
+from coco_search_spark.state import StateStore, conversation_hashes, diff_against_state
+
+
+@dataclass
+class PipelineResult:
+    triples: DataFrame
+    links: DataFrame
+    canon: DataFrame
+    edges: DataFrame
+    nodes: DataFrame
+    metrics: dict
+
+
+def run_pipeline(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    catalog: DataFrame | None = None,
+    out_dir: str | None = None,
+    state_dir: str | None = None,
+    extractor: str = "native",
+    embed_dim: int = 64,
+) -> PipelineResult:
+    """Full batch run. When ``state_dir`` is given, unchanged conversations
+    (same content hash as the stored state) skip extraction; triples for
+    them are reloaded from the previous materialized output, while linking /
+    canonicalization always re-run globally over the merged triple set.
+    """
+    extract_fn = extract_triples if extractor == "native" else extract_triples_arrow
+
+    store = StateStore(state_dir) if state_dir else None
+    prev_triples: DataFrame | None = None
+    dirty = transcripts
+    n_unchanged = 0
+    cur_hashes = None
+    if store is not None:
+        cur_hashes = conversation_hashes(transcripts).cache()
+        stored = store.read(spark)
+        diff = diff_against_state(cur_hashes, stored).cache()
+        n_unchanged = diff.filter(F.col("status") == "unchanged").count()
+        dirty_ids = diff.filter(F.col("status").isin("new", "changed")).select("conv_id")
+        dirty = transcripts.join(dirty_ids, "conv_id", "left_semi")
+        snap = store.last_snapshot()
+        if n_unchanged > 0 and snap and snap.get("triples_path") and os.path.exists(snap["triples_path"]):
+            unchanged_ids = diff.filter(F.col("status") == "unchanged").select("conv_id")
+            prev_triples = (
+                spark.read.parquet(snap["triples_path"]).join(unchanged_ids, "conv_id", "left_semi")
+            )
+
+    segments = segment_turns(dirty)
+    triples = extract_fn(segments)
+    if prev_triples is not None:
+        triples = triples.unionByName(prev_triples)
+    triples = triples.cache()
+    n_triples = triples.count()
+
+    mentions = extract_mentions(triples)
+
+    # linking (optional catalog) — global, per the re-resolve-all rule
+    if catalog is not None:
+        links_raw = link_mentions(mentions, catalog, embed_dim=embed_dim)
+    else:
+        links_raw = mentions.withColumn("entity_id", F.lit(None).cast("string")).withColumn(
+            "link_score", F.lit(None).cast("double")
+        ).withColumn("match_type", F.lit(None).cast("string"))
+
+    # canonicalization over all mention surfaces — global
+    surfaces = mentions.select(F.col("mention").alias("surface")).distinct()
+    canon = canonicalize_surfaces(surfaces).cache()
+
+    # canonical id: linked entity id wins, else the surface's canonical form
+    link_map = (
+        links_raw.select("mention", "entity_id")
+        .distinct()
+        .join(canon.withColumnRenamed("surface", "mention"), "mention", "left")
+        .select("mention", F.coalesce("entity_id", "canon_id").alias("canon_id"))
+    )
+
+    edges = resolve_edges(triples, link_map).cache()
+    nodes = build_nodes(edges).cache()
+
+    triples_path = None
+    if out_dir:
+        write_graph(nodes, edges, out_dir)
+        # versioned path: never overwrite the snapshot a lazy prev_triples
+        # plan may still be reading (Iceberg snapshots give this for free)
+        prev = store.last_snapshot() if store else None
+        version = (prev["version"] + 1) if prev else 1
+        triples_path = f"{out_dir}/triples_v{version:06d}"
+        triples.write.mode("overwrite").parquet(triples_path)
+
+    metrics = {
+        "n_triples": n_triples,
+        "n_unchanged_convs": n_unchanged,
+        "n_mentions": mentions.count(),
+        "n_nodes": nodes.count(),
+    }
+
+    if store is not None and cur_hashes is not None:
+        state_rows = cur_hashes.select(
+            "conv_id",
+            "content_hash",
+            F.lit("materialize").alias("stage"),
+            F.lit("pending").alias("snapshot_id"),
+            F.col("rows_in"),
+            F.lit(n_triples).alias("rows_out"),
+            F.lit(0).alias("errors"),
+        )
+        snapshot_id = store.commit(state_rows, stage="materialize")
+        # record where triples live so the next run can reuse them
+        snap = store.last_snapshot()
+        if triples_path:
+            snap["triples_path"] = triples_path
+            import json
+
+            with open(os.path.join(store.path, "manifest.json"), "w") as f:
+                json.dump(snap, f)
+        metrics["snapshot_id"] = snapshot_id
+
+    return PipelineResult(
+        triples=triples, links=links_raw, canon=canon, edges=edges, nodes=nodes, metrics=metrics
+    )

@@ -1,0 +1,135 @@
+"""Incremental state / lineage / resume.
+
+The analog of the reference's tracking tables and incremental diff
+(reference: flow.py:87-98 tracking table, :343-361 sha256 diff new/changed/
+deleted, :436-448 per-file commit so a cancelled run resumes; deps twin
+extractor.py:158-178, :264-428). Semantics preserved:
+
+- **unit of tracking** = conv_id (the reference's filename), identity =
+  sha256 over the ordered turn texts (content-hash identity, flow.py:348);
+- **diff** = full-outer join current vs stored → status ∈ {new, changed,
+  unchanged, deleted} (the reference's set ops, re-expressed as joins —
+  SURVEY §2.3 J2);
+- **per-partition lineage + metrics** rows committed per stage (parse
+  tracking analog, parse_tracking.py:114-201 / schema_migration.py:250-263);
+- **global re-resolution rule**: extraction is incremental, but linking /
+  canonicalization re-run over the full mention set whenever anything
+  changed — correctness rule inherited from the reference
+  (extractor.py:8-12, 374-399: "re-extract changed, re-resolve all").
+
+Storage is a parquet state directory with an atomically-renamed JSON
+manifest (Iceberg snapshot analog; swap for a real Iceberg state table on a
+cluster — ``MERGE INTO`` keyed by conv_id + content_hash).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+STATE_SCHEMA = (
+    "conv_id string, content_hash string, stage string, snapshot_id string, "
+    "rows_in bigint, rows_out bigint, errors bigint"
+)
+
+
+def conversation_hashes(transcripts: DataFrame) -> DataFrame:
+    """(conv_id, content_hash): sha256 over the ordered concatenation of
+    turn texts — stable under (conv_id, turn_idx) ordering (flow.py:348-351
+    analog). Computed with sort_array over collected (turn_idx, text)
+    structs so the result is independent of partitioning."""
+    return (
+        transcripts.groupBy("conv_id")
+        .agg(
+            F.sha2(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("turn_idx", "text"))),
+                        lambda s: s["text"],
+                    ),
+                    "",
+                ),
+                256,
+            ).alias("content_hash"),
+            F.count(F.lit(1)).alias("rows_in"),
+        )
+    )
+
+
+def diff_against_state(current: DataFrame, stored: DataFrame) -> DataFrame:
+    """full-outer diff → (conv_id, status, content_hash, rows_in).
+
+    status: new (no stored row), changed (hash differs), unchanged,
+    deleted (stored but not current) — flow.py:353-361 semantics.
+    """
+    cur = current.select(
+        "conv_id",
+        F.col("content_hash").alias("cur_hash"),
+        "rows_in",
+    )
+    st = stored.select("conv_id", F.col("content_hash").alias("old_hash"))
+    return cur.join(st, "conv_id", "full_outer").select(
+        "conv_id",
+        F.when(F.col("cur_hash").isNull(), "deleted")
+        .when(F.col("old_hash").isNull(), "new")
+        .when(F.col("cur_hash") != F.col("old_hash"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+        F.coalesce("cur_hash", "old_hash").alias("content_hash"),
+        "rows_in",
+    )
+
+
+class StateStore:
+    """Parquet + manifest state store. One directory per pipeline run chain;
+    each commit writes a new versioned parquet snapshot and atomically
+    renames manifest.json — crash-safe resume reads the last manifest."""
+
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+
+    def _manifest_path(self) -> str:
+        return os.path.join(self.path, "manifest.json")
+
+    def last_snapshot(self) -> dict | None:
+        mp = self._manifest_path()
+        if not os.path.exists(mp):
+            return None
+        with open(mp) as f:
+            return json.load(f)
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        snap = self.last_snapshot()
+        if snap is None:
+            return spark.createDataFrame([], STATE_SCHEMA)
+        return spark.read.parquet(snap["data_path"])
+
+    def commit(self, state_rows: DataFrame, stage: str) -> str:
+        """Write a new state snapshot; returns snapshot id. Atomic via
+        tempfile + os.replace (the single-writer analog of an Iceberg
+        snapshot commit)."""
+        snap = self.last_snapshot()
+        version = (snap["version"] + 1) if snap else 1
+        snapshot_id = f"v{version:06d}"
+        data_path = os.path.join(self.path, f"state_{snapshot_id}")
+        state_rows.withColumn("snapshot_id", F.lit(snapshot_id)).write.mode(
+            "overwrite"
+        ).parquet(data_path)
+        manifest = {
+            "version": version,
+            "snapshot_id": snapshot_id,
+            "stage": stage,
+            "data_path": data_path,
+            "committed_at": time.time(),
+        }
+        fd, tmp = tempfile.mkstemp(dir=self.path, suffix=".json")
+        with os.fdopen(fd, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self._manifest_path())
+        return snapshot_id

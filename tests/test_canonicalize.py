@@ -1,0 +1,70 @@
+"""LSH blocking + connected-components canonicalization."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from coco_search_spark import fixtures
+from coco_search_spark.functions.text import py_normalize_name
+from coco_search_spark.operators.canonicalize import (
+    candidate_pairs,
+    canonicalize_surfaces,
+    connected_components,
+)
+
+
+def test_alias_variants_form_one_cluster(spark, fx):
+    surfaces = spark.createDataFrame(
+        [(a,) for e in fx.entities for a in e.aliases], "surface string"
+    )
+    canon = canonicalize_surfaces(surfaces)
+    rows = canon.collect()
+    # every surface canonicalizes to exactly its entity's normalized name
+    for r in rows:
+        assert r["canon_id"] == py_normalize_name(r["surface"]), r
+    # cluster count == entity count
+    assert canon.select("canon_id").distinct().count() == len(fx.entities)
+
+
+def test_distinct_entities_not_merged(spark, fx):
+    """Entities sharing a kind-suffix (auth_router vs graph_router) must NOT
+    merge — the Jaccard verification threshold separates them."""
+    surfaces = spark.createDataFrame(
+        [(a,) for e in fx.entities for a in e.aliases], "surface string"
+    )
+    pairs = candidate_pairs(surfaces).collect()
+    for p in pairs:
+        assert py_normalize_name(p["a"]) == py_normalize_name(p["b"]), p
+
+
+def test_lsh_catches_near_typo(spark):
+    """A one-character typo variant lands in the same component via the
+    MinHash/Jaccard path (no exact-normalized edge exists for it)."""
+    surfaces = spark.createDataFrame(
+        [("payment_gateway",), ("payment_gatewayy",), ("totally_other_thing",)],
+        "surface string",
+    )
+    canon = {r["surface"]: r["canon_id"] for r in canonicalize_surfaces(surfaces).collect()}
+    assert canon["payment_gateway"] == canon["payment_gatewayy"]
+    assert canon["totally_other_thing"] != canon["payment_gateway"]
+
+
+def test_connected_components_chain(spark):
+    """A 5-node chain converges to a single component (transitivity across
+    iterations), an isolated node stays alone."""
+    nodes = spark.createDataFrame([(c,) for c in "abcdef"], "surface string")
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")], "a string, b string"
+    )
+    comp = {r["surface"]: r["component"] for r in connected_components(nodes, edges).collect()}
+    assert len({comp[c] for c in "abcde"}) == 1
+    assert comp["f"] == "f"
+
+
+def test_determinism_across_partitionings(spark, fx):
+    surfaces = [(a,) for e in fx.entities[:8] for a in e.aliases]
+    df1 = spark.createDataFrame(surfaces, "surface string").repartition(1)
+    df2 = spark.createDataFrame(surfaces, "surface string").repartition(7)
+    c1 = {tuple(r) for r in canonicalize_surfaces(df1).collect()}
+    c2 = {tuple(r) for r in canonicalize_surfaces(df2).collect()}
+    assert c1 == c2

@@ -1,0 +1,110 @@
+"""End-to-end pipeline + incremental state/resume.
+
+Mirrors the reference's indexing-flow tests (tests/unit/test_indexer_flow.py
+incremental diff; deps test_incremental.py re-extract-changed /
+re-resolve-all semantics)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from coco_search_spark import fixtures
+from coco_search_spark.pipeline import run_pipeline
+from coco_search_spark.reference_extractor import extract_reference
+from coco_search_spark.state import StateStore, conversation_hashes, diff_against_state
+
+
+def test_pipeline_end_to_end(spark, transcripts, fx, tmp_path):
+    catalog = spark.createDataFrame(fixtures.entity_catalog_pdf(fx.entities))
+    res = run_pipeline(spark, transcripts, catalog=catalog, out_dir=str(tmp_path / "out"))
+    assert res.metrics["n_triples"] > 0
+    # every edge endpoint resolved to the generator's canonical entity ids
+    gt_pairs = {(g.subj, g.pred, g.obj) for g in fx.ground_truth.itertuples()}
+    got_pairs = {
+        (r["subj_id"], r["pred"], r["obj_id"])
+        for r in res.edges.select("subj_id", "pred", "obj_id").distinct().collect()
+    }
+    assert got_pairs == gt_pairs
+    # materialized outputs readable
+    edges_back = spark.read.parquet(str(tmp_path / "out" / "edges"))
+    assert edges_back.count() == res.edges.count()
+    nodes_back = spark.read.parquet(str(tmp_path / "out" / "nodes"))
+    assert nodes_back.count() == res.nodes.count()
+
+
+def test_conversation_hash_stable_under_shuffle(spark, transcripts):
+    h1 = {r["conv_id"]: r["content_hash"] for r in conversation_hashes(transcripts).collect()}
+    h2 = {
+        r["conv_id"]: r["content_hash"]
+        for r in conversation_hashes(transcripts.repartition(13)).collect()
+    }
+    assert h1 == h2
+
+
+def test_diff_statuses(spark, fx):
+    cur = conversation_hashes(fixtures.transcripts_sdf(spark, fx))
+    # stored: drop one conv (→ new), mutate one hash (→ changed), add a
+    # phantom conv (→ deleted)
+    stored_rows = cur.collect()
+    stored = spark.createDataFrame(
+        [
+            (r["conv_id"], r["content_hash"] if i != 1 else "MUTATED")
+            for i, r in enumerate(stored_rows[1:])
+        ]
+        + [("conv-ghost", "g")],
+        "conv_id string, content_hash string",
+    )
+    diff = {r["conv_id"]: r["status"] for r in diff_against_state(cur, stored).collect()}
+    assert diff[stored_rows[0]["conv_id"]] == "new"
+    assert diff[stored_rows[2]["conv_id"]] == "changed"
+    assert diff["conv-ghost"] == "deleted"
+    assert list(diff.values()).count("unchanged") == len(stored_rows) - 2
+
+
+def test_incremental_resume_skips_unchanged(spark, fx, tmp_path):
+    out1, out2 = str(tmp_path / "o1"), str(tmp_path / "o2")
+    state = str(tmp_path / "state")
+    sdf = fixtures.transcripts_sdf(spark, fx)
+    r1 = run_pipeline(spark, sdf, out_dir=out1, state_dir=state)
+    assert r1.metrics["n_unchanged_convs"] == 0
+    store = StateStore(state)
+    assert store.last_snapshot()["snapshot_id"] == "v000001"
+
+    # mutate ONE conversation, rerun → all other convs unchanged, triple
+    # set identical to a fresh full run over the mutated input
+    pdf = fx.transcripts.copy()
+    mask = (pdf["conv_id"] == "conv-00003") & (pdf["turn_idx"] == 0)
+    pdf.loc[mask, "text"] = "alpha_service depends on beta_store ."
+    mutated = spark.createDataFrame(pdf, schema=fixtures.TRANSCRIPT_SCHEMA)
+
+    r2 = run_pipeline(spark, mutated, out_dir=out2, state_dir=state)
+    n_convs = pdf["conv_id"].nunique()
+    assert r2.metrics["n_unchanged_convs"] == n_convs - 1
+
+    ref = extract_reference(pdf)
+    ref_set = {tuple(t) for t in ref.itertuples(index=False)}
+    got = {tuple(r) for r in r2.triples.select("conv_id", "turn_idx", "subj", "pred", "obj").collect()}
+    assert got == ref_set
+    assert store.last_snapshot()["snapshot_id"] == "v000002"
+
+
+def test_hot_entity_skew_materializes(spark, tmp_path):
+    """Hot-key fixture: one entity is the subject of ~60% of relations; the
+    salted two-phase degree agg must produce correct counts (and, at scale,
+    spread the hot key across salt buckets)."""
+    fxh = fixtures.generate(n_conversations=30, avg_turns=8, seed=7, hot_fraction=0.6)
+    sdf = fixtures.transcripts_sdf(spark, fxh)
+    res = run_pipeline(spark, sdf, out_dir=str(tmp_path / "hot"))
+    hot_id = fxh.entities[0].canonical
+    deg = {r["entity_id"]: r["out_degree"] for r in res.nodes.collect()}
+    # cross-check against a direct (unsalted) count
+    direct = (
+        res.edges.filter(F.col("subj_id").isNotNull())
+        .groupBy("subj_id")
+        .count()
+        .collect()
+    )
+    for r in direct:
+        assert deg[r["subj_id"]] == r["count"]
+    assert deg[hot_id] == max(deg.values())
