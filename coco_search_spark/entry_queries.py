@@ -433,6 +433,205 @@ def q_ann_topk(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Training-data ops: language-ID, simhash, fingerprint overlap, near-dup
+# ---------------------------------------------------------------------------
+
+def q_doc_langid(spark, sf_dir):
+    """Language-ID heuristic (stopword overlap argmax)."""
+    from coco_search_spark.ops.textstats import language_id
+
+    load_views(spark, sf_dir)
+    return language_id(spark.table("documents"), "doc_id", "text").orderBy("id")
+
+
+def _langid_oracle() -> str:
+    from coco_search_spark.ops.textstats import STOPWORDS
+
+    legs = " UNION ALL ".join(
+        f"""SELECT doc_id, '{lang}' AS lang,
+              ROUND(len(list_intersect(list_distinct(string_split_regex(lower(text), '\\s+')),
+                    [{','.join(repr(s) for s in sw)}])) / {float(len(sw))}, 6) AS score
+            FROM documents"""
+        for lang, sw in sorted(STOPWORDS.items())
+    )
+    return f"""
+        WITH scores AS ({legs})
+        SELECT doc_id AS id, lang AS lang_guess, score AS lang_score FROM (
+          SELECT doc_id, lang, score,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rk
+          FROM scores) x WHERE rk = 1 ORDER BY id"""
+
+
+def q_doc_simhash(spark, sf_dir):
+    """60-bit SimHash per document (dedup building block), oracle-checked
+    value for value."""
+    from coco_search_spark.ops.dedup import simhash_col
+
+    load_views(spark, sf_dir)
+    return spark.table("documents").select(
+        "doc_id", simhash_col(F.col("text")).alias("simhash")
+    ).orderBy("doc_id")
+
+
+def _simhash_oracle(bits: int = 60) -> str:
+    h = "CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)"
+    bit_terms = " + ".join(
+        f"""(CASE WHEN list_sum(list_transform(string_split_regex(text, '\\s+'),
+             x -> CASE WHEN (({h} >> {i}) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+             THEN (CAST(1 AS BIGINT) << {i}) ELSE 0 END)"""
+        for i in range(bits)
+    )
+    return f"SELECT doc_id, ({bit_terms}) AS simhash FROM documents ORDER BY doc_id"
+
+
+def q_doc_fp_overlap(spark, sf_dir):
+    """Winnowing-fingerprint overlap pairs (passage-level dedup candidates)."""
+    from coco_search_spark.ops.textstats import fingerprint_overlap_pairs
+
+    load_views(spark, sf_dir)
+    return fingerprint_overlap_pairs(
+        spark.table("documents"), "doc_id", "text", k=5, keep=4, min_shared=1
+    ).orderBy("id_a", "id_b")
+
+
+ORACLE_FP_OVERLAP = """
+WITH grams AS (
+  SELECT doc_id,
+         list_sort(list_distinct(list_transform(
+           generate_series(1, greatest(1, len(string_split_regex(text,'\\s+')) - 4)),
+           i -> CAST(('0x' || substr(md5(
+                  array_to_string(string_split_regex(text,'\\s+')[i:i+4], ' ')
+                ), 1, 15)) AS BIGINT)))) AS hs
+  FROM documents
+),
+fp AS (SELECT doc_id, unnest(hs[1:4]) AS fp FROM grams)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_dedup_near_pairs(spark, sf_dir):
+    """Near-duplicate candidate pairs: block on the FIRST minhash value
+    (single-band LSH — deterministic, oracle-checkable), verify with exact
+    word-3-gram Jaccard ≥ 0.2."""
+    from coco_search_spark.ops.dedup import minhash_sig_col, word_shingles_col
+
+    load_views(spark, sf_dir)
+    d = spark.table("documents")
+    base = d.select(
+        "doc_id", word_shingles_col(F.col("text"), 3).alias("sh")
+    ).withColumn("mh0", F.element_at(minhash_sig_col(F.col("sh"), 1), 1))
+    a = base.select(F.col("mh0"), F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = base.select(F.col("mh0"), F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        a.join(b, "mh0")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= 0.2)
+        .select("id_a", "id_b", "jaccard")
+        .orderBy("id_a", "id_b")
+    )
+
+
+ORACLE_NEAR_PAIRS = """
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(1, len(string_split_regex(text,'\\s+')) - 2)),
+           i -> array_to_string(string_split_regex(text,'\\s+')[i:i+2], ' '))) AS sh
+  FROM documents
+),
+m AS (
+  SELECT doc_id, sh,
+         list_min(list_transform(sh,
+           x -> CAST(('0x' || substr(md5('0|' || x), 1, 15)) AS BIGINT))) AS mh0
+  FROM sh
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(len(list_intersect(a.sh, b.sh)) * 1.0 /
+             len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+FROM m a JOIN m b ON a.mh0 = b.mh0 AND a.doc_id < b.doc_id
+WHERE ROUND(len(list_intersect(a.sh, b.sh)) * 1.0 /
+      len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.2
+ORDER BY 1, 2
+"""
+
+
+def q_event_rate_windows(spark, sf_dir):
+    """Tumbling 10-minute event-rate windows per event_type (the streaming
+    metrics aggregation expressed portably over the batch events table)."""
+    load_views(spark, sf_dir)
+    e = spark.table("events")
+    bucket = F.floor(F.unix_timestamp("ts") / 600).cast("long")
+    return (
+        e.groupBy(bucket.alias("bucket"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("bucket", "event_type")
+    )
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """Approximate ANN via deterministic sign-projection LSH (scale path for
+    K1); rows-only check — the LSH recall property is tested in pytest
+    against brute force."""
+    from coco_search_spark.ops.similarity import lsh_topk
+
+    load_views(spark, sf_dir)
+    e = spark.table("embeddings")
+    queries = (
+        e.filter(F.col("vec_id") < 3)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    )
+    return lsh_topk(e, queries, k=5, n_planes=4, n_tables=3).orderBy("q_id", "rk")
+
+
+def q_kg_link_mentions(spark, sf_dir):
+    """Hybrid RRF entity linking over the derived transcripts with a catalog
+    synthesized from the distinct ground-truth entities (rows-only — the RRF
+    math itself is oracle-checked by rrf_fusion_docs and unit tests)."""
+    from coco_search_spark.operators.extract import extract_mentions
+    from coco_search_spark.operators.linking import link_mentions
+
+    t = _triples(spark, sf_dir)
+    mentions = extract_mentions(t)
+    catalog = (
+        t.select(F.col("subj").alias("alias"))
+        .unionByName(t.select(F.col("obj").alias("alias")))
+        .distinct()
+        .select(F.col("alias").alias("entity_id"), "alias")
+    )
+    return (
+        link_mentions(mentions, catalog)
+        .groupBy("entity_id", "match_type")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy("entity_id")
+    )
+
+
+def q_kg_canonicalize(spark, sf_dir):
+    """MinHash/LSH + connected-components canonicalization over mention
+    surfaces (rows-only — lookahead regex normalization is not expressible
+    in DuckDB's RE2)."""
+    from coco_search_spark.operators.canonicalize import canonicalize_surfaces
+    from coco_search_spark.operators.extract import extract_mentions
+
+    mentions = extract_mentions(_triples(spark, sf_dir))
+    surfaces = mentions.select(F.col("mention").alias("surface")).distinct()
+    return canonicalize_surfaces(surfaces).orderBy("surface")
+
+
+# ---------------------------------------------------------------------------
 # Graph traversal: iterative-join BFS vs recursive-CTE oracle
 # ---------------------------------------------------------------------------
 
@@ -496,7 +695,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_quality": q_doc_quality,
     "doc_fingerprint": q_doc_fingerprint,
     "doc_minhash": q_doc_minhash,
+    "doc_langid": q_doc_langid,
+    "doc_simhash": q_doc_simhash,
+    "doc_fp_overlap": q_doc_fp_overlap,
+    "dedup_near_pairs": q_dedup_near_pairs,
+    "event_rate_windows": q_event_rate_windows,
     "ann_topk": q_ann_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "kg_link_mentions": q_kg_link_mentions,
+    "kg_canonicalize": q_kg_canonicalize,
     "graph_reach": q_graph_reach,
 }
 
@@ -590,6 +797,14 @@ ORACLES: dict[str, str] = {
         for seed in range(4)
     )
     + "\n         FROM documents ORDER BY doc_id",
+    "doc_langid": _langid_oracle(),
+    "doc_simhash": _simhash_oracle(),
+    "doc_fp_overlap": ORACLE_FP_OVERLAP,
+    "dedup_near_pairs": ORACLE_NEAR_PAIRS,
+    "event_rate_windows": """
+         SELECT CAST(FLOOR(epoch(ts) / 600) AS BIGINT) AS bucket, event_type,
+                COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
     "ann_topk": """
          WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
          sims AS (

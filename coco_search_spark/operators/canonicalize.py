@@ -103,6 +103,12 @@ def candidate_pairs(
         .withColumn("norm", normalize_name_col(F.col("surface")))
         .withColumn("sh", shingles_col(F.col("surface")))
     )
+    # right-size: the distinct-surface table is typically orders of magnitude
+    # smaller than the corpus; schedule it on ~10k-row partitions instead of
+    # inheriting the corpus partitioning (pure scheduling overhead otherwise)
+    n = base.count()
+    parts = max(2, min(int(surfaces.sparkSession.conf.get("spark.sql.shuffle.partitions")), n // 10000 + 1))
+    base = base.repartition(parts).localCheckpoint(eager=True)
     sig = base.withColumn("sig", minhash_signature_col(F.col("sh"), n_hashes))
     banded = sig.select(
         "surface",

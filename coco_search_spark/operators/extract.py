@@ -55,21 +55,25 @@ def extract_triples(segments: DataFrame) -> DataFrame:
     partial aggregation (map-side combine) collapses the overlap dupes
     before exchange, so the shuffle carries ≈unique triples only.
     """
-    subj = F.regexp_extract_all(F.col("seg_text"), F.lit(TRIPLE_RE), 1)
-    phrase = F.regexp_extract_all(F.col("seg_text"), F.lit(TRIPLE_RE), 2)
-    obj = F.regexp_extract_all(F.col("seg_text"), F.lit(TRIPLE_RE), 3)
+    # ONE regex pass (group 0), then cheap array ops split the match —
+    # "subj phrase obj" has single spaces by construction, so word 1 is the
+    # subject, the last word is the object, the middle words are the phrase.
+    matches = F.regexp_extract_all(F.col("seg_text"), F.lit(TRIPLE_RE), 0)
+    words = F.split(F.col("m"), " ")
     exploded = (
         segments.select(
             "conv_id",
             "turn_idx",
-            F.explode(F.arrays_zip(subj.alias("subj"), phrase.alias("phrase"), obj.alias("obj"))).alias("m"),
+            F.explode(matches).alias("m"),
         )
         .select(
             "conv_id",
             "turn_idx",
-            F.col("m.subj").alias("subj"),
-            _pred_map_expr()[F.col("m.phrase")].alias("pred"),
-            F.col("m.obj").alias("obj"),
+            F.element_at(words, 1).alias("subj"),
+            _pred_map_expr()[
+                F.array_join(F.slice(words, 2, F.size(words) - 2), " ")
+            ].alias("pred"),
+            F.element_at(words, -1).alias("obj"),
         )
     )
     return exploded.distinct()

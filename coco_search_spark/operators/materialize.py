@@ -88,20 +88,22 @@ def salted_degree(
 
 
 def build_nodes(edges: DataFrame, salt_buckets: int = DEFAULT_SALT_BUCKETS) -> DataFrame:
-    """Node table: every canonical endpoint with out/in degree."""
-    out_deg = salted_degree(edges, "subj_id", salt_buckets).withColumnRenamed(
-        "degree", "out_degree"
-    ).select("entity_id", "out_degree")
-    in_deg = salted_degree(edges, "obj_id", salt_buckets).withColumnRenamed(
-        "degree", "in_degree"
-    ).select("entity_id", "in_degree")
-    return (
-        out_deg.join(in_deg, "entity_id", "full_outer")
-        .select(
-            "entity_id",
-            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
-            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
-        )
+    """Node table: every canonical endpoint with out/in degree.
+
+    Single pass: both endpoints are stacked into (entity_id, is_out) rows
+    first, so one salted two-phase aggregation computes both degrees — one
+    shuffle instead of two plus a join."""
+    endpoints = edges.select(
+        F.col("subj_id").alias("entity_id"), F.lit(1).alias("is_out")
+    ).unionAll(edges.select(F.col("obj_id").alias("entity_id"), F.lit(0).alias("is_out")))
+    salted = endpoints.filter(F.col("entity_id").isNotNull()).withColumn(
+        "salt", F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets))
+    )
+    partial = salted.groupBy("entity_id", "salt").agg(
+        F.sum("is_out").alias("o"), F.sum(1 - F.col("is_out")).alias("i")
+    )
+    return partial.groupBy("entity_id").agg(
+        F.sum("o").alias("out_degree"), F.sum("i").alias("in_degree")
     )
 
 

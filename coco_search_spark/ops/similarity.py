@@ -1,0 +1,122 @@
+"""Similarity search over embedding columns (array<float>).
+
+The reference's vector leg is a pgvector ivfflat ANN scan
+(reference: flow.py:80-83 index; hybrid.py:263-275 `ORDER BY embedding <=> q
+LIMIT n`). Spark has no ANN scan, so (SURVEY §4):
+
+- ``brute_force_topk``   — exact cosine + global/per-query top-k; the
+  correctness baseline, O(n·q) but embarrassingly parallel.
+- ``lsh_topk``           — sign-projection LSH buckets (deterministic
+  hyperplanes) probe only same-bucket candidates; the scale path. Recall is
+  tunable by n_planes / n_tables and measured against brute force in tests.
+
+Both take a query-set DataFrame so many lookups run as ONE plan (the
+reference computes one embedding per query and fans out per index,
+multi.py:146-188; here the fan-out is a broadcast join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from coco_search_spark.functions.embed import cosine_expr
+from coco_search_spark.ops.dedup import projection_bucket_col
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """(q_id, vec_id, cos_sim, rk): exact top-k per query vector.
+
+    queries is small (broadcast); embeddings is the big side — the cross
+    join is a broadcast nested loop, cosine is a codegen'd fold, and the
+    per-query window is the only shuffle (keyed by q_id).
+    """
+    q = queries.select(
+        F.col(q_id_col).alias("q_id"), F.col(q_vec_col).cast("array<double>").alias("qv")
+    )
+    sims = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
+    ).crossJoin(F.broadcast(q)).select(
+        "q_id",
+        "vec_id",
+        F.round(cosine_expr(F.col("v"), F.col("qv")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        sims.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "vec_id", "cos_sim", "rk")
+    )
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 6,
+    n_tables: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """Approximate top-k: n_tables independent sign-projection tables; a
+    candidate is any vector sharing a bucket with the query in ≥1 table;
+    exact cosine re-ranks candidates. At 100 TB the bucket join replaces the
+    full scan — candidates ≈ n/2^n_planes per table."""
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    q = queries.select(
+        F.col(q_id_col).alias("q_id"), F.col(q_vec_col).cast("array<double>").alias("qv")
+    )
+
+    def bucketed(df, vcol, out):
+        return df.select(
+            "*",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("tbl"),
+                            projection_bucket_col(F.col(vcol), n_planes, seed=f"t{t}_").alias("bkt"),
+                        )
+                        for t in range(n_tables)
+                    ]
+                )
+            ).alias("tb"),
+        ).select(*df.columns, F.col("tb.tbl").alias("tbl"), F.col("tb.bkt").alias(out))
+
+    emb_b = bucketed(base, "v", "bkt")
+    q_b = bucketed(q, "qv", "bkt")
+    cands = (
+        emb_b.join(F.broadcast(q_b), ["tbl", "bkt"])
+        .select("q_id", "qv", "vec_id", "v")
+        .distinct()
+    )
+    sims = cands.select(
+        "q_id", "vec_id", F.round(cosine_expr(F.col("v"), F.col("qv")), 6).alias("cos_sim")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        sims.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "vec_id", "cos_sim", "rk")
+    )
+
+
+def recall_at_k(approx: DataFrame, exact: DataFrame, k: int = 10) -> float:
+    """Fraction of exact top-k pairs recovered by the approximate search."""
+    a = approx.filter(F.col("rk") <= k).select("q_id", "vec_id")
+    e = exact.filter(F.col("rk") <= k).select("q_id", "vec_id")
+    hit = a.join(e, ["q_id", "vec_id"], "inner").count()
+    total = e.count()
+    return hit / total if total else 1.0

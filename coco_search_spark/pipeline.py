@@ -57,6 +57,17 @@ def run_pipeline(
     them are reloaded from the previous materialized output, while linking /
     canonicalization always re-run globally over the merged triple set.
     """
+    import time as _time
+
+    timings: dict[str, float] = {}
+    _t0 = _time.perf_counter()
+
+    def _stamp(name: str) -> None:
+        nonlocal _t0
+        now = _time.perf_counter()
+        timings[name] = round(now - _t0, 2)
+        _t0 = now
+
     extract_fn = extract_triples if extractor == "native" else extract_triples_arrow
 
     store = StateStore(state_dir) if state_dir else None
@@ -79,11 +90,36 @@ def run_pipeline(
             )
 
     segments = segment_turns(dirty)
+
+    # chunks table — the reference's chunk relation parity (flow.py:61-84:
+    # text, tokens (tsvector input), embedding per chunk). Tokenization is
+    # pure Catalyst; the embedding is the Arrow-batched stage (embedder
+    # analog, 128-text RPC batches → Arrow batches).
+    chunks = None
+    if out_dir:
+        from coco_search_spark.functions.embed import make_embed_udf
+        from coco_search_spark.functions.text import tokenize_col
+
+        embed = make_embed_udf(embed_dim)
+        chunks = segments.select(
+            "conv_id",
+            "turn_idx",
+            "seg_idx",
+            "role",
+            "tool",
+            "start_word",
+            "end_word",
+            "seg_text",
+            tokenize_col(F.col("seg_text")).alias("tokens"),
+            embed(F.col("seg_text")).alias("embedding"),
+        )
+
     triples = extract_fn(segments)
     if prev_triples is not None:
         triples = triples.unionByName(prev_triples)
     triples = triples.cache()
     n_triples = triples.count()
+    _stamp("extract")
 
     mentions = extract_mentions(triples)
 
@@ -98,6 +134,8 @@ def run_pipeline(
     # canonicalization over all mention surfaces — global
     surfaces = mentions.select(F.col("mention").alias("surface")).distinct()
     canon = canonicalize_surfaces(surfaces).cache()
+    canon.count()
+    _stamp("link_canonicalize")
 
     # canonical id: linked entity id wins, else the surface's canonical form
     link_map = (
@@ -109,9 +147,14 @@ def run_pipeline(
 
     edges = resolve_edges(triples, link_map).cache()
     nodes = build_nodes(edges).cache()
+    nodes.count()
+    _stamp("resolve_nodes")
 
     triples_path = None
     if out_dir:
+        if chunks is not None:
+            chunks.write.mode("overwrite").parquet(f"{out_dir}/chunks")
+        _stamp("write_chunks")
         write_graph(nodes, edges, out_dir)
         # versioned path: never overwrite the snapshot a lazy prev_triples
         # plan may still be reading (Iceberg snapshots give this for free)
@@ -119,12 +162,14 @@ def run_pipeline(
         version = (prev["version"] + 1) if prev else 1
         triples_path = f"{out_dir}/triples_v{version:06d}"
         triples.write.mode("overwrite").parquet(triples_path)
+        _stamp("write_graph_triples")
 
     metrics = {
         "n_triples": n_triples,
         "n_unchanged_convs": n_unchanged,
         "n_mentions": mentions.count(),
         "n_nodes": nodes.count(),
+        "stage_timings": timings,
     }
 
     if store is not None and cur_hashes is not None:

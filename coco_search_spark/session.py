@@ -40,9 +40,18 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # ParallelGC: measured 10-30x faster than default G1 for this
+        # allocation-heavy string/explode workload at 32 executor threads
+        # (G1 degraded to 31s on a job ParallelGC runs in 0.9s); throughput
+        # collector is the right choice for batch analytics
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("SPARK_GRAFT_JAVA_OPTS", "-XX:+UseParallelGC"),
+        )
+        .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

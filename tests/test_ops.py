@@ -1,0 +1,133 @@
+"""Training-data ops: dedup families, similarity search, text stats."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from coco_search_spark.ops.dedup import (
+    embedding_near_dup_pairs,
+    exact_duplicates,
+    minhash_lsh_pairs,
+    simhash_col,
+    simhash_pairs,
+)
+from coco_search_spark.ops.similarity import brute_force_topk, lsh_topk, recall_at_k
+from coco_search_spark.ops.textstats import (
+    fingerprint_overlap_pairs,
+    language_id,
+    quality_scores,
+    rolling_fingerprints,
+    token_counts,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (1, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 0
+    (2, "the quick brown fox jumps over the lazy dog near the river delta"),  # near dup of 0
+    (3, "completely different content about spark shuffle partitions and joins"),
+    (4, "le renard brun rapide saute par dessus le chien paresseux dans la rivière"),
+    (5, "der schnelle braune fuchs springt über den faulen hund in der nähe"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string").cache()
+    df.count()
+    return df
+
+
+def test_exact_duplicates(spark, docs):
+    groups = exact_duplicates(docs, "doc_id", "text").collect()
+    assert len(groups) == 1
+    assert groups[0]["ids"] == [0, 1]
+    assert groups[0]["n_dups"] == 2
+
+
+def test_minhash_near_dups(spark, docs):
+    pairs = {
+        (r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(docs, "doc_id", "text", jaccard_threshold=0.5).collect()
+    }
+    assert (0, 1) in pairs      # exact dup always found
+    assert (0, 2) in pairs or (1, 2) in pairs  # near dup found
+    assert not any(3 in p for p in pairs)      # unrelated doc untouched
+
+
+def test_simhash_properties(spark, docs):
+    vals = {r["doc_id"]: r["h"] for r in docs.select("doc_id", simhash_col(F.col("text")).alias("h")).collect()}
+    assert vals[0] == vals[1]          # identical text → identical simhash
+    # near-dup differs in few bits
+    ham = bin(vals[0] ^ vals[2]).count("1")
+    assert ham <= 12
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_pairs(docs, "doc_id", "text", max_hamming=12).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] == 0
+    assert (0, 2) in pairs
+
+
+def test_embedding_near_dups(spark):
+    from coco_search_spark.functions.embed import py_embed
+
+    rows = [
+        (1, py_embed("alpha", 16)),
+        (2, py_embed("alpha", 16)),      # identical vector
+        (3, py_embed("omega", 16)),
+    ]
+    df = spark.createDataFrame(rows, "id long, v array<float>")
+    pairs = embedding_near_dup_pairs(df, "id", "v", cos_threshold=0.99).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+
+
+def test_similarity_brute_vs_lsh_recall(spark):
+    from coco_search_spark.functions.embed import py_embed
+
+    emb = spark.createDataFrame(
+        [(i, py_embed(f"doc {i}", 32)) for i in range(200)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = spark.createDataFrame(
+        [(q, py_embed(f"doc {q}", 32)) for q in (3, 77)],
+        "q_id long, q_vec array<float>",
+    )
+    exact = brute_force_topk(emb, queries, k=5).cache()
+    # self-match ranks first with cos 1.0
+    top1 = {r["q_id"]: (r["vec_id"], r["cos_sim"]) for r in exact.filter("rk=1").collect()}
+    assert top1[3][0] == 3 and abs(top1[3][1] - 1.0) < 1e-6
+    approx = lsh_topk(emb, queries, k=5, n_planes=4, n_tables=4)
+    rec = recall_at_k(approx, exact, k=5)
+    assert rec >= 0.5  # probabilistic but deterministic-seeded; self-match guaranteed
+    a1 = {r["q_id"]: r["vec_id"] for r in approx.filter("rk=1").collect()}
+    assert a1[3] == 3 and a1[77] == 77
+
+
+def test_language_id(spark, docs):
+    got = {r["id"]: r["lang_guess"] for r in language_id(docs, "doc_id", "text").collect()}
+    assert got[0] == "en" and got[3] == "en"
+    assert got[4] == "fr"
+    assert got[5] == "de"
+
+
+def test_quality_scores(spark, docs):
+    rows = {r["id"]: r for r in quality_scores(docs, "doc_id", "text").collect()}
+    for r in rows.values():
+        assert 0.0 <= r["quality_score"] <= 1.0
+        assert 0.0 <= r["punct_ratio"] <= 1.0
+    # doc 0 repeats 'the' 3 times → lower distinct ratio than doc 3
+    assert rows[0]["distinct_ratio"] < rows[3]["distinct_ratio"]
+
+
+def test_token_counts(spark, docs):
+    rows = {r["id"]: r for r in token_counts(docs, "doc_id", "text").collect()}
+    assert rows[0]["n_words"] == len(DOCS[0][1].split())
+    assert rows[0]["n_tokens"] >= rows[0]["n_words"]
+
+
+def test_rolling_fingerprints_overlap(spark, docs):
+    fp = {r["id"]: r["fingerprints"] for r in rolling_fingerprints(docs, "doc_id", "text").collect()}
+    assert fp[0] == fp[1]
+    pairs = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in fingerprint_overlap_pairs(docs, "doc_id", "text").collect()
+    }
+    assert (0, 1) in pairs
+    assert (0, 3) not in pairs
