@@ -631,6 +631,117 @@ def q_kg_canonicalize(spark, sf_dir):
     return canonicalize_surfaces(surfaces).orderBy("surface")
 
 
+def q_multi_index_merge(spark, sf_dir):
+    """J7 analog (multi.py:27-204 cross-index merge): two per-'index' ranked
+    lists (documents split by doc_id parity = two indexes), merged with
+    unionByName → global sort → limit, like the reference's
+    per-index-prefetch-then-global-top-k."""
+    from pyspark.sql import Window as W
+
+    load_views(spark, sf_dir)
+    d = spark.table("documents")
+    per_index = []
+    for parity in (0, 1):
+        idx = d.filter(F.pmod(F.col("doc_id"), F.lit(2)) == parity)
+        w = W.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        per_index.append(
+            idx.withColumn("idx_rank", F.row_number().over(w))
+            .filter(F.col("idx_rank") <= 40)  # per-index prefetch = 2*limit
+            .select(
+                F.lit(f"idx{parity}").alias("index_name"),
+                "doc_id",
+                F.col("n_chars").alias("score"),
+            )
+        )
+    merged = per_index[0].unionByName(per_index[1])
+    wg = W.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        merged.withColumn("global_rank", F.row_number().over(wg))
+        .filter(F.col("global_rank") <= 20)
+        .select("index_name", "doc_id", "score", "global_rank")
+    )
+
+
+ORACLE_MULTI_INDEX = """
+WITH per_index AS (
+  SELECT 'idx' || (doc_id % 2) AS index_name, doc_id, n_chars AS score,
+         row_number() OVER (PARTITION BY doc_id % 2
+                            ORDER BY n_chars DESC, doc_id ASC) AS idx_rank
+  FROM documents
+)
+SELECT index_name, doc_id, score,
+       row_number() OVER (ORDER BY score DESC, doc_id ASC) AS global_rank
+FROM per_index WHERE idx_rank <= 40
+QUALIFY global_rank <= 20
+"""
+
+
+def q_deps_enrichment(spark, sf_dir):
+    """J5 analog (query.py:574-658 _enrich_with_deps): attach forward +
+    reverse edge summaries to each entity of the supplier→nation→region
+    containment graph via left joins + collect-style aggregation."""
+    load_views(spark, sf_dir)
+    s = spark.table("supplier")
+    n = spark.table("nation")
+    edges = s.select(
+        F.concat(F.lit("s-"), F.col("s_suppkey")).alias("subj_id"),
+        F.concat(F.lit("n-"), F.col("s_nationkey")).alias("obj_id"),
+    ).unionByName(
+        n.select(
+            F.concat(F.lit("n-"), F.col("n_nationkey")).alias("subj_id"),
+            F.concat(F.lit("r-"), F.col("n_regionkey")).alias("obj_id"),
+        )
+    )
+    nodes = n.select(F.concat(F.lit("n-"), F.col("n_nationkey")).alias("entity_id"))
+    fwd = edges.groupBy(F.col("subj_id").alias("entity_id")).agg(
+        F.count(F.lit(1)).alias("n_forward")
+    )
+    rev = edges.groupBy(F.col("obj_id").alias("entity_id")).agg(
+        F.count(F.lit(1)).alias("n_reverse")
+    )
+    return (
+        nodes.join(fwd, "entity_id", "left")
+        .join(rev, "entity_id", "left")
+        .select(
+            "entity_id",
+            F.coalesce("n_forward", F.lit(0)).alias("n_forward"),
+            F.coalesce("n_reverse", F.lit(0)).alias("n_reverse"),
+        )
+        .orderBy("entity_id")
+    )
+
+
+ORACLE_DEPS_ENRICH = """
+WITH edges AS (
+  SELECT 's-' || s_suppkey AS subj_id, 'n-' || s_nationkey AS obj_id FROM supplier
+  UNION ALL
+  SELECT 'n-' || n_nationkey, 'r-' || n_regionkey FROM nation
+),
+nodes AS (SELECT 'n-' || n_nationkey AS entity_id FROM nation)
+SELECT nodes.entity_id,
+       COALESCE(f.n_forward, 0) AS n_forward,
+       COALESCE(r.n_reverse, 0) AS n_reverse
+FROM nodes
+LEFT JOIN (SELECT subj_id, COUNT(*) AS n_forward FROM edges GROUP BY 1) f
+  ON f.subj_id = nodes.entity_id
+LEFT JOIN (SELECT obj_id, COUNT(*) AS n_reverse FROM edges GROUP BY 1) r
+  ON r.obj_id = nodes.entity_id
+ORDER BY entity_id
+"""
+
+
+def q_glob_filter(spark, sf_dir):
+    """P3 analog (filters.py:11-51 glob→SQL pattern): glob 'src1*' compiled
+    to a LIKE filter + symbol-type-style IN filter, pushed ahead of ranking."""
+    load_views(spark, sf_dir)
+    d = spark.table("documents")
+    return (
+        d.filter(F.col("source").like("src1%") & F.col("lang").isin("en", "de"))
+        .select("doc_id", "source", "lang")
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Graph traversal: iterative-join BFS vs recursive-CTE oracle
 # ---------------------------------------------------------------------------
@@ -705,6 +816,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_link_mentions": q_kg_link_mentions,
     "kg_canonicalize": q_kg_canonicalize,
     "graph_reach": q_graph_reach,
+    "multi_index_merge": q_multi_index_merge,
+    "deps_enrichment": q_deps_enrichment,
+    "glob_filter": q_glob_filter,
 }
 
 _PORTABLE_HASH = "CAST(('0x' || substr(md5({e}), 1, 15)) AS BIGINT)"
@@ -815,4 +929,10 @@ ORACLES: dict[str, str] = {
                 row_number() OVER (ORDER BY cos_sim DESC, vec_id ASC) AS rk
          FROM sims QUALIFY rk <= 10""",
     "graph_reach": ORACLE_GRAPH,
+    "multi_index_merge": ORACLE_MULTI_INDEX,
+    "deps_enrichment": ORACLE_DEPS_ENRICH,
+    "glob_filter": """
+         SELECT doc_id, source, lang FROM documents
+         WHERE source LIKE 'src1%' AND lang IN ('en', 'de')
+         ORDER BY doc_id""",
 }

@@ -149,5 +149,8 @@ def link_mentions(
         .select("mention", "entity_id", "link_score", "match_type")
     )
 
-    # ---- attach back to occurrences; unlinked mentions keep entity_id null
-    return mentions.join(best, "mention", "left")
+    # ---- attach back to occurrences; unlinked mentions keep entity_id null.
+    # best has one row per DISTINCT surface — orders of magnitude smaller
+    # than the occurrence table at scale → broadcast, no shuffle on the
+    # occurrence side.
+    return mentions.join(F.broadcast(best), "mention", "left")
