@@ -101,6 +101,15 @@ def run_pipeline(
         from coco_search_spark.functions.text import tokenize_col
 
         embed = make_embed_udf(embed_dim)
+        # embedding input gets a context prefix (conversation + role) while
+        # the stored text stays raw — the reference's add_filename_context
+        # rule (embedder.py:58-76: "File: {path}\n" prepended only for the
+        # embedding)
+        embed_input = F.concat_ws(
+            "\n",
+            F.concat(F.lit("Conv: "), F.col("conv_id"), F.lit(" role: "), F.col("role")),
+            F.col("seg_text"),
+        )
         chunks = segments.select(
             "conv_id",
             "turn_idx",
@@ -111,7 +120,7 @@ def run_pipeline(
             "end_word",
             "seg_text",
             tokenize_col(F.col("seg_text")).alias("tokens"),
-            embed(F.col("seg_text")).alias("embedding"),
+            embed(embed_input).alias("embedding"),
         )
 
     triples = extract_fn(segments)

@@ -89,6 +89,41 @@ def test_incremental_resume_skips_unchanged(spark, fx, tmp_path):
     assert store.last_snapshot()["snapshot_id"] == "v000002"
 
 
+def test_deleted_conversation_tombstoned(spark, fx, tmp_path):
+    """S5 semantics (flow.py:450-461): a conversation removed from the input
+    disappears from the next run's outputs even though other conversations
+    are served from the unchanged-state fast path."""
+    state = str(tmp_path / "state")
+    sdf = fixtures.transcripts_sdf(spark, fx)
+    run_pipeline(spark, sdf, out_dir=str(tmp_path / "o1"), state_dir=state)
+
+    pdf = fx.transcripts[fx.transcripts["conv_id"] != "conv-00002"].copy()
+    shrunk = spark.createDataFrame(pdf, schema=fixtures.TRANSCRIPT_SCHEMA)
+    r2 = run_pipeline(spark, shrunk, out_dir=str(tmp_path / "o2"), state_dir=state)
+    assert r2.triples.filter(F.col("conv_id") == "conv-00002").count() == 0
+    ref = extract_reference(pdf)
+    assert r2.metrics["n_triples"] == len(ref)
+
+
+def test_chunks_table_written(spark, fx, tmp_path):
+    """Chunk-relation parity (flow.py:61-84): text + tokens + embedding per
+    segment; embedding input carries the context prefix so identical segment
+    text in different conversations embeds differently (embedder.py:58-76),
+    while stored seg_text stays raw."""
+    sdf = fixtures.transcripts_sdf(spark, fx)
+    run_pipeline(spark, sdf, out_dir=str(tmp_path / "o"))
+    chunks = spark.read.parquet(str(tmp_path / "o" / "chunks"))
+    assert {"conv_id", "turn_idx", "seg_idx", "seg_text", "tokens", "embedding"} <= set(
+        chunks.columns
+    )
+    row = chunks.first()
+    assert len(row["embedding"]) == 64
+    from coco_search_spark.functions.embed import py_embed
+
+    expected = py_embed(f"Conv: {row['conv_id']} role: {row['role']}\n{row['seg_text']}", 64)
+    assert [round(v, 5) for v in row["embedding"]] == [round(v, 5) for v in expected]
+
+
 def test_hot_entity_skew_materializes(spark, tmp_path):
     """Hot-key fixture: one entity is the subject of ~60% of relations; the
     salted two-phase degree agg must produce correct counts (and, at scale,
