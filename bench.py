@@ -255,11 +255,31 @@ runs; on this shared Firecracker VM the host does not deliver 4× CPU from
 software-scaling signal a real 4× cluster would see.
 
 Protocol notes: interleaved best-of-{n_rounds} per level (this VM shows
-~{steal}% CPU steal from host neighbors even at idle — single samples are
-unreliable); each sample is the warm second in-session run (JIT/page-cache
-steady state, what a long-running cluster job sees).
+~{steal}% CPU steal from host neighbors even at idle, and wall-clock for the
+SAME job swings up to 2× minutes apart — single samples are unreliable);
+each sample is the min of two in-session runs (JIT/page-cache steady state,
+what a long-running cluster job sees).
 All per-level samples (triples/sec):
 lo={[r["triples_per_sec"] for r in runs_lo]} hi={[r["triples_per_sec"] for r in runs_hi]}
+
+## Per-stage scaling (best runs)
+
+| stage | N wall (s) | 4N wall (s) | note |
+|---|---|---|---|
+""" + "\n".join(
+                f"| {k} | {r_lo['queries'].get('kg_stages', {}).get(k, '—')} | "
+                f"{r_hi['queries'].get('kg_stages', {}).get(k, '—')} | "
+                + (
+                    "corpus-sized — scales with cores"
+                    if k in ("extract", "write_chunks", "write_graph_triples")
+                    else "vocabulary-sized — constant work, does not scale (and need not: at 10^12 turns it is negligible)"
+                )
+                + " |"
+                for k in sorted(
+                    set(r_lo["queries"].get("kg_stages", {}))
+                    | set(r_hi["queries"].get("kg_stages", {}))
+                )
+            ) + f"""
 
 Input: deterministic synthetic transcripts fixture, seed 42,
 {_bench_convs(_sf_of(SF_DIR))} conversations × ~25 turns ×

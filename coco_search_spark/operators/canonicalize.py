@@ -103,12 +103,9 @@ def candidate_pairs(
         .withColumn("norm", normalize_name_col(F.col("surface")))
         .withColumn("sh", shingles_col(F.col("surface")))
     )
-    # right-size: the distinct-surface table is typically orders of magnitude
-    # smaller than the corpus; schedule it on ~10k-row partitions instead of
-    # inheriting the corpus partitioning (pure scheduling overhead otherwise)
-    n = base.count()
-    parts = max(2, min(int(surfaces.sparkSession.conf.get("spark.sql.shuffle.partitions")), n // 10000 + 1))
-    base = base.repartition(parts).localCheckpoint(eager=True)
+    # materialize once: the shingled/signed table feeds both sides of the
+    # bucket self-join (and the norm-pair join) — compute it a single time
+    base = base.localCheckpoint(eager=True)
     sig = base.withColumn("sig", minhash_signature_col(F.col("sh"), n_hashes))
     banded = sig.select(
         "surface",
@@ -168,30 +165,37 @@ def connected_components(
         F.col("surface"), F.col("surface").alias("component")
     ).localCheckpoint(eager=True)
 
+    prev_gen = None
     for _ in range(max_iterations):
         neighbor_min = (
             sym.join(labels, sym.dst == labels.surface)
             .groupBy("src")
             .agg(F.min("component").alias("nbr_component"))
         )
-        # one pass computes both the new label and the changed flag —
-        # one localCheckpoint + one tiny agg job per iteration
+        # ONE job per iteration: persist the new labels and piggyback the
+        # convergence check on the same action (cache-on-first-use), then
+        # release the previous generation
         new_labels = (
             labels.join(neighbor_min, labels.surface == neighbor_min.src, "left")
             .select(
                 labels.surface.alias("surface"),
                 F.least(
                     F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
-                ).alias("new_component"),
+                ).alias("component"),
                 (
                     F.coalesce(F.col("nbr_component"), F.col("component"))
                     < F.col("component")
                 ).cast("int").alias("changed"),
             )
-            .localCheckpoint(eager=True)
+            .persist()
         )
         changed = new_labels.agg(F.sum("changed")).collect()[0][0] or 0
-        labels = new_labels.select("surface", F.col("new_component").alias("component"))
+        if prev_gen is not None:
+            prev_gen.unpersist()
+        prev_gen = new_labels
+        # the persisted parent caches the data, so the growing logical plan
+        # above it costs analysis time only (bounded by max_iterations)
+        labels = new_labels.select("surface", "component")
         if changed == 0:
             break
     return labels.select("surface", "component")
@@ -199,12 +203,28 @@ def connected_components(
 
 def canonicalize_surfaces(surfaces: DataFrame, **kwargs) -> DataFrame:
     """surfaces(surface) → (surface, canon_id): canonical id = min normalized
-    form within the component."""
-    pairs = candidate_pairs(surfaces, **kwargs)
-    comp = connected_components(surfaces.select("surface").distinct(), pairs)
-    canon = (
-        comp.withColumn("norm", normalize_name_col(F.col("surface")))
-        .groupBy("component")
-        .agg(F.min("norm").alias("canon_id"))
-    )
-    return comp.join(canon, "component").select("surface", "canon_id")
+    form within the component.
+
+    The distinct-surface table is vocabulary-sized (orders of magnitude
+    below the corpus), so the whole stage runs under a scoped
+    shuffle-partition override — without it every tiny job in the CC loop
+    schedules cores× empty tasks and the stage anti-scales with
+    parallelism. The result is materialized before the override is
+    restored."""
+    spark = surfaces.sparkSession
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    n = surfaces.select("surface").distinct().count()
+    parts = max(2, min(int(old_sp), n // 10000 + 1))
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    try:
+        pairs = candidate_pairs(surfaces, **kwargs)
+        comp = connected_components(surfaces.select("surface").distinct(), pairs)
+        canon = (
+            comp.withColumn("norm", normalize_name_col(F.col("surface")))
+            .groupBy("component")
+            .agg(F.min("norm").alias("canon_id"))
+        )
+        out = comp.join(canon, "component").select("surface", "canon_id")
+        return out.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
