@@ -131,7 +131,6 @@ def run_bench(cpus: int, sf_dir: str) -> dict:
             wall = run_wall
             stage_timings = res.metrics.get("stage_timings", {})
     timings["kg_pipeline"] = round(wall, 3)
-    timings["kg_stages"] = stage_timings
     spark.catalog.clearCache()  # don't let pipeline caches tax later queries
 
     # ---- representative operator queries over the sf tables
@@ -161,6 +160,7 @@ def run_bench(cpus: int, sf_dir: str) -> dict:
         "n_triples": n_triples,
         "triples_per_sec": round(n_triples / wall, 1),
         "turns_per_sec": round(n_turns / wall, 1),
+        "kg_stages": stage_timings,
     }
 
 
@@ -267,8 +267,8 @@ lo={[r["triples_per_sec"] for r in runs_lo]} hi={[r["triples_per_sec"] for r in 
 | stage | N wall (s) | 4N wall (s) | note |
 |---|---|---|---|
 """ + "\n".join(
-                f"| {k} | {r_lo['queries'].get('kg_stages', {}).get(k, '—')} | "
-                f"{r_hi['queries'].get('kg_stages', {}).get(k, '—')} | "
+                f"| {k} | {r_lo.get('kg_stages', {}).get(k, '—')} | "
+                f"{r_hi.get('kg_stages', {}).get(k, '—')} | "
                 + (
                     "corpus-sized — scales with cores"
                     if k in ("extract", "write_chunks", "write_graph_triples")
@@ -276,8 +276,8 @@ lo={[r["triples_per_sec"] for r in runs_lo]} hi={[r["triples_per_sec"] for r in 
                 )
                 + " |"
                 for k in sorted(
-                    set(r_lo["queries"].get("kg_stages", {}))
-                    | set(r_hi["queries"].get("kg_stages", {}))
+                    set(r_lo.get("kg_stages", {}))
+                    | set(r_hi.get("kg_stages", {}))
                 )
             ) + f"""
 

@@ -742,6 +742,134 @@ def q_glob_filter(spark, sf_dir):
     )
 
 
+def q_rollup_revenue(spark, sf_dir):
+    """Grouping-sets coverage (absent in the reference, SURVEY §2.4 note):
+    ROLLUP over returnflag/linestatus with grouping level."""
+    load_views(spark, sf_dir)
+    li = spark.table("lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n_rows",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+ORACLE_ROLLUP = """
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY returnflag, linestatus
+"""
+
+
+def q_price_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per order priority (the reference has
+    no percentile operator; metrics tables at scale want them)."""
+    load_views(spark, sf_dir)
+    o = spark.table("orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_PERCENTILES = """
+SELECT o_orderpriority,
+       ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+       COUNT(*) AS n_orders
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]  # stable across sfs
+
+
+def q_event_type_pivot(spark, sf_dir):
+    """Pivot: per-user columns of event-type counts (explicit value list —
+    the scale-safe form: no extra distinct pass, stable schema)."""
+    load_views(spark, sf_dir)
+    e = spark.table("events")
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+        .orderBy("user_id")
+    )
+
+
+ORACLE_PIVOT = "SELECT user_id,\n" + ",\n".join(
+    f"SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS \"{t}\""
+    for t in _EVENT_TYPES
+) + "\nFROM events GROUP BY user_id ORDER BY user_id"
+
+
+def q_sessionize_events(spark, sf_dir):
+    """Gap-based sessionization (the stateful-streaming analog expressed
+    relationally): a new session starts after a >30-minute silence; emits
+    per-session row counts and bounds. Window lag + conditional cumulative
+    sum — the standard sessionization idiom."""
+    from pyspark.sql import Window as W
+
+    load_views(spark, sf_dir)
+    e = spark.table("events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    marked = e.withColumn(
+        "new_session", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    )
+    w_cum = w.rowsBetween(W.unboundedPreceding, 0)
+    sessioned = marked.withColumn("session_id", F.sum("new_session").over(w_cum))
+    return (
+        sessioned.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+ORACLE_SESSIONIZE = """
+WITH marked AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessioned AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end
+FROM sessioned GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Graph traversal: iterative-join BFS vs recursive-CTE oracle
 # ---------------------------------------------------------------------------
@@ -819,6 +947,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multi_index_merge": q_multi_index_merge,
     "deps_enrichment": q_deps_enrichment,
     "glob_filter": q_glob_filter,
+    "rollup_revenue": q_rollup_revenue,
+    "price_percentiles": q_price_percentiles,
+    "event_type_pivot": q_event_type_pivot,
+    "sessionize_events": q_sessionize_events,
 }
 
 _PORTABLE_HASH = "CAST(('0x' || substr(md5({e}), 1, 15)) AS BIGINT)"
@@ -935,4 +1067,8 @@ ORACLES: dict[str, str] = {
          SELECT doc_id, source, lang FROM documents
          WHERE source LIKE 'src1%' AND lang IN ('en', 'de')
          ORDER BY doc_id""",
+    "rollup_revenue": ORACLE_ROLLUP,
+    "price_percentiles": ORACLE_PERCENTILES,
+    "event_type_pivot": ORACLE_PIVOT,
+    "sessionize_events": ORACLE_SESSIONIZE,
 }
