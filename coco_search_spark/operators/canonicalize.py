@@ -213,12 +213,15 @@ def canonicalize_surfaces(surfaces: DataFrame, **kwargs) -> DataFrame:
     restored."""
     spark = surfaces.sparkSession
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    n = surfaces.select("surface").distinct().count()
+    # materialize the (corpus-shuffle) distinct ONCE — candidate_pairs and
+    # the CC node set must not each re-run it
+    distinct_surfaces = surfaces.select("surface").distinct().localCheckpoint(eager=True)
+    n = distinct_surfaces.count()
     parts = max(2, min(int(old_sp), n // 10000 + 1))
     spark.conf.set("spark.sql.shuffle.partitions", str(parts))
     try:
-        pairs = candidate_pairs(surfaces, **kwargs)
-        comp = connected_components(surfaces.select("surface").distinct(), pairs)
+        pairs = candidate_pairs(distinct_surfaces, **kwargs)
+        comp = connected_components(distinct_surfaces, pairs)
         canon = (
             comp.withColumn("norm", normalize_name_col(F.col("surface")))
             .groupBy("component")

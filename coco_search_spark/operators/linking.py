@@ -52,27 +52,24 @@ def build_alias_index(catalog: DataFrame) -> DataFrame:
     )
 
 
-def link_mentions(
-    mentions: DataFrame,
+def link_surfaces(
+    surfaces: DataFrame,
     catalog: DataFrame,
     embed_dim: int = 64,
     prefetch: int = MAX_PREFETCH,
     rrf_k: int = RRF_K,
     min_score: float = 0.0,
 ) -> DataFrame:
-    """mentions(conv_id, turn_idx, mention, mention_role) × catalog(entity_id,
-    alias) → one row per mention occurrence with its best entity link.
-
-    Output adds: entity_id (null = unlinked, the reference's
-    target_file=None external semantics, models.py:33-35), link_score,
-    match_type ∈ {both, semantic, keyword}.
-    """
+    """surfaces(mention) [distinct] × catalog(entity_id, alias) → one row per
+    surface with its best entity link (mention, entity_id, link_score,
+    match_type). Linking is surface-level by design: the same surface always
+    links identically, and the distinct-surface table is vocabulary-sized —
+    occurrences get their link via a broadcast join (link_mentions)."""
     embed = make_embed_udf(embed_dim)
 
-    surfaces = mentions.select("mention").distinct()
-    surfaces = surfaces.withColumn("m_norm", normalize_name_col(F.col("mention"))).withColumn(
-        "m_tokens", norm_tokens_col(F.col("mention"))
-    )
+    surfaces = surfaces.select("mention").withColumn(
+        "m_norm", normalize_name_col(F.col("mention"))
+    ).withColumn("m_tokens", norm_tokens_col(F.col("mention")))
 
     alias_idx = build_alias_index(catalog)
 
@@ -143,14 +140,36 @@ def link_mentions(
         F.desc(F.col("k_rank").isNotNull().cast("int")),
         F.asc("entity_id"),
     )
-    best = (
+    return (
         fused.withColumn("rn", F.row_number().over(w_best))
         .filter((F.col("rn") == 1) & (F.col("link_score") >= min_score))
         .select("mention", "entity_id", "link_score", "match_type")
     )
 
-    # ---- attach back to occurrences; unlinked mentions keep entity_id null.
-    # best has one row per DISTINCT surface — orders of magnitude smaller
-    # than the occurrence table at scale → broadcast, no shuffle on the
-    # occurrence side.
+
+def link_mentions(
+    mentions: DataFrame,
+    catalog: DataFrame,
+    embed_dim: int = 64,
+    prefetch: int = MAX_PREFETCH,
+    rrf_k: int = RRF_K,
+    min_score: float = 0.0,
+) -> DataFrame:
+    """mentions(conv_id, turn_idx, mention, mention_role) × catalog(entity_id,
+    alias) → one row per mention occurrence with its best entity link.
+
+    Output adds: entity_id (null = unlinked, the reference's
+    target_file=None external semantics, models.py:33-35), link_score,
+    match_type ∈ {both, semantic, keyword}. The per-surface link table is
+    broadcast back onto the (big) occurrence table — no shuffle on the big
+    side.
+    """
+    best = link_surfaces(
+        mentions.select("mention").distinct(),
+        catalog,
+        embed_dim=embed_dim,
+        prefetch=prefetch,
+        rrf_k=rrf_k,
+        min_score=min_score,
+    )
     return mentions.join(F.broadcast(best), "mention", "left")

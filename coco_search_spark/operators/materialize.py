@@ -44,22 +44,14 @@ def resolve_edges(
     obj_link = links.select(
         F.col("mention").alias("obj"), F.col("canon_id").alias("obj_id")
     ).distinct()
+    # note: the metadata map (JSONB analog) is attached at WRITE time by
+    # write_graph — keeping it out of the cached intermediate halves the
+    # cache's allocation/GC pressure (maps are the most expensive column
+    # type to materialize)
     return (
         triples.join(F.broadcast(subj_link), "subj", "left")
         .join(F.broadcast(obj_link), "obj", "left")
-        .select(
-            "subj_id",
-            "pred",
-            "obj_id",
-            "subj",
-            "obj",
-            "conv_id",
-            "turn_idx",
-            F.create_map(
-                F.lit("subj_surface"), F.col("subj"),
-                F.lit("obj_surface"), F.col("obj"),
-            ).alias("metadata"),
-        )
+        .select("subj_id", "pred", "obj_id", "subj", "obj", "conv_id", "turn_idx")
     )
 
 
@@ -110,7 +102,16 @@ def build_nodes(edges: DataFrame, salt_buckets: int = DEFAULT_SALT_BUCKETS) -> D
 def write_graph(nodes: DataFrame, edges: DataFrame, out_dir: str) -> None:
     """Materialize node/edge parquet tables; edges repartitioned by a salted
     subj_id so one hot entity cannot produce one giant output file."""
-    edges.withColumn(
+    out_edges = edges
+    if "metadata" not in edges.columns:
+        out_edges = edges.withColumn(
+            "metadata",
+            F.create_map(
+                F.lit("subj_surface"), F.col("subj"),
+                F.lit("obj_surface"), F.col("obj"),
+            ),
+        )
+    out_edges.withColumn(
         "write_bucket", F.pmod(F.xxhash64("subj_id", "conv_id", "turn_idx"), F.lit(32))
     ).repartition(32, "write_bucket").drop("write_bucket").write.mode("overwrite").partitionBy(
         "pred"

@@ -23,11 +23,10 @@ from pyspark.sql import functions as F
 
 from coco_search_spark.operators.canonicalize import canonicalize_surfaces
 from coco_search_spark.operators.extract import (
-    extract_mentions,
     extract_triples,
     extract_triples_arrow,
 )
-from coco_search_spark.operators.linking import link_mentions
+from coco_search_spark.operators.linking import link_surfaces
 from coco_search_spark.operators.materialize import build_nodes, resolve_edges, write_graph
 from coco_search_spark.operators.segments import segment_turns
 from coco_search_spark.state import StateStore, conversation_hashes, diff_against_state
@@ -130,27 +129,38 @@ def run_pipeline(
     n_triples = triples.count()
     _stamp("extract")
 
-    mentions = extract_mentions(triples)
+    # vocabulary-sized surface table straight from the cached triples:
+    # per-column distincts collapse map-side BEFORE the union, so no
+    # occurrence-level shuffle exists anywhere in the linking path
+    surfaces = (
+        triples.select(F.col("subj").alias("surface"))
+        .distinct()
+        .unionByName(triples.select(F.col("obj").alias("surface")).distinct())
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
 
-    # linking (optional catalog) — global, per the re-resolve-all rule
     if catalog is not None:
-        links_raw = link_mentions(mentions, catalog, embed_dim=embed_dim)
+        surface_links = link_surfaces(
+            surfaces.select(F.col("surface").alias("mention")), catalog, embed_dim=embed_dim
+        )
     else:
-        links_raw = mentions.withColumn("entity_id", F.lit(None).cast("string")).withColumn(
-            "link_score", F.lit(None).cast("double")
-        ).withColumn("match_type", F.lit(None).cast("string"))
+        surface_links = surfaces.select(
+            F.col("surface").alias("mention"),
+            F.lit(None).cast("string").alias("entity_id"),
+            F.lit(None).cast("double").alias("link_score"),
+            F.lit(None).cast("string").alias("match_type"),
+        )
+    links_raw = surface_links
 
-    # canonicalization over all mention surfaces — global
-    surfaces = mentions.select(F.col("mention").alias("surface")).distinct()
     canon = canonicalize_surfaces(surfaces).cache()
     canon.count()
     _stamp("link_canonicalize")
 
     # canonical id: linked entity id wins, else the surface's canonical form
     link_map = (
-        links_raw.select("mention", "entity_id")
-        .distinct()
-        .join(canon.withColumnRenamed("surface", "mention"), "mention", "left")
+        canon.withColumnRenamed("surface", "mention")
+        .join(surface_links.select("mention", "entity_id"), "mention", "left")
         .select("mention", F.coalesce("entity_id", "canon_id").alias("canon_id"))
     )
 
@@ -176,7 +186,7 @@ def run_pipeline(
     metrics = {
         "n_triples": n_triples,
         "n_unchanged_convs": n_unchanged,
-        "n_mentions": mentions.count(),
+        "n_surfaces": surfaces.count(),
         "n_nodes": nodes.count(),
         "stage_timings": timings,
     }
