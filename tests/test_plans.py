@@ -1,0 +1,79 @@
+"""Physical-plan regression guards (see PLANS.md).
+
+These assert plan *properties*, not timings: filters reach the parquet
+scan, dimension joins broadcast, extraction shuffles exactly once, the
+linking occurrence join is broadcast. A regression here is a silent
+at-scale performance bug even when results stay correct.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _formatted(df):
+    jvm = df.sparkSession._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    from coco_search_spark.entry_queries import q_pricing_summary
+
+    plan = _formatted(q_pricing_summary(spark, SF))
+    assert "PushedFilters" in plan
+    assert "LessThanOrEqual(l_shipdate" in plan
+    # column pruning: unneeded lineitem columns absent from ReadSchema
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_comment" not in read_schema and "l_partkey" not in read_schema
+
+
+def test_star_join_broadcasts_dimensions(spark):
+    from coco_search_spark.entry_queries import q_revenue_per_nation
+
+    plan = _formatted(q_revenue_per_nation(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_extraction_single_shuffle(spark):
+    from coco_search_spark.entry_queries import derived_transcripts
+    from coco_search_spark.operators.extract import extract_triples
+    from coco_search_spark.operators.segments import segment_turns
+
+    df = extract_triples(segment_turns(derived_transcripts(spark, SF)))
+    plan = _formatted(df)
+    # exactly one Exchange (the dedup), with a partial HashAggregate below it
+    n_exchanges = sum(
+        1 for ln in plan.splitlines() if ln.strip().startswith("(") and ") Exchange" in ln
+    )
+    assert n_exchanges == 1, plan
+    assert "HashAggregate" in plan
+    assert "Generate" in plan  # the two explodes
+
+
+def test_linking_occurrence_join_is_broadcast(spark, fx):
+    from coco_search_spark import fixtures
+    from coco_search_spark.operators.linking import link_mentions
+
+    mentions = spark.createDataFrame(
+        [("c", 0, "paymentGateway", "subj")],
+        "conv_id string, turn_idx int, mention string, mention_role string",
+    )
+    catalog = spark.createDataFrame(fixtures.entity_catalog_pdf(fx.entities))
+    plan = _formatted(link_mentions(mentions, catalog))
+    # the final occurrence attach-back must be a broadcast join
+    assert "BroadcastHashJoin" in plan
+
+
+def test_no_python_udf_in_native_extraction(spark):
+    from coco_search_spark.entry_queries import derived_transcripts
+    from coco_search_spark.operators.extract import extract_triples
+    from coco_search_spark.operators.segments import segment_turns
+
+    plan = _formatted(extract_triples(segment_turns(derived_transcripts(spark, SF))))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
