@@ -118,7 +118,9 @@ def run_pipeline(
             "start_word",
             "end_word",
             "seg_text",
-            tokenize_col(F.col("seg_text")).alias("tokens"),
+            # stored as one text column exactly like the reference's
+            # content_tsv_input (flow.py:69) — consumers re-split on space
+            F.array_join(tokenize_col(F.col("seg_text")), " ").alias("tsv_input"),
             embed(embed_input).alias("embedding"),
         )
 

@@ -113,7 +113,7 @@ def test_chunks_table_written(spark, fx, tmp_path):
     sdf = fixtures.transcripts_sdf(spark, fx)
     run_pipeline(spark, sdf, out_dir=str(tmp_path / "o"))
     chunks = spark.read.parquet(str(tmp_path / "o" / "chunks"))
-    assert {"conv_id", "turn_idx", "seg_idx", "seg_text", "tokens", "embedding"} <= set(
+    assert {"conv_id", "turn_idx", "seg_idx", "seg_text", "tsv_input", "embedding"} <= set(
         chunks.columns
     )
     row = chunks.first()
