@@ -917,6 +917,75 @@ SELECT node, MIN(depth) AS depth FROM walk GROUP BY node ORDER BY node
 # registry
 # ---------------------------------------------------------------------------
 
+def _containment_edges(spark):
+    s = spark.table("supplier")
+    n = spark.table("nation")
+    return s.select(
+        F.concat(F.lit("s-"), F.col("s_suppkey")).alias("subj_id"),
+        F.concat(F.lit("n-"), F.col("s_nationkey")).alias("obj_id"),
+    ).unionByName(
+        n.select(
+            F.concat(F.lit("n-"), F.col("n_nationkey")).alias("subj_id"),
+            F.concat(F.lit("r-"), F.col("n_regionkey")).alias("obj_id"),
+        )
+    )
+
+
+def q_graph_hubs(spark, sf_dir):
+    """Hub detection (deps stats detailed analog, deps/query.py:424-473):
+    top-10 entities by in-degree over the containment graph."""
+    load_views(spark, sf_dir)
+    edges = _containment_edges(spark)
+    return (
+        edges.groupBy(F.col("obj_id").alias("entity_id"))
+        .agg(F.count(F.lit(1)).alias("in_degree"))
+        .orderBy(F.desc("in_degree"), F.asc("entity_id"))
+        .limit(10)
+    )
+
+
+ORACLE_HUBS = """
+WITH edges AS (
+  SELECT 's-' || s_suppkey AS subj_id, 'n-' || s_nationkey AS obj_id FROM supplier
+  UNION ALL
+  SELECT 'n-' || n_nationkey, 'r-' || n_regionkey FROM nation
+)
+SELECT obj_id AS entity_id, COUNT(*) AS in_degree
+FROM edges GROUP BY obj_id ORDER BY in_degree DESC, entity_id ASC LIMIT 10
+"""
+
+
+def q_blast_radius(spark, sf_dir):
+    """Per-root reverse reachability size (impact / blast-radius,
+    deps/query.py:246-293) for every region node — per-root BFS via
+    iterative joins vs a per-seed recursive-CTE oracle."""
+    from coco_search_spark.operators.graph import blast_radius
+
+    load_views(spark, sf_dir)
+    edges = _containment_edges(spark)
+    region = spark.table("region")
+    roots = region.select(F.concat(F.lit("r-"), F.col("r_regionkey")).alias("node"))
+    return blast_radius(edges, roots).orderBy("root")
+
+
+ORACLE_BLAST = """
+WITH RECURSIVE edges AS (
+  SELECT 's-' || s_suppkey AS subj_id, 'n-' || s_nationkey AS obj_id FROM supplier
+  UNION ALL
+  SELECT 'n-' || n_nationkey, 'r-' || n_regionkey FROM nation
+),
+walk(root, node, depth) AS (
+  SELECT 'r-' || r_regionkey, 'r-' || r_regionkey, 0 FROM region
+  UNION
+  SELECT w.root, e.subj_id, w.depth + 1
+  FROM walk w JOIN edges e ON e.obj_id = w.node
+  WHERE w.depth < 5
+)
+SELECT root, COUNT(DISTINCT node) - 1 AS radius
+FROM walk GROUP BY root ORDER BY root
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_extract_triples": q_kg_extract_triples,
     "kg_top_predicates": q_kg_top_predicates,
@@ -951,6 +1020,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "price_percentiles": q_price_percentiles,
     "event_type_pivot": q_event_type_pivot,
     "sessionize_events": q_sessionize_events,
+    "graph_hubs": q_graph_hubs,
+    "blast_radius": q_blast_radius,
 }
 
 _PORTABLE_HASH = "CAST(('0x' || substr(md5({e}), 1, 15)) AS BIGINT)"
@@ -1071,4 +1142,6 @@ ORACLES: dict[str, str] = {
     "price_percentiles": ORACLE_PERCENTILES,
     "event_type_pivot": ORACLE_PIVOT,
     "sessionize_events": ORACLE_SESSIONIZE,
+    "graph_hubs": ORACLE_HUBS,
+    "blast_radius": ORACLE_BLAST,
 }

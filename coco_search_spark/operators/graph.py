@@ -79,3 +79,50 @@ def transitive_closure(
         visited = visited.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt.select("node")
     return visited
+
+
+def transitive_closure_per_root(
+    edges: DataFrame,
+    roots: DataFrame,
+    direction: str = "forward",
+    max_depth: int = MAX_DEPTH,
+) -> DataFrame:
+    """Per-root BFS: like transitive_closure but the visited set is keyed by
+    (root, node), so each root gets its own reachability (the blast-radius /
+    impact-set semantics, deps/query.py:296-421 batch analog). Returns
+    (root, node, depth) with minimal per-root depth."""
+    if direction == "forward":
+        step = edges.select(F.col("subj_id").alias("src"), F.col("obj_id").alias("dst"))
+    elif direction == "reverse":
+        step = edges.select(F.col("obj_id").alias("src"), F.col("subj_id").alias("dst"))
+    else:
+        raise ValueError(direction)
+    step = step.filter(F.col("dst").isNotNull()).distinct().localCheckpoint(eager=True)
+
+    visited = (
+        roots.select(F.col("node").alias("root"), F.col("node"), F.lit(0).alias("depth"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited.select("root", "node")
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            step.join(frontier.withColumnRenamed("node", "src"), "src")
+            .select("root", F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("root", "node"), ["root", "node"], "left_anti")
+            .withColumn("depth", F.lit(depth))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("root", "node")
+    return visited
+
+
+def blast_radius(edges: DataFrame, roots: DataFrame, max_depth: int = MAX_DEPTH) -> DataFrame:
+    """(root, radius): how many nodes each root transitively impacts in
+    reverse direction — the reference's impact/blast-radius metric."""
+    reach = transitive_closure_per_root(edges, roots, "reverse", max_depth)
+    return reach.groupBy("root").agg((F.count(F.lit(1)) - 1).alias("radius"))
