@@ -97,6 +97,22 @@ def run_bench(cpus: int, sf_dir: str) -> dict:
     )
     timings: dict[str, float] = {}
 
+    # ---- representative operator queries over the sf tables (run BEFORE
+    # the pipeline: its localCheckpoint RDDs linger past clearCache and
+    # would inflate these informational timings)
+    if not os.environ.get("SPARK_GRAFT_SKIP_QUERIES"):
+        for name in [
+            "kg_extract_triples",
+            "rrf_fusion_docs",
+            "pricing_summary",
+            "doc_minhash",
+            "ann_topk",
+            "graph_reach",
+        ]:
+            q0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).agg(F.count(F.lit(1))).collect()
+            timings[name] = round(time.perf_counter() - q0, 3)
+
     # ---- headline: full KG pipeline over the synthetic transcripts,
     # deterministically replicated to bench scale (conv_id remapped per
     # replica — same per-row work, more rows)
@@ -131,21 +147,6 @@ def run_bench(cpus: int, sf_dir: str) -> dict:
             wall = run_wall
             stage_timings = res.metrics.get("stage_timings", {})
     timings["kg_pipeline"] = round(wall, 3)
-    spark.catalog.clearCache()  # don't let pipeline caches tax later queries
-
-    # ---- representative operator queries over the sf tables
-    if not os.environ.get("SPARK_GRAFT_SKIP_QUERIES"):
-        for name in [
-            "kg_extract_triples",
-            "rrf_fusion_docs",
-            "pricing_summary",
-            "doc_minhash",
-            "ann_topk",
-            "graph_reach",
-        ]:
-            q0 = time.perf_counter()
-            QUERIES[name](spark, sf_dir).agg(F.count(F.lit(1))).collect()
-            timings[name] = round(time.perf_counter() - q0, 3)
 
     spark.stop()
     return {
