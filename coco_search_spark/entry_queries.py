@@ -240,14 +240,18 @@ def q_pricing_summary(spark, sf_dir):
     """A1-style aggregation with pushdown-able filter (TPC-H Q1 shape)."""
     load_views(spark, sf_dir)
     li = spark.table("lineitem")
+    # revenue: per-row double product (bit-identical in any engine) cast to
+    # decimal(18,6) and summed exactly — decimal addition is associative, so
+    # the result is independent of partitioning/summation order and matches
+    # the oracle bit for bit (a raw double SUM differs in the last ulp
+    # between engines and can flip the rounding).
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            ),
+            F.round(F.sum(revenue).cast("double"), 2).alias("revenue"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -766,7 +770,7 @@ def q_rollup_revenue(spark, sf_dir):
 ORACLE_ROLLUP = """
 SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
        COALESCE(l_linestatus, 'ALL') AS linestatus,
-       SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
        COUNT(*) AS n_rows
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -817,7 +821,7 @@ def q_event_type_pivot(spark, sf_dir):
 
 
 ORACLE_PIVOT = "SELECT user_id,\n" + ",\n".join(
-    f"SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS \"{t}\""
+    f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS \"{t}\""
     for t in _EVENT_TYPES
 ) + "\nFROM events GROUP BY user_id ORDER BY user_id"
 
@@ -838,12 +842,14 @@ def q_sessionize_events(spark, sf_dir):
     )
     w_cum = w.rowsBetween(W.unboundedPreceding, 0)
     sessioned = marked.withColumn("session_id", F.sum("new_session").over(w_cum))
+    # session bounds as epoch microseconds: raw timestamp string forms differ
+    # between engines; unix_micros is monotonic so min/max commute with it
     return (
         sessioned.groupBy("user_id", "session_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.min("ts").alias("session_start"),
-            F.max("ts").alias("session_end"),
+            F.min(F.unix_micros(F.col("ts").cast("timestamp"))).alias("session_start"),
+            F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias("session_end"),
         )
         .orderBy("user_id", "session_id")
     )
@@ -853,18 +859,19 @@ ORACLE_SESSIONIZE = """
 WITH marked AS (
   SELECT user_id, event_id, ts,
          CASE WHEN lag(ts) OVER w IS NULL
-                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                OR CAST(FLOOR(epoch(ts)) AS BIGINT)
+                   - CAST(FLOOR(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
               THEN 1 ELSE 0 END AS new_session
   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 sessioned AS (
   SELECT user_id, ts,
-         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                ROWS UNBOUNDED PRECEDING) AS session_id
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM marked
 )
 SELECT user_id, session_id, COUNT(*) AS n_events,
-       MIN(ts) AS session_start, MAX(ts) AS session_end
+       MIN(epoch_us(ts)) AS session_start, MAX(epoch_us(ts)) AS session_end
 FROM sessioned GROUP BY user_id, session_id
 ORDER BY user_id, session_id
 """
@@ -1049,10 +1056,14 @@ ORACLES: dict[str, str] = {
                 row_number() OVER w AS turn_rank
          FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)""",
     "rrf_fusion_docs": ORACLE_RRF,
+    # DuckDB SUM(BIGINT) returns HUGEINT, which pandas renders as float64
+    # ("138014.0" vs Spark's "138014") — CAST every integer SUM back to
+    # BIGINT. revenue is summed as DECIMAL(18,6) on both sides (exact,
+    # order-independent) then cast to double and rounded.
     "pricing_summary": """
          SELECT l_returnflag, l_linestatus,
-                SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
-                ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue,
                 COUNT(*) AS count_order
          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
          GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
@@ -1078,7 +1089,8 @@ ORACLES: dict[str, str] = {
                 row_number() OVER w AS seq
          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
     "doc_language_stats": """
-         SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+         SELECT lang, COUNT(*) AS n_docs,
+                CAST(SUM(n_chars) AS BIGINT) AS total_chars,
                 COUNT(DISTINCT source) AS n_sources
          FROM documents GROUP BY lang ORDER BY lang""",
     "doc_token_stats": r"""
