@@ -6,14 +6,15 @@ skew concept. At 10^12-turn scale the north rule mandates explicit skew
 handling on entity-id: one hot entity (a popular service mentioned in half
 of all turns) would otherwise pin its entire groupBy partition on one task.
 
-``salted_degree`` implements the canonical two-phase aggregate:
-  phase 1: groupBy (entity_id, salt = pmod(hash(row), S)) — partial counts
-           spread over S tasks;
-  phase 2: groupBy entity_id over S partials — tiny.
-Spark's partial aggregation already combines map-side, but for
-count-DISTINCT-style or collect-style aggregates the salt is what prevents
-a single reducer from owning the hot key; we keep the pattern explicit and
-benchmarked (tests/test_materialize.py hot-entity fixture).
+Skew notes (learned the precise way round in round 1): plain ``count``/
+``sum``/``approx_count_distinct`` need NO salt — Spark's partial aggregation
+combines map-side, so a hot key arrives at its reducer already collapsed to
+one partial per map task, and HLL sketches merge losslessly the same way.
+Summing per-salt ``approx_count_distinct`` partials instead would OVERCOUNT
+(the same conv_id lands in several salt buckets). The explicit two-phase
+salt pattern is reserved for aggregates that do NOT combine map-side —
+exact ``countDistinct`` and ``collect_list/set`` — where ``salted_distinct_
+count`` first dedups (key, value) pairs under a salted shuffle, then counts.
 
 Writes are plain parquet partitioned by ``pred`` (Iceberg unavailable in
 this sandbox; the writer isolates format-specific calls so swapping
@@ -58,44 +59,62 @@ def resolve_edges(
 def salted_degree(
     edges: DataFrame,
     key: str = "subj_id",
+) -> DataFrame:
+    """Degree/count metrics per entity: (entity_id, degree, n_convs_approx).
+
+    Both aggregates combine map-side (count partials sum; HLL sketches
+    merge), so hot keys are collapsed per map task before the exchange —
+    no salt needed or wanted. Round 1 summed per-salt
+    ``approx_count_distinct`` partials, which overcounts (the same conv_id
+    appears in several salt buckets); a single unsalted HLL is both correct
+    within rsd and skew-immune."""
+    return (
+        edges.filter(F.col(key).isNotNull())
+        .groupBy(key)
+        .agg(
+            F.count(F.lit(1)).alias("degree"),
+            F.approx_count_distinct("conv_id").alias("n_convs_approx"),
+        )
+        .withColumnRenamed(key, "entity_id")
+    )
+
+
+def salted_distinct_count(
+    df: DataFrame,
+    key: str,
+    value: str,
     salt_buckets: int = DEFAULT_SALT_BUCKETS,
 ) -> DataFrame:
-    """Two-phase salted degree/count aggregation per entity:
-    (entity_id, degree, n_convs_approx). The distinct-ish metric uses
-    approx_count_distinct (SURVEY §2.4 note — appropriate at 10^12 scale)."""
-    salted = edges.filter(F.col(key).isNotNull()).withColumn(
-        "salt", F.pmod(F.xxhash64("conv_id", "turn_idx", "pred"), F.lit(salt_buckets))
+    """EXACT distinct-value count per key, hot-key safe: exact countDistinct
+    does not combine map-side (the reducer owning a hot key sees every raw
+    row), so phase 1 dedups (key, salt, value) under a salted shuffle —
+    spreading the hot key over ``salt_buckets`` tasks — and phase 2 sums the
+    per-salt distinct counts, which is exact because the salt is derived
+    from the value (each distinct value lands in exactly one bucket)."""
+    salted = df.filter(F.col(key).isNotNull()).withColumn(
+        "salt", F.pmod(F.xxhash64(F.col(value)), F.lit(salt_buckets))
     )
-    partial = salted.groupBy(key, "salt").agg(
-        F.count(F.lit(1)).alias("cnt"),
-        F.approx_count_distinct("conv_id").alias("acd"),
-    )
-    return partial.groupBy(key).agg(
-        F.sum("cnt").alias("degree"),
-        # upper-bound merge of per-salt sketches; exactness not required for
-        # the metrics table (reference's stats are exact COUNTs but run on a
-        # single box — stats.py:38-97)
-        F.sum("acd").alias("n_convs_approx"),
-    ).withColumnRenamed(key, "entity_id")
+    partial = salted.groupBy(key, "salt").agg(F.countDistinct(value).alias("d"))
+    return partial.groupBy(key).agg(F.sum("d").alias(f"n_distinct_{value}"))
 
 
-def build_nodes(edges: DataFrame, salt_buckets: int = DEFAULT_SALT_BUCKETS) -> DataFrame:
+def build_nodes(edges: DataFrame) -> DataFrame:
     """Node table: every canonical endpoint with out/in degree.
 
-    Single pass: both endpoints are stacked into (entity_id, is_out) rows
-    first, so one salted two-phase aggregation computes both degrees — one
-    shuffle instead of two plus a join."""
+    Single pass: both endpoints stack into (entity_id, is_out) rows, and ONE
+    groupBy computes both degrees. Conditional sums combine map-side, so
+    this is one shuffle carrying ≤ one partial row per (entity, map task) —
+    skew-safe without salting."""
     endpoints = edges.select(
         F.col("subj_id").alias("entity_id"), F.lit(1).alias("is_out")
     ).unionAll(edges.select(F.col("obj_id").alias("entity_id"), F.lit(0).alias("is_out")))
-    salted = endpoints.filter(F.col("entity_id").isNotNull()).withColumn(
-        "salt", F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets))
-    )
-    partial = salted.groupBy("entity_id", "salt").agg(
-        F.sum("is_out").alias("o"), F.sum(1 - F.col("is_out")).alias("i")
-    )
-    return partial.groupBy("entity_id").agg(
-        F.sum("o").alias("out_degree"), F.sum("i").alias("in_degree")
+    return (
+        endpoints.filter(F.col("entity_id").isNotNull())
+        .groupBy("entity_id")
+        .agg(
+            F.sum("is_out").alias("out_degree"),
+            F.sum(1 - F.col("is_out")).alias("in_degree"),
+        )
     )
 
 

@@ -159,15 +159,34 @@ def simhash_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    max_hamming: int = 8,
+    max_hamming: int = 3,
     bits: int = 60,
-    n_chunks: int = 4,
+    n_chunks: int | None = None,
+    max_bucket: int = 10000,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: block on 16-bit chunks (pigeonhole — any
-    pair within hamming ≤ n_chunks-1 shares ≥1 exact chunk; for
-    max_hamming < n_chunks*? the standard multi-chunk trick), verify with
-    bit_count(xor)."""
-    chunk_bits = bits // n_chunks
+    """Near-dup pairs by SimHash, blocked on bit chunks, verified with
+    bit_count(xor).
+
+    Recall guarantee (pigeonhole): any pair with Hamming distance ≤
+    n_chunks - 1 has at least one chunk with no differing bit, so it is
+    guaranteed to land in a shared bucket. ``n_chunks`` therefore defaults
+    to ``max_hamming + 1`` so the guarantee covers the whole requested
+    radius. Fewer chunks = wider chunk keys = smaller buckets (faster) but
+    pairs differing in ≥ n_chunks bits spread across chunks can be missed —
+    callers overriding n_chunks below max_hamming+1 get an assertion error,
+    not silent recall loss. Default max_hamming=3 / 4 chunks of 15 bits is
+    the classic web-dedup configuration.
+
+    ``max_bucket`` caps degenerate buckets (the posting-list guard —
+    narrow chunk keys at high max_hamming make hot buckets, and one
+    all-zeros bucket must not go quadratic at 100 TB)."""
+    if n_chunks is None:
+        n_chunks = max_hamming + 1
+    assert max_hamming < n_chunks, (
+        f"pigeonhole guarantee needs n_chunks > max_hamming "
+        f"(got n_chunks={n_chunks}, max_hamming={max_hamming})"
+    )
+    chunk_bits = -(-bits // n_chunks)  # ceil: chunks cover every bit
     base = df.select(F.col(id_col).alias("id"), simhash_col(F.col(text_col), bits).alias("sim"))
     chunked = base.select(
         "id",
@@ -186,6 +205,8 @@ def simhash_pairs(
             )
         ).alias("ck"),
     ).select("id", "sim", F.col("ck.chunk").alias("chunk"), F.col("ck.ckey").alias("ckey"))
+    sizes = chunked.groupBy("chunk", "ckey").agg(F.count(F.lit(1)).alias("bsz"))
+    chunked = chunked.join(sizes.filter(F.col("bsz") <= max_bucket), ["chunk", "ckey"]).drop("bsz")
     left = chunked.select("chunk", "ckey", F.col("id").alias("id_a"), F.col("sim").alias("sim_a"))
     right = chunked.select("chunk", "ckey", F.col("id").alias("id_b"), F.col("sim").alias("sim_b"))
     return (

@@ -82,11 +82,21 @@ def run_pipeline(
         dirty_ids = diff.filter(F.col("status").isin("new", "changed")).select("conv_id")
         dirty = transcripts.join(dirty_ids, "conv_id", "left_semi")
         snap = store.last_snapshot()
-        if n_unchanged > 0 and snap and snap.get("triples_path") and os.path.exists(snap["triples_path"]):
-            unchanged_ids = diff.filter(F.col("status") == "unchanged").select("conv_id")
-            prev_triples = (
-                spark.read.parquet(snap["triples_path"]).join(unchanged_ids, "conv_id", "left_semi")
-            )
+        if n_unchanged > 0:
+            if snap and snap.get("triples_path") and os.path.exists(snap["triples_path"]):
+                unchanged_ids = diff.filter(F.col("status") == "unchanged").select("conv_id")
+                prev_triples = (
+                    spark.read.parquet(snap["triples_path"]).join(unchanged_ids, "conv_id", "left_semi")
+                )
+            else:
+                # unchanged conversations exist but their previous triples are
+                # not reloadable (prior run committed state without an
+                # out_dir, or the snapshot file was deleted): proceeding with
+                # the pruned set would silently drop their triples from the
+                # output — fall back to a full re-extract (correct, just not
+                # incremental this run)
+                dirty = transcripts
+                n_unchanged = 0
 
     segments = segment_turns(dirty)
 

@@ -55,10 +55,15 @@ def run_streaming_pipeline(
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         triples = extract_triples(segment_turns(batch_df))
+        # idempotent replay: each batch owns a batch-id-keyed directory and
+        # OVERWRITES it, so a batch re-run after a failure (foreachBatch is
+        # at-least-once) replaces its own output instead of appending
+        # duplicates — this plus the checkpointed source offsets gives
+        # effectively-once into the sink. Readers see batch_id as a
+        # partition column of {out_dir}/triples_stream.
         (
-            triples.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append")
-            .parquet(f"{out_dir}/triples_stream")
+            triples.write.mode("overwrite")
+            .parquet(f"{out_dir}/triples_stream/batch_id={batch_id}")
         )
 
     writer = stream.writeStream.foreachBatch(process_batch).option(
