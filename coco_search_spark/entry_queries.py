@@ -158,22 +158,30 @@ def q_rrf_fusion_docs(spark, sf_dir):
 
     load_views(spark, sf_dir)
     docs = spark.table("documents")
+    # rank-≤-N prefetch as orderBy+limit (TakeOrderedAndProject: parallel
+    # per-partition partial top-k, merged on the driver) — NOT a global
+    # row_number window, which would drag the whole corpus through one task.
+    # Ranking the N surviving rows afterwards is cheap and semantically
+    # identical because the ordering is a deterministic total order.
     leg_a = (
-        docs.withColumn(
+        docs.select("doc_id", "n_chars")
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .limit(100)
+        .withColumn(
             "rank_a",
             F.row_number().over(W.orderBy(F.desc("n_chars"), F.asc("doc_id"))),
         )
-        .filter(F.col("rank_a") <= 100)
         .select("doc_id", "rank_a")
     )
+    kw_key = F.pmod(portable_hash_col(F.col("text")), F.lit(997))
     leg_b = (
-        docs.withColumn(
+        docs.select("doc_id", kw_key.alias("kw_key"))
+        .orderBy(F.asc("kw_key"), F.asc("doc_id"))
+        .limit(100)
+        .withColumn(
             "rank_b",
-            F.row_number().over(
-                W.orderBy(F.asc(F.pmod(portable_hash_col(F.col("text")), F.lit(997))), F.asc("doc_id"))
-            ),
+            F.row_number().over(W.orderBy(F.asc("kw_key"), F.asc("doc_id"))),
         )
-        .filter(F.col("rank_b") <= 100)
         .select("doc_id", "rank_b")
     )
     fused = (
@@ -195,6 +203,8 @@ def q_rrf_fusion_docs(spark, sf_dir):
     )
     from pyspark.sql import Window as W2
 
+    # fused is ≤ 200 rows by construction (two 100-row prefetch legs), so a
+    # single-partition ranking window here is constant-size, not corpus-size
     w = W2.orderBy(
         F.desc("rrf_score"), F.desc(F.col("rank_b").isNotNull().cast("int")), F.asc("doc_id")
     )
@@ -428,10 +438,13 @@ def q_ann_topk(spark, sf_dir):
             ).alias("cos_sim"),
         )
     )
-    w = W.orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    # top-k via orderBy+limit (TakeOrderedAndProject — parallel partial
+    # top-k per partition, no global-window single-task sort), then rank
+    # the surviving 10 rows
     return (
-        sims.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 10)
+        sims.orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(10)
+        .withColumn("rk", F.row_number().over(W.orderBy(F.desc("cos_sim"), F.asc("vec_id"))))
         .select("vec_id", "label", "cos_sim", "rk")
     )
 
@@ -647,17 +660,19 @@ def q_multi_index_merge(spark, sf_dir):
     per_index = []
     for parity in (0, 1):
         idx = d.filter(F.pmod(F.col("doc_id"), F.lit(2)) == parity)
-        w = W.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        # per-index prefetch (= 2*limit) via orderBy+limit, not a global
+        # window — each index's top-40 is a parallel partial top-k
         per_index.append(
-            idx.withColumn("idx_rank", F.row_number().over(w))
-            .filter(F.col("idx_rank") <= 40)  # per-index prefetch = 2*limit
-            .select(
+            idx.select(
                 F.lit(f"idx{parity}").alias("index_name"),
                 "doc_id",
                 F.col("n_chars").alias("score"),
             )
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(40)
         )
     merged = per_index[0].unionByName(per_index[1])
+    # merged is ≤ 80 rows — ranking it on one task is constant-size work
     wg = W.orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         merged.withColumn("global_rank", F.row_number().over(wg))

@@ -23,6 +23,32 @@ from pyspark.sql import functions as F
 from coco_search_spark.functions.embed import cosine_expr
 from coco_search_spark.ops.dedup import projection_bucket_col
 
+TOPK_SALT_BUCKETS = 32
+
+
+def per_query_topk(sims: DataFrame, k: int, n_salt: int = TOPK_SALT_BUCKETS) -> DataFrame:
+    """Exact top-k per q_id in two phases, skew/scale-safe.
+
+    A plain ``row_number().over(partitionBy(q_id))`` forces EVERY scored row
+    for a query through the one task owning that q_id — at corpus scale the
+    per-query ranking task is the bottleneck. Phase 1 ranks within
+    (q_id, salt) — ``n_salt`` parallel partial top-ks — and keeps ≤ k rows
+    each; phase 2 ranks the ≤ n_salt·k survivors per query. The global
+    top-k is contained in the union of per-salt top-ks, so results are
+    identical; the final window's input is bounded by n_salt·k, not corpus
+    size. Deterministic tie-break (cos_sim desc, vec_id asc) keeps results
+    stable under any partitioning."""
+    order = [F.desc("cos_sim"), F.asc("vec_id")]
+    salted = sims.withColumn("_salt", F.pmod(F.xxhash64("vec_id"), F.lit(n_salt)))
+    w1 = Window.partitionBy("q_id", "_salt").orderBy(*order)
+    cand = (
+        salted.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k)
+        .drop("_salt", "_r1")
+    )
+    w2 = Window.partitionBy("q_id").orderBy(*order)
+    return cand.withColumn("rk", F.row_number().over(w2)).filter(F.col("rk") <= k)
+
 
 def brute_force_topk(
     embeddings: DataFrame,
@@ -49,12 +75,7 @@ def brute_force_topk(
         "vec_id",
         F.round(cosine_expr(F.col("v"), F.col("qv")), 6).alias("cos_sim"),
     )
-    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-    return (
-        sims.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select("q_id", "vec_id", "cos_sim", "rk")
-    )
+    return per_query_topk(sims, k).select("q_id", "vec_id", "cos_sim", "rk")
 
 
 def lsh_topk(
@@ -105,12 +126,7 @@ def lsh_topk(
     sims = cands.select(
         "q_id", "vec_id", F.round(cosine_expr(F.col("v"), F.col("qv")), 6).alias("cos_sim")
     )
-    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-    return (
-        sims.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select("q_id", "vec_id", "cos_sim", "rk")
-    )
+    return per_query_topk(sims, k).select("q_id", "vec_id", "cos_sim", "rk")
 
 
 def recall_at_k(approx: DataFrame, exact: DataFrame, k: int = 10) -> float:

@@ -77,3 +77,34 @@ def test_no_python_udf_in_native_extraction(spark):
 
     plan = _formatted(extract_triples(segment_turns(derived_transcripts(spark, SF))))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_topk_uses_take_ordered_not_global_window(spark):
+    """Global top-k prefetch must compile to TakeOrderedAndProject (parallel
+    per-partition partial top-k) — a partition-less row_number Window over a
+    corpus-sized input serializes the whole table through one task."""
+    from coco_search_spark.entry_queries import (
+        q_ann_topk,
+        q_multi_index_merge,
+        q_rrf_fusion_docs,
+    )
+
+    for q in (q_rrf_fusion_docs, q_ann_topk, q_multi_index_merge):
+        plan = _formatted(q(spark, SF))
+        assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_per_query_topk_is_two_phase(spark):
+    """brute_force_topk must rank within (q_id, salt) before the final
+    per-query window, so the per-query task never sees the whole corpus."""
+    from coco_search_spark.ops.similarity import brute_force_topk
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = e.limit(2).selectExpr("vec_id as q_id", "embedding as q_vec")
+    plan = _formatted(brute_force_topk(e, q, k=5))
+    import re as _re
+
+    # phase-1 exchange keyed by (q_id, _salt) precedes the per-q_id exchange
+    assert _re.search(r"hashpartitioning\(q_id#\d+L?, _salt", plan), plan
+    # rank predicate pushed into WindowGroupLimit (per-partition pre-filter)
+    assert "WindowGroupLimit" in plan, plan
