@@ -45,17 +45,60 @@ def py_embed(text: str, dim: int = DEFAULT_DIM) -> list[float]:
     return _embed_np(pd.Series([text]), dim)[0].tolist()
 
 
+def _hex_to_vec_np(hexes: pd.Series, dim: int) -> np.ndarray:
+    """(n, dim) float32 matrix from 64-char sha256 hex strings — fully
+    vectorized: ONE join + ONE fromhex + numpy reshape/tile for the whole
+    Arrow batch, no per-row Python. Produces bit-identical output to
+    ``_embed_np`` given hex = sha256(text)."""
+    vals = ["0" * 64 if h is None else h for h in hexes]
+    buf = bytes.fromhex("".join(vals))
+    arr = np.frombuffer(buf, dtype=np.uint8).reshape(len(vals), 32)
+    reps = -(-dim // 32)  # ceil(dim/32)
+    tiled = np.tile(arr, (1, reps))[:, :dim]
+    return tiled.astype(np.float32) / 255.0 * 2.0 - 1.0
+
+
 def make_embed_udf(dim: int = DEFAULT_DIM):
-    """pandas_udf string → array<float>; Arrow-batched (no per-row Python at
-    the Spark row level — hashing loops inside the Arrow batch, analog of the
-    reference's 128-text RPC batches)."""
+    """column → array<float> embedding stage, split for scale:
+
+    - sha256 runs JVM-side (``F.sha2`` inside whole-stage codegen — hashing
+      is the dominant cost and scales with executor cores, where a Python
+      ``hashlib`` loop was GIL/serde-bound);
+    - the hex→vector expansion is an Arrow-batched pandas_udf doing three
+      numpy ops per batch (the declared swap-point for a real
+      ``predict_batch_udf`` model — the plan shape is identical).
+
+    Returns a callable usable as ``embed(col)``; output equals
+    ``_embed_np``/``py_embed`` bit for bit."""
 
     @F.pandas_udf(ArrayType(FloatType()))
-    def embed_udf(texts: pd.Series) -> pd.Series:
-        mat = _embed_np(texts, dim)
+    def hex_to_vec_udf(hexes: pd.Series) -> pd.Series:
+        mat = _hex_to_vec_np(hexes, dim)
         return pd.Series(list(mat))
 
-    return embed_udf
+    def embed(c: Column) -> Column:
+        return hex_to_vec_udf(F.sha2(F.coalesce(c, F.lit("")), 256))
+
+    return embed
+
+
+def embed_expr(c: Column, dim: int = DEFAULT_DIM) -> Column:
+    """The same sha256-byte embedding as a pure Catalyst expression in
+    DOUBLE precision — zero Python, and expressible in DuckDB SQL (hex
+    slicing + arithmetic), so linking scores built on it are
+    oracle-checkable value for value. Differs from the float32 UDF path by
+    ≤ ~6e-8 per component (float32 vs float64 rounding); a parity test
+    pins the two together."""
+    hexs = F.sha2(F.coalesce(c, F.lit("")), 256)
+    return F.transform(
+        F.sequence(F.lit(1), F.lit(dim)),
+        lambda i: F.conv(
+            hexs.substr(F.pmod(i - 1, F.lit(32)) * 2 + 1, F.lit(2)), 16, 10
+        ).cast("double")
+        / 255.0
+        * 2.0
+        - 1.0,
+    )
 
 
 def cosine_expr(a: Column, b: Column, scale: int | None = None) -> Column:

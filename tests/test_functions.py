@@ -129,3 +129,23 @@ def test_cosine_expr_and_udf_agree(spark):
     assert math.isclose(rows[1]["ce"], 1.0, abs_tol=1e-6)
     assert rows[2]["ce"] == 0.0  # zero-norm rule (cache.py:98-118)
     assert math.isclose(rows[0]["ce"], py_cosine(a, b), abs_tol=1e-6)
+
+
+def test_embed_udf_and_expr_parity(spark):
+    """The JVM-sha256 + vectorized-hex UDF must equal the python twin bit
+    for bit; the Catalyst double-precision embed_expr (the oracle-checkable
+    form) must agree within float32 rounding."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from coco_search_spark.functions.embed import embed_expr, make_embed_udf, py_embed
+
+    df = spark.createDataFrame(
+        [("payment gateway",), ("",), ("x",), ("Conv: c role: user\nhello",)], "t string"
+    )
+    emb = make_embed_udf(64)
+    rows = df.select("t", emb(F.col("t")).alias("v"), embed_expr(F.col("t"), 64).alias("ve")).collect()
+    for r in rows:
+        twin = py_embed(r["t"], 64)
+        assert list(r["v"]) == [np.float32(x) for x in twin]
+        assert max(abs(a - b) for a, b in zip(r["ve"], twin)) < 1e-6
