@@ -600,8 +600,10 @@ def q_event_rate_windows(spark, sf_dir):
 
 def q_ann_lsh_topk(spark, sf_dir):
     """Approximate ANN via deterministic sign-projection LSH (scale path for
-    K1); rows-only check — the LSH recall property is tested in pytest
-    against brute force."""
+    K1). The hyperplanes derive from the portable md5 hash, so the entire
+    bucketing + candidate join + cosine re-rank is replicated value for
+    value in the DuckDB oracle; the recall-vs-brute-force property is
+    additionally tested in pytest."""
     from coco_search_spark.ops.similarity import lsh_topk
 
     load_views(spark, sf_dir)
@@ -613,39 +615,286 @@ def q_ann_lsh_topk(spark, sf_dir):
     return lsh_topk(e, queries, k=5, n_planes=4, n_tables=3).orderBy("q_id", "rk")
 
 
+def _lsh_topk_oracle(k: int = 5, n_planes: int = 4, n_tables: int = 3) -> str:
+    """DuckDB replica of lsh_topk over embeddings with vec_id<3 queries:
+    identical deterministic hyperplanes (portable md5 hash of
+    't{table}_{plane}_{i}'), identical bucket join, cosine re-rank."""
+
+    def bucket(vcol: str, t: int) -> str:
+        plane_terms = []
+        for p in range(n_planes):
+            sign = (
+                f"((CAST(('0x' || substr(md5('t{t}_{p}_' || CAST(i - 1 AS VARCHAR)), 1, 15)) "
+                f"AS BIGINT) % 2) * 2 - 1)"
+            )
+            dot = (
+                f"list_sum(list_transform(generate_series(1, len({vcol})), "
+                f"i -> {vcol}[i] * {sign}))"
+            )
+            plane_terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
+        return " + ".join(plane_terms)
+
+    eb_rows = " UNION ALL ".join(
+        f"SELECT vec_id, v, {t} AS tbl, ({bucket('v', t)}) AS bkt FROM emb"
+        for t in range(n_tables)
+    )
+    qb_rows = " UNION ALL ".join(
+        f"SELECT q_id, qv, {t} AS tbl, ({bucket('qv', t)}) AS bkt FROM q"
+        for t in range(n_tables)
+    )
+    return f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 3),
+eb AS ({eb_rows}),
+qb AS ({qb_rows}),
+cand AS (
+  SELECT DISTINCT qb.q_id, eb.vec_id
+  FROM eb JOIN qb ON eb.tbl = qb.tbl AND eb.bkt = qb.bkt
+),
+sims AS (
+  SELECT c.q_id, c.vec_id,
+         ROUND(list_cosine_similarity(ev.v, qv.qv), 6) AS cos_sim
+  FROM cand c
+  JOIN emb ev ON ev.vec_id = c.vec_id
+  JOIN q qv ON qv.q_id = c.q_id
+)
+SELECT q_id, vec_id, cos_sim,
+       row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC) AS rk
+FROM sims QUALIFY rk <= {k}
+ORDER BY q_id, rk
+"""
+
+
+def _cap_col(c):
+    return F.concat(F.upper(F.substring(c, 1, 1)), F.substring(c, 2, 1 << 20))
+
+
 def q_kg_link_mentions(spark, sf_dir):
-    """Hybrid RRF entity linking over the derived transcripts with a catalog
-    synthesized from the distinct ground-truth entities (rows-only — the RRF
-    math itself is oracle-checked by rrf_fusion_docs and unit tests)."""
-    from coco_search_spark.operators.extract import extract_mentions
-    from coco_search_spark.operators.linking import link_mentions
+    """Hybrid RRF entity linking (the flagship stage), oracle-checked value
+    for value: each distinct mention surface is linked against a catalog
+    whose aliases are the snake/camel/Pascal variants of every ground-truth
+    entity, using the expr embedder (double-precision sha256-byte cosine,
+    DuckDB-replicable) for the vector leg, token-Jaccard for the keyword
+    leg, RRF fusion with exact-norm boost, deterministic tie-breaks. The
+    DuckDB oracle replays the entire pipeline: candidate generation by
+    shared normalized token, both legs, per-leg ranks, fusion, boost,
+    top-1."""
+    from coco_search_spark.operators.linking import link_surfaces
 
     t = _triples(spark, sf_dir)
-    mentions = extract_mentions(t)
-    catalog = (
-        t.select(F.col("subj").alias("alias"))
-        .unionByName(t.select(F.col("obj").alias("alias")))
+    surf = (
+        t.select(F.col("subj").alias("surface"))
+        .unionByName(t.select(F.col("obj").alias("surface")))
         .distinct()
-        .select(F.col("alias").alias("entity_id"), "alias")
     )
+    p1 = F.split_part(F.col("surface"), F.lit("_"), F.lit(1))
+    p2 = F.split_part(F.col("surface"), F.lit("_"), F.lit(2))
+    catalog = (
+        surf.select(F.col("surface").alias("entity_id"), F.col("surface").alias("alias"))
+        .unionByName(
+            surf.select(
+                F.col("surface").alias("entity_id"),
+                F.concat(p1, _cap_col(p2)).alias("alias"),
+            )
+        )
+        .unionByName(
+            surf.select(
+                F.col("surface").alias("entity_id"),
+                F.concat(_cap_col(p1), _cap_col(p2)).alias("alias"),
+            )
+        )
+    )
+    mentions = surf.select(F.col("surface").alias("mention"))
     return (
-        link_mentions(mentions, catalog)
-        .groupBy("entity_id", "match_type")
-        .agg(F.count(F.lit(1)).alias("n_occurrences"))
-        .orderBy("entity_id")
+        link_surfaces(mentions, catalog, embedder="expr")
+        .orderBy("mention")
     )
 
 
 def q_kg_canonicalize(spark, sf_dir):
     """MinHash/LSH + connected-components canonicalization over mention
-    surfaces (rows-only — lookahead regex normalization is not expressible
-    in DuckDB's RE2)."""
+    surfaces, oracle-checked value for value: the signatures/bands use the
+    portable md5 hash, pair verification is exact Jaccard, and the DuckDB
+    oracle replays the same blocking + a recursive-CTE connected
+    components. (The Spark normalizer's camelCase regex uses lookahead,
+    which RE2 lacks; the derived-transcript surfaces are lowercase+digit
+    snake forms, on which the oracle's lookahead-free pattern is
+    equivalent.)"""
     from coco_search_spark.operators.canonicalize import canonicalize_surfaces
     from coco_search_spark.operators.extract import extract_mentions
 
     mentions = extract_mentions(_triples(spark, sf_dir))
     surfaces = mentions.select(F.col("mention").alias("surface")).distinct()
     return canonicalize_surfaces(surfaces).orderBy("surface")
+
+
+def _link_mentions_oracle(dim: int = 64, rrf_k: int = 60) -> str:
+    """DuckDB replica of the full hybrid-RRF linking pipeline in
+    q_kg_link_mentions: shared-token candidate generation, double-precision
+    sha256-byte embedding cosine (vector leg), token-set Jaccard (keyword
+    leg), per-leg ranks, RRF fusion, exact-norm boost, deterministic top-1.
+    All float literals are cast to DOUBLE (DuckDB parses bare 1.0 as
+    DECIMAL, whose arithmetic would diverge from Spark's doubles)."""
+    norm = _NORM_SQL
+    emb_v = (
+        f"list_transform(generate_series(1, {dim}), i -> "
+        "CAST(CAST(('0x' || substr(sha256(s), ((i - 1) % 32) * 2 + 1, 2)) AS BIGINT) AS DOUBLE)"
+        " / CAST(255.0 AS DOUBLE) * CAST(2.0 AS DOUBLE) - CAST(1.0 AS DOUBLE))"
+    )
+
+    def cap(e: str) -> str:
+        return f"upper(substr({e}, 1, 1)) || substr({e}, 2)"
+
+    return f"""
+WITH surf AS (
+  SELECT DISTINCT source || '_svc' AS surface FROM documents
+  UNION
+  SELECT DISTINCT lang || '_store' FROM documents
+),
+cat AS (
+  SELECT surface AS entity_id, surface AS alias FROM surf
+  UNION ALL
+  SELECT surface, split_part(surface, '_', 1) || {cap("split_part(surface, '_', 2)")} FROM surf
+  UNION ALL
+  SELECT surface, {cap("split_part(surface, '_', 1)")} || {cap("split_part(surface, '_', 2)")} FROM surf
+),
+strs AS (SELECT surface AS s FROM surf UNION SELECT alias FROM cat),
+emb AS (SELECT s, {emb_v} AS v FROM strs),
+m AS (
+  SELECT surface AS mention, {norm.format(s='surface')} AS m_norm,
+         list_distinct(string_split({norm.format(s='surface')}, '_')) AS m_tokens
+  FROM surf
+),
+a AS (
+  SELECT entity_id, alias, {norm.format(s='alias')} AS alias_norm,
+         list_distinct(string_split({norm.format(s='alias')}, '_')) AS a_tokens
+  FROM cat
+),
+cand AS (
+  SELECT DISTINCT mention, m_norm, m_tokens, entity_id, alias, alias_norm, a_tokens
+  FROM m JOIN a ON len(list_intersect(m_tokens, a_tokens)) > 0
+),
+pair AS (
+  SELECT c.mention, c.m_norm, c.entity_id, c.alias_norm,
+         list_sum(list_transform(generate_series(1, {dim}), i -> em.v[i] * ea.v[i]))
+           / (sqrt(list_sum(list_transform(em.v, x -> x * x)))
+              * sqrt(list_sum(list_transform(ea.v, x -> x * x)))) AS vec_sim,
+         CAST(len(list_intersect(c.m_tokens, c.a_tokens)) AS DOUBLE)
+           / len(list_distinct(list_concat(c.m_tokens, c.a_tokens))) AS kw_sim
+  FROM cand c
+  JOIN emb em ON em.s = c.mention
+  JOIN emb ea ON ea.s = c.alias
+),
+scored AS (
+  SELECT mention, m_norm, entity_id, MAX(vec_sim) AS vec_sim, MAX(kw_sim) AS kw_sim,
+         MAX(CASE WHEN alias_norm = m_norm THEN 1 ELSE 0 END) AS exact_norm
+  FROM pair GROUP BY 1, 2, 3
+),
+vec_leg AS (
+  SELECT mention, entity_id, exact_norm,
+         row_number() OVER (PARTITION BY mention ORDER BY vec_sim DESC, entity_id ASC) AS v_rank
+  FROM scored QUALIFY v_rank <= 100
+),
+kw_leg AS (
+  SELECT mention, entity_id, k_rank FROM (
+    SELECT mention, entity_id, kw_sim,
+           row_number() OVER (PARTITION BY mention ORDER BY kw_sim DESC, entity_id ASC) AS k_rank
+    FROM scored) x
+  WHERE k_rank <= 100 AND kw_sim > 0
+),
+fused AS (
+  SELECT COALESCE(v.mention, k.mention) AS mention,
+         COALESCE(v.entity_id, k.entity_id) AS entity_id,
+         v.v_rank, k.k_rank, v.exact_norm,
+         COALESCE(CAST(1.0 AS DOUBLE) / ({rrf_k} + v.v_rank), CAST(0 AS DOUBLE))
+           + COALESCE(CAST(1.0 AS DOUBLE) / ({rrf_k} + k.k_rank), CAST(0 AS DOUBLE)) AS rrf
+  FROM vec_leg v FULL OUTER JOIN kw_leg k
+    ON v.mention = k.mention AND v.entity_id = k.entity_id
+)
+SELECT mention, entity_id,
+       CASE WHEN exact_norm = 1 THEN rrf * CAST(2.0 AS DOUBLE) ELSE rrf END AS link_score,
+       CASE WHEN v_rank IS NOT NULL AND k_rank IS NOT NULL THEN 'both'
+            WHEN v_rank IS NOT NULL THEN 'semantic' ELSE 'keyword' END AS match_type
+FROM fused
+QUALIFY row_number() OVER (PARTITION BY mention ORDER BY
+  CASE WHEN exact_norm = 1 THEN rrf * CAST(2.0 AS DOUBLE) ELSE rrf END DESC,
+  (k_rank IS NOT NULL) DESC, entity_id ASC) = 1
+ORDER BY mention
+"""
+
+
+# lookahead-free camel component pattern — equivalent to functions.text.
+# CAMEL_RE on lowercase+digit identifiers (the only surfaces the derived
+# transcripts produce); DuckDB's RE2 has no lookahead.
+_CAMEL_RE2 = "[A-Z]?[a-z]+|[0-9]+"
+
+_NORM_SQL = (
+    "lower(array_to_string(flatten(list_transform("
+    "list_filter(string_split_regex({s}, '[_-]'), p -> p <> ''), "
+    f"p -> CASE WHEN len(regexp_extract_all(p, '{_CAMEL_RE2}')) > 0 "
+    f"THEN regexp_extract_all(p, '{_CAMEL_RE2}') ELSE [p] END)), '_'))"
+)
+
+_SHINGLES_SQL = (
+    "CASE WHEN len(lower({s})) <= 3 THEN [lower({s})] "
+    "ELSE list_distinct(list_transform(generate_series(1, len(lower({s})) - 2), "
+    "i -> substr(lower({s}), i, 3))) END"
+)
+
+
+def _canonicalize_oracle(n_hashes: int = 12, n_bands: int = 4, thr: float = 0.6) -> str:
+    """DuckDB replica of canonicalize_surfaces over the derived-transcript
+    mention surfaces: same portable-hash MinHash signatures, same band keys,
+    same exact-Jaccard verification and norm-equality edges, connected
+    components via recursive CTE, canon = min norm per component."""
+    rpb = n_hashes // n_bands
+    sig_elems = ", ".join(
+        f"list_min(list_transform(sh, x -> CAST(('0x' || substr(md5('{seed}|' || x), 1, 15)) AS BIGINT)))"
+        for seed in range(n_hashes)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT surface, {b} AS band, "
+        + " || '_' || ".join(f"CAST(sig[{b * rpb + r + 1}] AS VARCHAR)" for r in range(rpb))
+        + " AS key FROM sig"
+        for b in range(n_bands)
+    )
+    return f"""
+WITH RECURSIVE gt AS (
+  SELECT source || '_svc' AS subj, lang || '_store' AS obj FROM documents
+),
+surf AS (SELECT DISTINCT subj AS surface FROM gt UNION SELECT DISTINCT obj FROM gt),
+base AS (
+  SELECT surface,
+         {_NORM_SQL.format(s='surface')} AS norm,
+         {_SHINGLES_SQL.format(s='surface')} AS sh
+  FROM surf
+),
+sig AS (SELECT surface, sh, [{sig_elems}] AS sig FROM base),
+banded AS ({band_rows}),
+lsh_pairs AS (
+  SELECT DISTINCT l.surface AS a, r.surface AS b
+  FROM banded l
+  JOIN banded r ON l.band = r.band AND l.key = r.key AND l.surface < r.surface
+  JOIN base ba ON ba.surface = l.surface
+  JOIN base bb ON bb.surface = r.surface
+  WHERE len(list_intersect(ba.sh, bb.sh)) * 1.0
+        / len(list_distinct(list_concat(ba.sh, bb.sh))) >= {thr}
+),
+norm_pairs AS (
+  SELECT l.surface AS a, r.surface AS b
+  FROM base l JOIN base r ON l.norm = r.norm AND l.surface < r.surface
+),
+edges AS (SELECT a, b FROM lsh_pairs UNION SELECT a, b FROM norm_pairs),
+sym AS (SELECT a AS src, b AS dst FROM edges UNION SELECT b AS src, a AS dst FROM edges),
+walk(surface, node) AS (
+  SELECT surface, surface FROM base
+  UNION
+  SELECT w.surface, s.dst FROM walk w JOIN sym s ON s.src = w.node
+)
+SELECT w.surface, MIN(bn.norm) AS canon_id
+FROM walk w JOIN base bn ON bn.surface = w.node
+GROUP BY w.surface ORDER BY w.surface
+"""
 
 
 def q_multi_index_merge(spark, sf_dir):
@@ -1158,6 +1407,9 @@ ORACLES: dict[str, str] = {
          SELECT vec_id, label, cos_sim,
                 row_number() OVER (ORDER BY cos_sim DESC, vec_id ASC) AS rk
          FROM sims QUALIFY rk <= 10""",
+    "ann_lsh_topk": _lsh_topk_oracle(),
+    "kg_canonicalize": _canonicalize_oracle(),
+    "kg_link_mentions": _link_mentions_oracle(),
     "graph_reach": ORACLE_GRAPH,
     "multi_index_merge": ORACLE_MULTI_INDEX,
     "deps_enrichment": ORACLE_DEPS_ENRICH,

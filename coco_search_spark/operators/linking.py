@@ -28,7 +28,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from coco_search_spark.functions.embed import cosine_pandas_udf, make_embed_udf
+from coco_search_spark.functions.embed import (
+    cosine_expr,
+    cosine_pandas_udf,
+    embed_expr,
+    make_embed_udf,
+)
 from coco_search_spark.functions.text import normalize_name_col
 
 RRF_K = 60                      # hybrid.py:29
@@ -59,14 +64,20 @@ def link_surfaces(
     prefetch: int = MAX_PREFETCH,
     rrf_k: int = RRF_K,
     min_score: float = 0.0,
+    embedder: str = "udf",
 ) -> DataFrame:
     """surfaces(mention) [distinct] × catalog(entity_id, alias) → one row per
     surface with its best entity link (mention, entity_id, link_score,
     match_type). Linking is surface-level by design: the same surface always
     links identically, and the distinct-surface table is vocabulary-sized —
-    occurrences get their link via a broadcast join (link_mentions)."""
-    embed = make_embed_udf(embed_dim)
+    occurrences get their link via a broadcast join (link_mentions).
 
+    embedder: "udf" (default) scores the vector leg with the Arrow-batched
+    float32 pipeline embedder; "expr" uses the pure-Catalyst double-precision
+    ``embed_expr``/``cosine_expr`` form, whose scores a DuckDB oracle can
+    reproduce value for value. Each distinct mention/alias string is
+    embedded exactly once (not once per candidate pair) and joined onto the
+    pair table."""
     surfaces = surfaces.select("mention").withColumn(
         "m_norm", normalize_name_col(F.col("mention"))
     ).withColumn("m_tokens", norm_tokens_col(F.col("mention")))
@@ -81,14 +92,35 @@ def link_surfaces(
         .distinct()
     )
 
-    # ---- score both legs per (mention, alias) pair, then best per entity
-    scored_pair = cand.withColumn(
-        "vec_sim",
-        cosine_pandas_udf(embed(F.col("mention")), embed(F.col("alias"))),
-    ).withColumn(
-        "kw_sim",
-        F.size(F.array_intersect(F.col("m_tokens"), norm_tokens_col(F.col("alias"))))
-        / F.size(F.array_union(F.col("m_tokens"), norm_tokens_col(F.col("alias")))),
+    # ---- vector leg similarity per (mention, alias) pair; both ends are
+    # embedded ONCE per distinct string and attached by broadcast join —
+    # the pair table repeats strings many times over
+    if embedder == "expr":
+        vec_sim = cosine_expr(F.col("m_vec"), F.col("a_vec"))
+        m_vecs = surfaces.select(
+            "mention", embed_expr(F.col("mention"), embed_dim).alias("m_vec")
+        )
+        a_vecs = catalog.select("alias").distinct().select(
+            "alias", embed_expr(F.col("alias"), embed_dim).alias("a_vec")
+        )
+    else:
+        embed = make_embed_udf(embed_dim)
+        vec_sim = cosine_pandas_udf(F.col("m_vec"), F.col("a_vec"))
+        m_vecs = surfaces.select("mention", embed(F.col("mention")).alias("m_vec"))
+        a_vecs = catalog.select("alias").distinct().select(
+            "alias", embed(F.col("alias")).alias("a_vec")
+        )
+
+    scored_pair = (
+        cand.join(F.broadcast(m_vecs), "mention")
+        .join(F.broadcast(a_vecs), "alias")
+        .withColumn("vec_sim", vec_sim)
+        .drop("m_vec", "a_vec")
+        .withColumn(
+            "kw_sim",
+            F.size(F.array_intersect(F.col("m_tokens"), norm_tokens_col(F.col("alias"))))
+            / F.size(F.array_union(F.col("m_tokens"), norm_tokens_col(F.col("alias")))),
+        )
     )
     scored = scored_pair.groupBy("mention", "m_norm", "entity_id").agg(
         F.max("vec_sim").alias("vec_sim"),
