@@ -150,8 +150,20 @@ def connected_components(
     max_iterations: int = MAX_CC_ITERATIONS,
 ) -> DataFrame:
     """nodes(surface) + edges(a, b) → (surface, component) where component is
-    the min surface (lexicographic) reachable. Hash-to-min label propagation:
-    label(v) ← min(label(v), min label over neighbors), iterated to fixpoint.
+    the min surface (lexicographic) reachable.
+
+    Hash-to-min label propagation WITH pointer doubling:
+    label(v) ← min(label(v), label(label(v)), min label over neighbors).
+    Neighbor-min alone moves labels one hop per iteration (O(diameter));
+    the label-of-label term short-circuits established chains, giving
+    O(log diameter) rounds — a 2^k-hop alias chain converges in ~k
+    iterations, safely inside MAX_CC_ITERATIONS. (This is the in-DataFrame
+    equivalent of the large-star step of the Kiveris et al. MapReduce CC
+    algorithm; labels always point at known component members, so the
+    extra join key is the label itself.)
+
+    Raises RuntimeError if the cap is hit before the fixpoint — a silently
+    split component is a correctness bug, not a degraded answer.
     localCheckpoint each round cuts the lineage (mandatory for iterative
     DataFrame algorithms — SURVEY §7.3)."""
     # materialize the (possibly expensive) edge DAG ONCE — the loop must
@@ -166,26 +178,32 @@ def connected_components(
     ).localCheckpoint(eager=True)
 
     prev_gen = None
+    changed = 0
     for _ in range(max_iterations):
         neighbor_min = (
             sym.join(labels, sym.dst == labels.surface)
             .groupBy("src")
             .agg(F.min("component").alias("nbr_component"))
         )
+        # pointer doubling: the label of my current label
+        ll = labels.select(
+            F.col("surface").alias("_lk"), F.col("component").alias("_ll")
+        )
+        new_comp = F.least(
+            labels.component,
+            F.coalesce(F.col("_ll"), labels.component),
+            F.coalesce(F.col("nbr_component"), labels.component),
+        )
         # ONE job per iteration: persist the new labels and piggyback the
         # convergence check on the same action (cache-on-first-use), then
         # release the previous generation
         new_labels = (
-            labels.join(neighbor_min, labels.surface == neighbor_min.src, "left")
+            labels.join(ll, labels.component == ll._lk, "left")
+            .join(neighbor_min, labels.surface == neighbor_min.src, "left")
             .select(
                 labels.surface.alias("surface"),
-                F.least(
-                    F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
-                ).alias("component"),
-                (
-                    F.coalesce(F.col("nbr_component"), F.col("component"))
-                    < F.col("component")
-                ).cast("int").alias("changed"),
+                new_comp.alias("component"),
+                (new_comp < labels.component).cast("int").alias("changed"),
             )
             .persist()
         )
@@ -198,6 +216,12 @@ def connected_components(
         labels = new_labels.select("surface", "component")
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iterations} "
+            f"iterations ({changed} labels still changing) — raising instead "
+            "of returning silently split components"
+        )
     return labels.select("surface", "component")
 
 

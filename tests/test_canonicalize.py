@@ -68,3 +68,22 @@ def test_determinism_across_partitionings(spark, fx):
     c1 = {tuple(r) for r in canonicalize_surfaces(df1).collect()}
     c2 = {tuple(r) for r in canonicalize_surfaces(df2).collect()}
     assert c1 == c2
+
+
+def test_cc_long_chain_converges_and_cap_is_loud(spark):
+    """Pointer doubling must converge a 30-hop chain in O(log n) rounds
+    (well under the cap); an impossible cap must raise, not silently split
+    the component."""
+    import pytest
+
+    from coco_search_spark.operators.canonicalize import connected_components
+
+    names = [f"s{i:02d}" for i in range(31)]
+    nodes = spark.createDataFrame([(n,) for n in names], "surface string")
+    edges = spark.createDataFrame(
+        [(names[i], names[i + 1]) for i in range(30)], "a string, b string"
+    )
+    comp = {r["surface"]: r["component"] for r in connected_components(nodes, edges, max_iterations=8).collect()}
+    assert set(comp.values()) == {"s00"}
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(nodes, edges, max_iterations=2).collect()
