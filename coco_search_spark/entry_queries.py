@@ -51,6 +51,21 @@ _PRED_CASE = (
     "CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 'depends_on' WHEN 1 THEN 'calls' "
     "WHEN 2 THEN 'imports' WHEN 3 THEN 'uses' ELSE 'emits' END"
 )
+# passive surface of the same predicate (fixtures.PASSIVE_OF)
+_PASSIVE_CASE = (
+    "CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 'depended on' WHEN 1 THEN 'called' "
+    "WHEN 2 THEN 'imported' WHEN 3 THEN 'used' ELSE 'emitted' END"
+)
+# whitespace variance: every 7th row separates the relation words with a
+# newline instead of a space — the extractor's \s+ tolerance is thereby
+# oracle-gated, not just unit-tested
+_WS_CASE = "CASE WHEN CAST(doc_id % 7 AS INT) = 0 THEN chr(10) ELSE ' ' END"
+# one ground-truth relation sentence per row in one of the three grammar
+# forms (active / passive-swapped / appositive), chosen by doc_id % 3
+_REL_SENTENCE = f"""CASE CAST(doc_id % 3 AS INT)
+    WHEN 0 THEN source || '_svc' || {_WS_CASE} || {_PHRASE_CASE} || {_WS_CASE} || lang || '_store'
+    WHEN 1 THEN lang || '_store' || {_WS_CASE} || 'is' || {_WS_CASE} || {_PASSIVE_CASE} || {_WS_CASE} || 'by' || {_WS_CASE} || source || '_svc'
+    ELSE source || '_svc' || ' , which' || {_WS_CASE} || {_PHRASE_CASE} || {_WS_CASE} || lang || '_store' END"""
 
 DERIVED_TRANSCRIPTS_SQL = f"""
 SELECT
@@ -58,7 +73,7 @@ SELECT
   CAST(FLOOR(doc_id / 50.0) AS INT)                AS turn_idx,
   CASE CAST(doc_id % 4 AS INT)
     WHEN 0 THEN 'user' WHEN 2 THEN 'tool' ELSE 'assistant' END AS role,
-  text || ' ' || source || '_svc ' || {_PHRASE_CASE} || ' ' || lang || '_store .' AS text,
+  text || ' ' || {_REL_SENTENCE} || ' .' AS text,
   CASE WHEN CAST(doc_id % 4 AS INT) = 2 THEN 'grep' ELSE NULL END AS tool
 FROM documents
 """

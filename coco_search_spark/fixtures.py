@@ -31,6 +31,16 @@ RELATIONS: list[tuple[str, str]] = [
     ("emits", "emits"),
 ]
 
+# Passive-voice surface of each predicate ("obj is <passive> by subj") —
+# the inverse sentence form the extractor must recognize with swapped roles.
+PASSIVE_OF: dict[str, str] = {
+    "depends_on": "depended on",
+    "calls": "called",
+    "imports": "imported",
+    "uses": "used",
+    "emits": "emitted",
+}
+
 _ENTITY_WORDS = [
     "payment", "user", "order", "billing", "auth", "search", "index",
     "cache", "token", "stream", "queue", "graph", "vector", "shard",
@@ -140,7 +150,19 @@ def generate(
                 pred, phrase = RELATIONS[int(rng.integers(len(RELATIONS)))]
                 subj = subj_e.aliases[int(rng.integers(len(subj_e.aliases)))]
                 obj = obj_e.aliases[int(rng.integers(len(obj_e.aliases)))]
-                sent_parts.append(f"{subj} {phrase} {obj} .")
+                # three sentence forms × whitespace variance (real
+                # transcripts have newlines / double spaces) — the grammar
+                # the extractor must cover; all forms stay ≤ 11 word-tokens
+                # so the segmenter's overlap-containment guarantee holds
+                form = int(rng.integers(3))
+                ws = [" ", "  ", " \n "][int(rng.integers(3))]
+                if form == 0:
+                    sent = f"{subj}{ws}{phrase}{ws}{obj} ."
+                elif form == 1:
+                    sent = f"{obj}{ws}is{ws}{PASSIVE_OF[pred]}{ws}by{ws}{subj} ."
+                else:
+                    sent = f"{subj} , which{ws}{phrase}{ws}{obj} ."
+                sent_parts.append(sent)
                 gt.append(
                     {
                         "conv_id": conv_id,

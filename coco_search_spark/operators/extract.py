@@ -6,12 +6,27 @@ extractor.py:206-261) and symbol extraction (indexer/symbols.py:423-483):
 per-segment text → (subj, pred, obj) rows with a closed predicate
 vocabulary (models.py:13-18 analog) plus mention rows for linking.
 
+Grammar: three sentence forms over the closed predicate vocabulary, all
+whitespace-tolerant (``\\s+`` between words — real transcripts have
+newlines and double spaces), mirroring how the reference ships one
+extractor per syntactic form (python.py handles plain import / from-import
+/ aliased import etc., each a separate rule):
+
+- ACTIVE      ``subj <phrase> obj``             → (subj, pred, obj)
+- PASSIVE     ``obj is <passive-phrase> by subj`` → (subj, pred, obj)
+- APPOSITIVE  ``subj , which <phrase> obj``     → (subj, pred, obj)
+
+Function words (``which``/``is``/``by``) are excluded as subjects/objects —
+the appositive tail "which <phrase> obj" would otherwise also match the
+active form with subj="which" (the stop-filter is the cross-form
+disambiguation rule, applied identically in every implementation).
+
 Two interchangeable implementations, asserted equal in tests:
 
-- ``extract_triples``   — pure Catalyst: three ``regexp_extract_all`` calls
-  (one per capture group) zipped with ``arrays_zip`` and exploded. The whole
-  extractor lives inside whole-stage codegen; at 10^12 turns this is the
-  scale path (regex runs JVM-side, zero Python serde).
+- ``extract_triples``   — pure Catalyst: per-form ``regexp_extract_all``
+  capture groups zipped positionally and exploded once. The whole extractor
+  lives inside whole-stage codegen; at 10^12 turns this is the scale path
+  (regex runs JVM-side, zero Python serde).
 - ``extract_triples_arrow`` — Arrow-batched ``mapInPandas`` running the
   pure-Python reference rules per batch (the north star's "vectorized
   pandas/Arrow UDF extraction"); useful when rules outgrow regex.
@@ -27,59 +42,100 @@ import re
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from coco_search_spark.fixtures import RELATIONS
+from coco_search_spark.fixtures import PASSIVE_OF, RELATIONS
 from coco_search_spark.functions.text import IDENT_RE
 
-_PHRASE_ALT = "|".join(
-    re.escape(p) for p in sorted((ph for _, ph in RELATIONS), key=len, reverse=True)
-)
-TRIPLE_RE = rf"\b({IDENT_RE}) ({_PHRASE_ALT}) ({IDENT_RE})\b"
+
+def _ws_alt(phrases: list[str]) -> str:
+    """Alternation over phrases with \\s+ between phrase words, longest
+    first so overlapping phrases resolve deterministically."""
+    return "|".join(
+        r"\s+".join(re.escape(w) for w in p.split(" "))
+        for p in sorted(phrases, key=len, reverse=True)
+    )
+
+
+_PHRASE_ALT = _ws_alt([ph for _, ph in RELATIONS])
+_PASSIVE_ALT = _ws_alt(list(PASSIVE_OF.values()))
+
+# form → (regex, swap): swap=True means group 3 is the subject (passive).
+ACTIVE_RE = rf"\b({IDENT_RE})\s+({_PHRASE_ALT})\s+({IDENT_RE})\b"
+PASSIVE_RE = rf"\b({IDENT_RE})\s+is\s+({_PASSIVE_ALT})\s+by\s+({IDENT_RE})\b"
+APPOS_RE = rf"\b({IDENT_RE})\s*,\s*which\s+({_PHRASE_ALT})\s+({IDENT_RE})\b"
 
 PRED_OF_PHRASE = {phrase: pred for pred, phrase in RELATIONS}
+PRED_OF_PASSIVE = {phrase: pred for pred, phrase in PASSIVE_OF.items()}
+
+# function words that may syntactically occupy an identifier slot in one
+# form while being part of another form's scaffolding
+STOP_IDENTS = frozenset({"which", "is", "by"})
+
+GRAMMAR: list[tuple[str, bool, dict[str, str]]] = [
+    (ACTIVE_RE, False, PRED_OF_PHRASE),
+    (PASSIVE_RE, True, PRED_OF_PASSIVE),
+    (APPOS_RE, False, PRED_OF_PHRASE),
+]
 
 
-def _pred_map_expr():
+def _map_expr(mapping: dict[str, str]) -> Column:
     pairs: list = []
-    for pred, phrase in RELATIONS:
+    for phrase, pred in mapping.items():
         pairs.extend([F.lit(phrase), F.lit(pred)])
     return F.create_map(*pairs)
+
+
+def _form_triples(seg: Column, regex: str, swap: bool, mapping: dict[str, str]) -> Column:
+    """array<struct<subj,pred,obj>> of this form's matches in seg."""
+    g1 = F.regexp_extract_all(seg, F.lit(regex), 1)
+    g2 = F.regexp_extract_all(seg, F.lit(regex), 2)
+    g3 = F.regexp_extract_all(seg, F.lit(regex), 3)
+    pred_map = _map_expr(mapping)
+    # transform over g1 with its 0-based index (NOT sequence(1, size) —
+    # sequence(1, 0) descends instead of being empty on zero matches)
+    return F.transform(
+        g1,
+        lambda x1, i: F.struct(
+            (F.element_at(g3, i + 1) if swap else x1).alias("subj"),
+            pred_map[
+                F.regexp_replace(F.element_at(g2, i + 1), r"\s+", " ")
+            ].alias("pred"),
+            (x1 if swap else F.element_at(g3, i + 1)).alias("obj"),
+        ),
+    )
 
 
 def extract_triples(segments: DataFrame) -> DataFrame:
     """segments → distinct (conv_id, turn_idx, subj, pred, obj) triples.
 
-    The distinct is the only shuffle, keyed by the full triple row —
+    One projection computes every form's match array, a single explode
+    flattens their concatenation, and the distinct is the only shuffle —
     partial aggregation (map-side combine) collapses the overlap dupes
     before exchange, so the shuffle carries ≈unique triples only.
     """
-    # ONE regex pass (group 0), then cheap array ops split the match —
-    # "subj phrase obj" has single spaces by construction, so word 1 is the
-    # subject, the last word is the object, the middle words are the phrase.
-    matches = F.regexp_extract_all(F.col("seg_text"), F.lit(TRIPLE_RE), 0)
-    words = F.split(F.col("m"), " ")
+    seg = F.col("seg_text")
+    all_forms = F.concat(*[_form_triples(seg, rx, sw, mp) for rx, sw, mp in GRAMMAR])
     exploded = (
-        segments.select(
-            "conv_id",
-            "turn_idx",
-            F.explode(matches).alias("m"),
-        )
+        segments.select("conv_id", "turn_idx", F.explode(all_forms).alias("t"))
         .select(
             "conv_id",
             "turn_idx",
-            F.element_at(words, 1).alias("subj"),
-            _pred_map_expr()[
-                F.array_join(F.slice(words, 2, F.size(words) - 2), " ")
-            ].alias("pred"),
-            F.element_at(words, -1).alias("obj"),
+            F.col("t.subj").alias("subj"),
+            F.col("t.pred").alias("pred"),
+            F.col("t.obj").alias("obj"),
+        )
+        .filter(
+            ~F.col("subj").isin(*STOP_IDENTS) & ~F.col("obj").isin(*STOP_IDENTS)
         )
     )
     return exploded.distinct()
 
 
-_ARROW_PATTERN = re.compile(TRIPLE_RE)
+_ARROW_GRAMMAR = [
+    (re.compile(rx), swap, mapping) for rx, swap, mapping in GRAMMAR
+]
 
 TRIPLE_SCHEMA = "conv_id string, turn_idx int, subj string, pred string, obj string"
 
@@ -94,10 +150,15 @@ def extract_triples_arrow(segments: DataFrame) -> DataFrame:
             for conv_id, turn_idx, text in zip(
                 pdf["conv_id"], pdf["turn_idx"], pdf["seg_text"]
             ):
-                for m in _ARROW_PATTERN.finditer(text or ""):
-                    rows.append(
-                        (conv_id, int(turn_idx), m.group(1), PRED_OF_PHRASE[m.group(2)], m.group(3))
-                    )
+                for pattern, swap, mapping in _ARROW_GRAMMAR:
+                    for m in pattern.finditer(text or ""):
+                        subj, obj = (
+                            (m.group(3), m.group(1)) if swap else (m.group(1), m.group(3))
+                        )
+                        if subj in STOP_IDENTS or obj in STOP_IDENTS:
+                            continue
+                        pred = mapping[re.sub(r"\s+", " ", m.group(2))]
+                        rows.append((conv_id, int(turn_idx), subj, pred, obj))
             yield pd.DataFrame(rows, columns=["conv_id", "turn_idx", "subj", "pred", "obj"])
 
     return (

@@ -7,15 +7,18 @@ It plays the role the reference's per-language dependency extractors play
 text → list[DependencyEdge]), and like them it is deterministic and
 side-effect free so tests are hermetic.
 
-Extraction grammar (closed predicate vocabulary, models.py:13-18 analog):
-a triple is an exact textual pattern
+Extraction grammar (closed predicate vocabulary, models.py:13-18 analog),
+three sentence forms, whitespace-tolerant (``\\s+`` between words):
 
-    <identifier> <relation-phrase> <identifier>
+    <ident> <relation-phrase> <ident>               (active)
+    <ident> is <passive-phrase> by <ident>          (passive — swapped)
+    <ident> , which <relation-phrase> <ident>       (appositive)
 
 where <identifier> matches ``[A-Za-z_][A-Za-z0-9_]*`` (the reference's
-identifier pattern, src/cocosearch/indexer/tsvector.py:103) and
-<relation-phrase> is one of RELATIONS in fixtures.py. Duplicate triples
-within a turn are deduplicated — the analog of the reference's
+identifier pattern, src/cocosearch/indexer/tsvector.py:103) and the phrases
+come from RELATIONS / PASSIVE_OF in fixtures.py. Function words
+(which/is/by) are excluded as subjects/objects. Duplicate triples within a
+turn are deduplicated — the analog of the reference's
 ``_deduplicate_edges`` (src/cocosearch/deps/extractor.py:181-203).
 """
 
@@ -25,31 +28,55 @@ import re
 
 import pandas as pd
 
-from coco_search_spark.fixtures import RELATIONS
+from coco_search_spark.fixtures import PASSIVE_OF, RELATIONS
 
 _IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
 
-# One alternation regex over all relation phrases; longest phrases first so
-# overlapping phrases resolve deterministically.
-_PHRASES = sorted((phrase, pred) for pred, phrase in RELATIONS)
-_PATTERN = re.compile(
-    r"\b(" + _IDENT + r") ("
-    + "|".join(re.escape(p) for p, _ in sorted(_PHRASES, key=lambda x: -len(x[0])))
-    + r") (" + _IDENT + r")\b"
+
+def _alt(phrases) -> str:
+    # longest first so overlapping phrases resolve deterministically;
+    # \s+ between phrase words tolerates newlines / double spaces
+    return "|".join(
+        r"\s+".join(re.escape(w) for w in p.split(" "))
+        for p in sorted(phrases, key=len, reverse=True)
+    )
+
+
+_ACTIVE = re.compile(
+    r"\b(" + _IDENT + r")\s+(" + _alt([ph for _, ph in RELATIONS]) + r")\s+(" + _IDENT + r")\b"
+)
+_PASSIVE = re.compile(
+    r"\b(" + _IDENT + r")\s+is\s+(" + _alt(list(PASSIVE_OF.values())) + r")\s+by\s+(" + _IDENT + r")\b"
+)
+_APPOS = re.compile(
+    r"\b(" + _IDENT + r")\s*,\s*which\s+(" + _alt([ph for _, ph in RELATIONS]) + r")\s+(" + _IDENT + r")\b"
 )
 _PRED_OF_PHRASE = {phrase: pred for pred, phrase in RELATIONS}
+_PRED_OF_PASSIVE = {phrase: pred for pred, phrase in PASSIVE_OF.items()}
+_STOP = frozenset({"which", "is", "by"})
+
+_FORMS = [
+    (_ACTIVE, False, _PRED_OF_PHRASE),
+    (_PASSIVE, True, _PRED_OF_PASSIVE),
+    (_APPOS, False, _PRED_OF_PHRASE),
+]
 
 
 def extract_triples_from_text(text: str) -> list[tuple[str, str, str]]:
     """All (subj_surface, pred, obj_surface) matches in one turn's text,
-    deduplicated, document order preserved."""
+    across the three grammar forms, deduplicated, document order preserved
+    per form."""
     seen: set[tuple[str, str, str]] = set()
     out: list[tuple[str, str, str]] = []
-    for m in _PATTERN.finditer(text or ""):
-        triple = (m.group(1), _PRED_OF_PHRASE[m.group(2)], m.group(3))
-        if triple not in seen:
-            seen.add(triple)
-            out.append(triple)
+    for pattern, swap, mapping in _FORMS:
+        for m in pattern.finditer(text or ""):
+            subj, obj = (m.group(3), m.group(1)) if swap else (m.group(1), m.group(3))
+            if subj in _STOP or obj in _STOP:
+                continue
+            triple = (subj, mapping[re.sub(r"\s+", " ", m.group(2))], obj)
+            if triple not in seen:
+                seen.add(triple)
+                out.append(triple)
     return out
 
 

@@ -36,6 +36,24 @@ def test_reference_extractor_basics():
     assert extract_triples_from_text("no relations here at all") == []
 
 
+def test_reference_extractor_grammar_forms():
+    # passive form swaps roles
+    assert extract_triples_from_text("barStore is depended on by fooService .") == [
+        ("fooService", "depends_on", "barStore")
+    ]
+    assert extract_triples_from_text("c_d is called by a_b .") == [("a_b", "calls", "c_d")]
+    # appositive form; the embedded "which calls c_d" must NOT also yield a
+    # (which, calls, c_d) active-form triple
+    assert extract_triples_from_text("a_b , which calls c_d .") == [("a_b", "calls", "c_d")]
+    # whitespace tolerance: newlines and double spaces inside the pattern
+    assert extract_triples_from_text("fooService depends\non  barStore") == [
+        ("fooService", "depends_on", "barStore")
+    ]
+    assert extract_triples_from_text("x_y \n uses \n z_w") == [("x_y", "uses", "z_w")]
+    # function words never become entities
+    assert extract_triples_from_text("which uses z_w . is uses by .") == []
+
+
 def test_segmentation_covers_and_reassembles(spark, transcripts):
     segs = segment_turns(transcripts)
     # every turn yields ≥1 segment
