@@ -159,6 +159,90 @@ def q_kg_turn_window(spark, sf_dir):
     )
 
 
+def q_kg_context_expand(spark, sf_dir):
+    """W3 proper (context_expander.py:302-411 analog): each turn carries its
+    neighbors' text (2 before / 2 after, 200-char cap each) plus BOF/EOF
+    clip flags."""
+    from coco_search_spark.operators.context import expand_context
+
+    t = derived_transcripts(spark, sf_dir)
+    return expand_context(t, n_before=2, n_after=2, max_chars=200).orderBy(
+        "conv_id", "turn_idx"
+    )
+
+
+ORACLE_CONTEXT = f"""
+WITH t AS ({{derived}})
+SELECT conv_id, turn_idx,
+       COALESCE(string_agg(substr(text, 1, 200), chr(10)) OVER (
+         PARTITION BY conv_id ORDER BY turn_idx
+         ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING), '') AS ctx_before,
+       COALESCE(string_agg(substr(text, 1, 200), chr(10)) OVER (
+         PARTITION BY conv_id ORDER BY turn_idx
+         ROWS BETWEEN 1 FOLLOWING AND 2 FOLLOWING), '') AS ctx_after,
+       CASE WHEN row_number() OVER w - 1 < 2 THEN 1 ELSE 0 END AS is_bof,
+       CASE WHEN COUNT(*) OVER (PARTITION BY conv_id) - row_number() OVER w < 2
+            THEN 1 ELSE 0 END AS is_eof
+FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+ORDER BY conv_id, turn_idx
+"""
+
+
+def q_transcript_quarantine(spark, sf_dir):
+    """X5 parse-status detection (parse_tracking.py:58-111 analog): a
+    deterministically poisoned copy of the transcripts (null / empty /
+    oversize texts) classified into parse statuses; returns per-status turn
+    + conversation counts. The pipeline quarantines non-ok rows instead of
+    failing (tested end-to-end in pytest)."""
+    from coco_search_spark.operators.validate import validate_turns
+
+    t = derived_transcripts(spark, sf_dir)
+    doc_id = (
+        F.col("turn_idx").cast("long") * 50
+        + F.substring(F.col("conv_id"), 6, 10).cast("long")
+    )
+    poisoned = t.withColumn(
+        "text",
+        F.when(F.pmod(doc_id, F.lit(23)) == 0, F.lit(None).cast("string"))
+        .when(F.pmod(doc_id, F.lit(23)) == 1, F.lit(""))
+        .when(F.pmod(doc_id, F.lit(23)) == 2, F.lit("x" * 3100))
+        .otherwise(F.col("text")),
+    )
+    return (
+        validate_turns(poisoned, max_chars=3000)
+        .groupBy("parse_status")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.countDistinct("conv_id").alias("n_convs"),
+        )
+        .orderBy("parse_status")
+    )
+
+
+ORACLE_QUARANTINE = """
+WITH t AS ({derived}),
+p AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN (CAST(turn_idx AS BIGINT) * 50 + CAST(substr(conv_id, 6) AS BIGINT)) % 23 = 0 THEN NULL
+              WHEN (CAST(turn_idx AS BIGINT) * 50 + CAST(substr(conv_id, 6) AS BIGINT)) % 23 = 1 THEN ''
+              WHEN (CAST(turn_idx AS BIGINT) * 50 + CAST(substr(conv_id, 6) AS BIGINT)) % 23 = 2 THEN repeat('x', 3100)
+              ELSE text END AS text
+  FROM t
+),
+v AS (
+  SELECT conv_id,
+         CASE WHEN conv_id IS NULL OR turn_idx IS NULL THEN 'null_key'
+              WHEN text IS NULL THEN 'null_text'
+              WHEN length(text) = 0 THEN 'empty_text'
+              WHEN length(text) > 3000 THEN 'oversize'
+              ELSE 'ok' END AS parse_status
+  FROM p
+)
+SELECT parse_status, COUNT(*) AS n_turns, COUNT(DISTINCT conv_id) AS n_convs
+FROM v GROUP BY 1 ORDER BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Hybrid ranking / RRF
 # ---------------------------------------------------------------------------
@@ -1199,6 +1283,56 @@ SELECT node, MIN(depth) AS depth FROM walk GROUP BY node ORDER BY node
 """
 
 
+def q_graph_tree(spark, sf_dir):
+    """Tree-shaped BFS (DependencyTree analog, models.py:49-80 built at
+    deps/query.py:179-243): reverse reachability from r-0 with parent
+    reconstruction — parent = lexicographically smallest predecessor at
+    depth-1 (deterministic tree choice)."""
+    from coco_search_spark.operators.graph import transitive_tree
+
+    load_views(spark, sf_dir)
+    s = spark.table("supplier")
+    n = spark.table("nation")
+    edges = s.select(
+        F.concat(F.lit("s-"), F.col("s_suppkey")).alias("subj_id"),
+        F.concat(F.lit("n-"), F.col("s_nationkey")).alias("obj_id"),
+    ).unionByName(
+        n.select(
+            F.concat(F.lit("n-"), F.col("n_nationkey")).alias("subj_id"),
+            F.concat(F.lit("r-"), F.col("n_regionkey")).alias("obj_id"),
+        )
+    )
+    roots = spark.createDataFrame([("r-0",)], "node string")
+    return transitive_tree(edges, roots, direction="reverse").orderBy("node")
+
+
+ORACLE_GRAPH_TREE = """
+WITH RECURSIVE edges AS (
+  SELECT 's-' || s_suppkey AS subj_id, 'n-' || s_nationkey AS obj_id FROM supplier
+  UNION ALL
+  SELECT 'n-' || n_nationkey, 'r-' || n_regionkey FROM nation
+),
+walk(node, depth) AS (
+  SELECT 'r-0', 0
+  UNION
+  SELECT e.subj_id, w.depth + 1
+  FROM walk w JOIN edges e ON e.obj_id = w.node
+  WHERE w.depth < 5
+),
+reach AS (SELECT node, MIN(depth) AS depth FROM walk GROUP BY node),
+par AS (
+  SELECT r.node, MIN(p.node) AS parent
+  FROM reach r
+  JOIN edges e ON e.subj_id = r.node
+  JOIN reach p ON p.node = e.obj_id AND p.depth = r.depth - 1
+  GROUP BY r.node
+)
+SELECT r.node, r.depth, p.parent
+FROM reach r LEFT JOIN par p USING (node)
+ORDER BY r.node
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1278,6 +1412,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_mentions": q_kg_mentions,
     "kg_conv_hash": q_kg_conv_hash,
     "kg_turn_window": q_kg_turn_window,
+    "kg_context_expand": q_kg_context_expand,
+    "transcript_quarantine": q_transcript_quarantine,
     "rrf_fusion_docs": q_rrf_fusion_docs,
     "pricing_summary": q_pricing_summary,
     "top_orders_per_customer": q_top_orders_per_customer,
@@ -1308,6 +1444,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize_events": q_sessionize_events,
     "graph_hubs": q_graph_hubs,
     "blast_radius": q_blast_radius,
+    "graph_tree": q_graph_tree,
 }
 
 _PORTABLE_HASH = "CAST(('0x' || substr(md5({e}), 1, 15)) AS BIGINT)"
@@ -1334,6 +1471,9 @@ ORACLES: dict[str, str] = {
                 COALESCE(lead(length(text)) OVER w, 0) AS next_len,
                 row_number() OVER w AS turn_rank
          FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)""",
+    "kg_context_expand": ORACLE_CONTEXT.format(derived=DERIVED_TRANSCRIPTS_SQL),
+    "transcript_quarantine": ORACLE_QUARANTINE.format(derived=DERIVED_TRANSCRIPTS_SQL),
+    "graph_tree": ORACLE_GRAPH_TREE,
     "rrf_fusion_docs": ORACLE_RRF,
     # DuckDB SUM(BIGINT) returns HUGEINT, which pandas renders as float64
     # ("138014.0" vs Spark's "138014") — CAST every integer SUM back to

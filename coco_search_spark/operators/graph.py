@@ -121,6 +121,46 @@ def transitive_closure_per_root(
     return visited
 
 
+def transitive_tree(
+    edges: DataFrame,
+    roots: DataFrame,
+    direction: str = "forward",
+    max_depth: int = MAX_DEPTH,
+) -> DataFrame:
+    """BFS closure WITH tree structure: (node, depth, parent) — the analog
+    of the reference's DependencyTree (models.py:49-80, built at
+    deps/query.py:179-243), which callers need for "why is X reachable"
+    questions, not just the reachable set.
+
+    depth = minimal hop count from any root; parent = the lexicographically
+    smallest predecessor at depth-1 (deterministic under any partitioning —
+    BFS tree choice is otherwise arbitrary). Roots carry parent = NULL.
+    Computed as one post-hoc join over the closure: predecessors at
+    depth-1 are grouped per node with min(), so no per-level parent state
+    is threaded through the loop."""
+    if direction == "forward":
+        step = edges.select(F.col("subj_id").alias("src"), F.col("obj_id").alias("dst"))
+    elif direction == "reverse":
+        step = edges.select(F.col("obj_id").alias("src"), F.col("subj_id").alias("dst"))
+    else:
+        raise ValueError(direction)
+    step = step.filter(F.col("dst").isNotNull()).distinct().localCheckpoint(eager=True)
+
+    vis = transitive_closure(edges, roots, direction, max_depth)
+    src_d = vis.select(F.col("node").alias("src"), F.col("depth").alias("src_depth"))
+    dst_d = vis.select(F.col("node").alias("dst"), F.col("depth").alias("dst_depth"))
+    parents = (
+        step.join(src_d, "src")
+        .join(dst_d, "dst")
+        .filter(F.col("src_depth") + 1 == F.col("dst_depth"))
+        .groupBy("dst")
+        .agg(F.min("src").alias("parent"))
+    )
+    return vis.join(
+        parents, vis.node == parents.dst, "left"
+    ).select("node", "depth", "parent")
+
+
 def blast_radius(edges: DataFrame, roots: DataFrame, max_depth: int = MAX_DEPTH) -> DataFrame:
     """(root, radius): how many nodes each root transitively impacts in
     reverse direction — the reference's impact/blast-radius metric."""

@@ -29,6 +29,7 @@ from coco_search_spark.operators.extract import (
 from coco_search_spark.operators.linking import link_surfaces
 from coco_search_spark.operators.materialize import build_nodes, resolve_edges, write_graph
 from coco_search_spark.operators.segments import segment_turns
+from coco_search_spark.operators.validate import split_quarantine
 from coco_search_spark.state import StateStore, conversation_hashes, diff_against_state
 
 
@@ -68,6 +69,11 @@ def run_pipeline(
         _t0 = now
 
     extract_fn = extract_triples if extractor == "native" else extract_triples_arrow
+
+    # parse-status gate (parse_tracking.py:58-111 analog): malformed turns
+    # are quarantined and counted per conversation into state `errors`;
+    # the pipeline proceeds over clean rows instead of failing
+    transcripts, quarantined = split_quarantine(transcripts)
 
     store = StateStore(state_dir) if state_dir else None
     prev_triples: DataFrame | None = None
@@ -195,23 +201,36 @@ def run_pipeline(
         triples.write.mode("overwrite").parquet(triples_path)
         _stamp("write_graph_triples")
 
+    n_quarantined = quarantined.count()
+    if out_dir and n_quarantined:
+        quarantined.write.mode("overwrite").parquet(f"{out_dir}/quarantine")
+
     metrics = {
         "n_triples": n_triples,
         "n_unchanged_convs": n_unchanged,
+        "n_quarantined_turns": n_quarantined,
         "n_surfaces": surfaces.count(),
         "n_nodes": nodes.count(),
         "stage_timings": timings,
     }
 
     if store is not None and cur_hashes is not None:
-        state_rows = cur_hashes.select(
-            "conv_id",
-            "content_hash",
-            F.lit("materialize").alias("stage"),
-            F.lit("pending").alias("snapshot_id"),
-            F.col("rows_in"),
-            F.lit(n_triples).alias("rows_out"),
-            F.lit(0).alias("errors"),
+        err_by_conv = (
+            quarantined.filter(F.col("conv_id").isNotNull())
+            .groupBy("conv_id")
+            .agg(F.count(F.lit(1)).alias("errors"))
+        )
+        state_rows = (
+            cur_hashes.join(err_by_conv, "conv_id", "left")
+            .select(
+                "conv_id",
+                "content_hash",
+                F.lit("materialize").alias("stage"),
+                F.lit("pending").alias("snapshot_id"),
+                F.col("rows_in"),
+                F.lit(n_triples).alias("rows_out"),
+                F.coalesce(F.col("errors"), F.lit(0)).cast("bigint").alias("errors"),
+            )
         )
         snapshot_id = store.commit(state_rows, stage="materialize")
         # record where triples live so the next run can reuse them

@@ -193,3 +193,30 @@ def test_resume_without_prev_triples_falls_back_to_full(spark, fx, transcripts, 
     r2 = run_pipeline(spark, transcripts, state_dir=state)  # everything unchanged
     assert r2.metrics["n_triples"] == n_full
     assert r2.metrics["n_unchanged_convs"] == 0  # fallback downgraded to full
+
+
+def test_poisoned_turns_quarantined_not_fatal(spark, fx, tmp_path):
+    """Malformed turns (null / empty / oversize text) must be quarantined
+    and counted into state `errors`, with the pipeline completing over the
+    clean rows (parse_tracking.py:58-111 analog)."""
+    pdf = fx.transcripts.copy()
+    poison_null = pdf.index[::17]
+    poison_empty = pdf.index[1::23]
+    pdf.loc[poison_null, "text"] = None
+    pdf.loc[poison_empty, "text"] = ""
+    sdf = spark.createDataFrame(pdf, schema=fixtures.TRANSCRIPT_SCHEMA)
+    state = str(tmp_path / "state")
+    res = run_pipeline(spark, sdf, out_dir=str(tmp_path / "out"), state_dir=state)
+    n_poisoned = len(poison_null) + len(poison_empty)
+    assert res.metrics["n_quarantined_turns"] == n_poisoned
+    assert res.metrics["n_triples"] > 0  # clean rows still extracted
+    # errors recorded per conversation in the state table
+    store = StateStore(state)
+    errs = store.read(spark).agg(F.sum("errors")).collect()[0][0]
+    assert errs == n_poisoned
+    # quarantined rows materialized with their status
+    q = spark.read.parquet(str(tmp_path / "out" / "quarantine"))
+    assert q.count() == n_poisoned
+    assert set(r["parse_status"] for r in q.select("parse_status").distinct().collect()) == {
+        "null_text", "empty_text",
+    }
