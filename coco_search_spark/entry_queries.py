@@ -159,6 +159,49 @@ def q_kg_turn_window(spark, sf_dir):
     )
 
 
+def q_kg_qualified_mentions(spark, sf_dir):
+    """F14/F15 analog: each mention occurrence with its conversation-scoped
+    qualified name (conv::role::mention — symbols.py:216-291 qualified-name
+    building) and the turn's signature line (first line truncated —
+    symbols.py:294-347 signature extraction)."""
+    from coco_search_spark.functions.text import qualified_name_col, signature_col
+    from coco_search_spark.operators.extract import extract_mentions
+
+    t = derived_transcripts(spark, sf_dir)
+    m = extract_mentions(_triples(spark, sf_dir))
+    sig = t.select(
+        "conv_id", "turn_idx", signature_col(F.col("text")).alias("signature")
+    )
+    return (
+        m.join(sig, ["conv_id", "turn_idx"])
+        .select(
+            "conv_id",
+            "turn_idx",
+            qualified_name_col(
+                F.col("conv_id"), F.col("mention_role"), F.col("mention")
+            ).alias("qualified"),
+            "signature",
+        )
+        .orderBy("conv_id", "turn_idx", "qualified")
+    )
+
+
+ORACLE_QUALIFIED = (
+    _ORACLE_TRIPLES_CTE
+    + """, mrows AS (
+  SELECT DISTINCT conv_id, turn_idx, subj AS mention, 'subj' AS mention_role FROM gt
+  UNION
+  SELECT DISTINCT conv_id, turn_idx, obj AS mention, 'obj' AS mention_role FROM gt
+)
+SELECT m.conv_id, m.turn_idx,
+       m.conv_id || '::' || m.mention_role || '::' || m.mention AS qualified,
+       substr(split_part(t.text, chr(10), 1), 1, 60) AS signature
+FROM mrows m JOIN t ON t.conv_id = m.conv_id AND t.turn_idx = m.turn_idx
+ORDER BY m.conv_id, m.turn_idx, qualified
+"""
+)
+
+
 def q_kg_context_expand(spark, sf_dir):
     """W3 proper (context_expander.py:302-411 analog): each turn carries its
     neighbors' text (2 before / 2 after, 200-char cap each) plus BOF/EOF
@@ -768,18 +811,9 @@ def _cap_col(c):
     return F.concat(F.upper(F.substring(c, 1, 1)), F.substring(c, 2, 1 << 20))
 
 
-def q_kg_link_mentions(spark, sf_dir):
-    """Hybrid RRF entity linking (the flagship stage), oracle-checked value
-    for value: each distinct mention surface is linked against a catalog
-    whose aliases are the snake/camel/Pascal variants of every ground-truth
-    entity, using the expr embedder (double-precision sha256-byte cosine,
-    DuckDB-replicable) for the vector leg, token-Jaccard for the keyword
-    leg, RRF fusion with exact-norm boost, deterministic tie-breaks. The
-    DuckDB oracle replays the entire pipeline: candidate generation by
-    shared normalized token, both legs, per-leg ranks, fusion, boost,
-    top-1."""
-    from coco_search_spark.operators.linking import link_surfaces
-
+def _surfaces_and_catalog(spark, sf_dir):
+    """Distinct mention surfaces + a snake/camel/Pascal alias catalog over
+    them — the shared setup of the linking queries."""
     t = _triples(spark, sf_dir)
     surf = (
         t.select(F.col("subj").alias("surface"))
@@ -803,10 +837,40 @@ def q_kg_link_mentions(spark, sf_dir):
             )
         )
     )
+    return surf, catalog
+
+
+def q_kg_link_mentions(spark, sf_dir):
+    """Hybrid RRF entity linking (the flagship stage), oracle-checked value
+    for value: each distinct mention surface is linked against a catalog
+    whose aliases are the snake/camel/Pascal variants of every ground-truth
+    entity, using the expr embedder (double-precision sha256-byte cosine,
+    DuckDB-replicable) for the vector leg, token-Jaccard for the keyword
+    leg, RRF fusion with exact-norm boost, deterministic tie-breaks. The
+    DuckDB oracle replays the entire pipeline: candidate generation by
+    shared normalized token, both legs, per-leg ranks, fusion, boost,
+    top-1."""
+    from coco_search_spark.operators.linking import link_surfaces
+
+    surf, catalog = _surfaces_and_catalog(spark, sf_dir)
     mentions = surf.select(F.col("surface").alias("mention"))
     return (
         link_surfaces(mentions, catalog, embedder="expr")
         .orderBy("mention")
+    )
+
+
+def q_kg_link_topn(spark, sf_dir):
+    """J4 resolve_many analog (extractor.py:108-123): top-3 candidate links
+    per mention with rank — one alias expanding to several plausible
+    targets. Same oracle machinery as kg_link_mentions with rank <= 3."""
+    from coco_search_spark.operators.linking import link_surfaces_topn
+
+    surf, catalog = _surfaces_and_catalog(spark, sf_dir)
+    mentions = surf.select(F.col("surface").alias("mention"))
+    return (
+        link_surfaces_topn(mentions, catalog, top_n=3, embedder="expr")
+        .orderBy("mention", "link_rank")
     )
 
 
@@ -827,13 +891,15 @@ def q_kg_canonicalize(spark, sf_dir):
     return canonicalize_surfaces(surfaces).orderBy("surface")
 
 
-def _link_mentions_oracle(dim: int = 64, rrf_k: int = 60) -> str:
+def _link_mentions_oracle(dim: int = 64, rrf_k: int = 60, top_n: int = 1) -> str:
     """DuckDB replica of the full hybrid-RRF linking pipeline in
     q_kg_link_mentions: shared-token candidate generation, double-precision
     sha256-byte embedding cosine (vector leg), token-set Jaccard (keyword
-    leg), per-leg ranks, RRF fusion, exact-norm boost, deterministic top-1.
-    All float literals are cast to DOUBLE (DuckDB parses bare 1.0 as
-    DECIMAL, whose arithmetic would diverge from Spark's doubles)."""
+    leg), per-leg ranks, RRF fusion, exact-norm boost, deterministic
+    ranking; top_n=1 is the best-link form, top_n>1 the resolve_many form
+    (link_rank exposed). All float literals are cast to DOUBLE (DuckDB
+    parses bare 1.0 as DECIMAL, whose arithmetic would diverge from Spark's
+    doubles)."""
     norm = _NORM_SQL
     emb_v = (
         f"list_transform(generate_series(1, {dim}), i -> "
@@ -844,6 +910,8 @@ def _link_mentions_oracle(dim: int = 64, rrf_k: int = 60) -> str:
     def cap(e: str) -> str:
         return f"upper(substr({e}, 1, 1)) || substr({e}, 2)"
 
+    rank_col = ", link_rank" if top_n > 1 else ""
+    rank_order = ", link_rank" if top_n > 1 else ""
     return f"""
 WITH surf AS (
   SELECT DISTINCT source || '_svc' AS surface FROM documents
@@ -909,16 +977,20 @@ fused AS (
            + COALESCE(CAST(1.0 AS DOUBLE) / ({rrf_k} + k.k_rank), CAST(0 AS DOUBLE)) AS rrf
   FROM vec_leg v FULL OUTER JOIN kw_leg k
     ON v.mention = k.mention AND v.entity_id = k.entity_id
+),
+ranked AS (
+  SELECT mention, entity_id,
+         CASE WHEN exact_norm = 1 THEN rrf * CAST(2.0 AS DOUBLE) ELSE rrf END AS link_score,
+         CASE WHEN v_rank IS NOT NULL AND k_rank IS NOT NULL THEN 'both'
+              WHEN v_rank IS NOT NULL THEN 'semantic' ELSE 'keyword' END AS match_type,
+         row_number() OVER (PARTITION BY mention ORDER BY
+           CASE WHEN exact_norm = 1 THEN rrf * CAST(2.0 AS DOUBLE) ELSE rrf END DESC,
+           (k_rank IS NOT NULL) DESC, entity_id ASC) AS link_rank
+  FROM fused
 )
-SELECT mention, entity_id,
-       CASE WHEN exact_norm = 1 THEN rrf * CAST(2.0 AS DOUBLE) ELSE rrf END AS link_score,
-       CASE WHEN v_rank IS NOT NULL AND k_rank IS NOT NULL THEN 'both'
-            WHEN v_rank IS NOT NULL THEN 'semantic' ELSE 'keyword' END AS match_type
-FROM fused
-QUALIFY row_number() OVER (PARTITION BY mention ORDER BY
-  CASE WHEN exact_norm = 1 THEN rrf * CAST(2.0 AS DOUBLE) ELSE rrf END DESC,
-  (k_rank IS NOT NULL) DESC, entity_id ASC) = 1
-ORDER BY mention
+SELECT mention, entity_id, link_score, match_type{rank_col}
+FROM ranked WHERE link_rank <= {top_n}
+ORDER BY mention{rank_order}
 """
 
 
@@ -1413,6 +1485,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_conv_hash": q_kg_conv_hash,
     "kg_turn_window": q_kg_turn_window,
     "kg_context_expand": q_kg_context_expand,
+    "kg_qualified_mentions": q_kg_qualified_mentions,
     "transcript_quarantine": q_transcript_quarantine,
     "rrf_fusion_docs": q_rrf_fusion_docs,
     "pricing_summary": q_pricing_summary,
@@ -1433,6 +1506,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk": q_ann_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "kg_link_mentions": q_kg_link_mentions,
+    "kg_link_topn": q_kg_link_topn,
     "kg_canonicalize": q_kg_canonicalize,
     "graph_reach": q_graph_reach,
     "multi_index_merge": q_multi_index_merge,
@@ -1472,6 +1546,7 @@ ORACLES: dict[str, str] = {
                 row_number() OVER w AS turn_rank
          FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)""",
     "kg_context_expand": ORACLE_CONTEXT.format(derived=DERIVED_TRANSCRIPTS_SQL),
+    "kg_qualified_mentions": ORACLE_QUALIFIED,
     "transcript_quarantine": ORACLE_QUARANTINE.format(derived=DERIVED_TRANSCRIPTS_SQL),
     "graph_tree": ORACLE_GRAPH_TREE,
     "rrf_fusion_docs": ORACLE_RRF,
@@ -1565,6 +1640,7 @@ ORACLES: dict[str, str] = {
     "ann_lsh_topk": _lsh_topk_oracle(),
     "kg_canonicalize": _canonicalize_oracle(),
     "kg_link_mentions": _link_mentions_oracle(),
+    "kg_link_topn": _link_mentions_oracle(top_n=3),
     "graph_reach": ORACLE_GRAPH,
     "multi_index_merge": ORACLE_MULTI_INDEX,
     "deps_enrichment": ORACLE_DEPS_ENRICH,

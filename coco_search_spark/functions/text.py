@@ -81,6 +81,22 @@ def portable_hash_col(c: Column) -> Column:
 PORTABLE_HASH_DUCKDB = "CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
 
 
+def signature_col(text: Column, max_len: int = 60) -> Column:
+    """F14 analog (reference: src/cocosearch/indexer/symbols.py:294-347
+    signature extraction — the declaration header line of a symbol): the
+    turn's first newline-delimited line, truncated to max_len. Pure
+    Catalyst, portable (DuckDB: substr(split_part(text, chr(10), 1), ...))."""
+    return F.substring(F.split(text, "\n").getItem(0), 1, max_len)
+
+
+def qualified_name_col(*parts: Column) -> Column:
+    """F15 analog (symbols.py:216-291 qualified-name building — module-
+    scoped dotted names): scope parts joined by '::'. Null parts collapse
+    (concat_ws semantics), matching the reference's optional scope
+    segments."""
+    return F.concat_ws("::", *parts)
+
+
 def sha256_col(c: Column) -> Column:
     """Content hash for incremental-state identity
     (reference: flow.py:348-351 sha256 file identity)."""

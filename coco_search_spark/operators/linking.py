@@ -65,6 +65,7 @@ def link_surfaces(
     rrf_k: int = RRF_K,
     min_score: float = 0.0,
     embedder: str = "udf",
+    top_n: int = 1,
 ) -> DataFrame:
     """surfaces(mention) [distinct] × catalog(entity_id, alias) → one row per
     surface with its best entity link (mention, entity_id, link_score,
@@ -165,18 +166,36 @@ def link_surfaces(
         )
     )
 
-    # ---- top-1 per mention; tie → keyword-present first (hybrid.py:409-414),
+    # ---- rank per mention; tie → keyword-present first (hybrid.py:409-414),
     # then stable entity_id.
     w_best = Window.partitionBy("mention").orderBy(
         F.desc("link_score"),
         F.desc(F.col("k_rank").isNotNull().cast("int")),
         F.asc("entity_id"),
     )
-    return (
-        fused.withColumn("rn", F.row_number().over(w_best))
-        .filter((F.col("rn") == 1) & (F.col("link_score") >= min_score))
-        .select("mention", "entity_id", "link_score", "match_type")
+    ranked = fused.withColumn("link_rank", F.row_number().over(w_best)).filter(
+        F.col("link_score") >= min_score
     )
+    if top_n == 1:
+        return ranked.filter(F.col("link_rank") == 1).select(
+            "mention", "entity_id", "link_score", "match_type"
+        )
+    return ranked.filter(F.col("link_rank") <= top_n).select(
+        "mention", "entity_id", "link_score", "match_type", "link_rank"
+    )
+
+
+def link_surfaces_topn(
+    surfaces: DataFrame,
+    catalog: DataFrame,
+    top_n: int = 3,
+    **kwargs,
+) -> DataFrame:
+    """J4 resolve_many analog (reference: deps/extractor.py:108-123 — one
+    alias may resolve to several targets; the reference expands the edge to
+    all of them): top-N candidate links per mention with their rank, same
+    scoring/tie-break as link_surfaces."""
+    return link_surfaces(surfaces, catalog, top_n=top_n, **kwargs)
 
 
 def link_mentions(

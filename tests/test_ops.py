@@ -131,3 +131,34 @@ def test_rolling_fingerprints_overlap(spark, docs):
     }
     assert (0, 1) in pairs
     assert (0, 3) not in pairs
+
+
+def test_multi_index_merge_tolerates_failed_index(spark):
+    """J7 partial-failure tolerance (multi.py:180-192 analog): one broken
+    index is skipped with its error reported; the merge proceeds over the
+    healthy ones; all-failed raises."""
+    import pytest
+
+    from coco_search_spark.ops.multi import (
+        AllIndexesFailedError,
+        merge_ranked_indexes,
+    )
+
+    good = spark.createDataFrame(
+        [(i, float(100 - i)) for i in range(30)], "doc_id long, score double"
+    )
+
+    def broken():
+        raise IOError("index unreachable")
+
+    out, failures = merge_ranked_indexes(
+        {"healthy": lambda: good, "broken": broken}, k=5
+    )
+    rows = out.collect()
+    assert [r["doc_id"] for r in rows] == [0, 1, 2, 3, 4]
+    assert all(r["index_name"] == "healthy" for r in rows)
+    assert failures == [("broken", "index unreachable")]
+    with pytest.raises(AllIndexesFailedError):
+        merge_ranked_indexes({"broken": broken}, k=5)
+    with pytest.raises(IOError):
+        merge_ranked_indexes({"broken": broken}, k=5, on_error="raise")
