@@ -73,10 +73,15 @@ PRED_OF_PASSIVE = {phrase: pred for pred, phrase in PASSIVE_OF.items()}
 # form while being part of another form's scaffolding
 STOP_IDENTS = frozenset({"which", "is", "by"})
 
-GRAMMAR: list[tuple[str, bool, dict[str, str]]] = [
-    (ACTIVE_RE, False, PRED_OF_PHRASE),
-    (PASSIVE_RE, True, PRED_OF_PASSIVE),
-    (APPOS_RE, False, PRED_OF_PHRASE),
+# (regex, swap, pred map, required literal substrings): the literals gate
+# the form's regex behind cheap instr() substring checks — a segment that
+# never contains "which" cannot match the appositive form, so its regex
+# scan is skipped entirely (false positives in the guard are fine, the
+# regex still decides; false negatives are impossible for literal words).
+GRAMMAR: list[tuple[str, bool, dict[str, str], list[str]]] = [
+    (ACTIVE_RE, False, PRED_OF_PHRASE, []),
+    (PASSIVE_RE, True, PRED_OF_PASSIVE, ["is", "by"]),
+    (APPOS_RE, False, PRED_OF_PHRASE, ["which"]),
 ]
 
 
@@ -87,22 +92,29 @@ def _map_expr(mapping: dict[str, str]) -> Column:
     return F.create_map(*pairs)
 
 
-def _form_triples(seg: Column, regex: str, swap: bool, mapping: dict[str, str]) -> Column:
-    """array<struct<subj,pred,obj>> of this form's matches in seg."""
-    g1 = F.regexp_extract_all(seg, F.lit(regex), 1)
-    g2 = F.regexp_extract_all(seg, F.lit(regex), 2)
-    g3 = F.regexp_extract_all(seg, F.lit(regex), 3)
+def _form_triples(
+    seg: Column, regex: str, swap: bool, mapping: dict[str, str], guards: list[str]
+) -> Column:
+    """array<struct<subj,pred,obj>> of this form's matches in seg.
+
+    ONE full-text regex scan per form (group 0); capture groups are then
+    re-extracted from each short match string — O(match length), not
+    another pass over the segment. Running 3 scans instead of 9 keeps the
+    extractor's cost ≈ the single-form round-1 extractor despite 3× the
+    grammar."""
     pred_map = _map_expr(mapping)
-    # transform over g1 with its 0-based index (NOT sequence(1, size) —
-    # sequence(1, 0) descends instead of being empty on zero matches)
+    matches = F.regexp_extract_all(seg, F.lit(regex), 0)
+    for lit in guards:
+        matches = F.when(F.instr(seg, lit) > 0, matches).otherwise(
+            F.array().cast("array<string>")
+        )
+    g = lambda m, i: F.regexp_extract(m, regex, i)  # noqa: E731
     return F.transform(
-        g1,
-        lambda x1, i: F.struct(
-            (F.element_at(g3, i + 1) if swap else x1).alias("subj"),
-            pred_map[
-                F.regexp_replace(F.element_at(g2, i + 1), r"\s+", " ")
-            ].alias("pred"),
-            (x1 if swap else F.element_at(g3, i + 1)).alias("obj"),
+        matches,
+        lambda m: F.struct(
+            g(m, 3 if swap else 1).alias("subj"),
+            pred_map[F.regexp_replace(g(m, 2), r"\s+", " ")].alias("pred"),
+            g(m, 1 if swap else 3).alias("obj"),
         ),
     )
 
@@ -116,7 +128,9 @@ def extract_triples(segments: DataFrame) -> DataFrame:
     before exchange, so the shuffle carries ≈unique triples only.
     """
     seg = F.col("seg_text")
-    all_forms = F.concat(*[_form_triples(seg, rx, sw, mp) for rx, sw, mp in GRAMMAR])
+    all_forms = F.concat(
+        *[_form_triples(seg, rx, sw, mp, gd) for rx, sw, mp, gd in GRAMMAR]
+    )
     exploded = (
         segments.select("conv_id", "turn_idx", F.explode(all_forms).alias("t"))
         .select(
@@ -134,7 +148,7 @@ def extract_triples(segments: DataFrame) -> DataFrame:
 
 
 _ARROW_GRAMMAR = [
-    (re.compile(rx), swap, mapping) for rx, swap, mapping in GRAMMAR
+    (re.compile(rx), swap, mapping) for rx, swap, mapping, _ in GRAMMAR
 ]
 
 TRIPLE_SCHEMA = "conv_id string, turn_idx int, subj string, pred string, obj string"
