@@ -179,27 +179,33 @@ def connected_components(
 
     prev_gen = None
     changed = 0
-    for _ in range(max_iterations):
+    for it in range(max_iterations):
         neighbor_min = (
             sym.join(labels, sym.dst == labels.surface)
             .groupBy("src")
             .agg(F.min("component").alias("nbr_component"))
         )
-        # pointer doubling: the label of my current label
-        ll = labels.select(
-            F.col("surface").alias("_lk"), F.col("component").alias("_ll")
-        )
+        # pointer doubling (label of my current label) engages from
+        # iteration 2: shallow graphs — the common alias-cluster case,
+        # diameter ≤ 3 — converge before it would help, so they skip its
+        # extra self-join; deep chains still get O(log d) from round 3 on
+        double = it >= 2
+        base = labels
+        if double:
+            ll = labels.select(
+                F.col("surface").alias("_lk"), F.col("component").alias("_ll")
+            )
+            base = labels.join(ll, labels.component == ll._lk, "left")
         new_comp = F.least(
             labels.component,
-            F.coalesce(F.col("_ll"), labels.component),
+            F.coalesce(F.col("_ll"), labels.component) if double else labels.component,
             F.coalesce(F.col("nbr_component"), labels.component),
         )
         # ONE job per iteration: persist the new labels and piggyback the
         # convergence check on the same action (cache-on-first-use), then
         # release the previous generation
         new_labels = (
-            labels.join(ll, labels.component == ll._lk, "left")
-            .join(neighbor_min, labels.surface == neighbor_min.src, "left")
+            base.join(neighbor_min, labels.surface == neighbor_min.src, "left")
             .select(
                 labels.surface.alias("surface"),
                 new_comp.alias("component"),
