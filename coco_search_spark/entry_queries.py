@@ -840,6 +840,45 @@ def _surfaces_and_catalog(spark, sf_dir):
     return surf, catalog
 
 
+def q_dedup_embedding_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup pairs blocked by sign-projection LSH
+    buckets (single table, deterministic hyperplanes) — the portable-hash
+    planes make the whole blocking + cosine verification DuckDB-replicable.
+    Threshold is set low enough that the random-embedding fixture yields
+    non-trivial pairs."""
+    from coco_search_spark.ops.dedup import embedding_near_dup_pairs
+
+    load_views(spark, sf_dir)
+    e = spark.table("embeddings")
+    return embedding_near_dup_pairs(
+        e, "vec_id", "embedding", cos_threshold=0.25, n_planes=4
+    ).orderBy("id_a", "id_b")
+
+
+def _embedding_pairs_oracle(n_planes: int = 4, thr: float = 0.25) -> str:
+    plane_terms = []
+    for p in range(n_planes):
+        sign = (
+            f"((CAST(('0x' || substr(md5('proj{p}_' || CAST(i - 1 AS VARCHAR)), 1, 15)) "
+            f"AS BIGINT) % 2) * 2 - 1)"
+        )
+        dot = (
+            "list_sum(list_transform(generate_series(1, len(v)), "
+            f"i -> v[i] * {sign}))"
+        )
+        plane_terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
+    bucket = " + ".join(plane_terms)
+    return f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, v, ({bucket}) AS bucket FROM emb)
+SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+       ROUND(list_cosine_similarity(a.v, c.v), 6) AS cos_sim
+FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+WHERE ROUND(list_cosine_similarity(a.v, c.v), 6) >= {thr}
+ORDER BY id_a, id_b
+"""
+
+
 def q_kg_link_mentions(spark, sf_dir):
     """Hybrid RRF entity linking (the flagship stage), oracle-checked value
     for value: each distinct mention surface is linked against a catalog
@@ -1502,6 +1541,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_simhash": q_doc_simhash,
     "doc_fp_overlap": q_doc_fp_overlap,
     "dedup_near_pairs": q_dedup_near_pairs,
+    "dedup_embedding_pairs": q_dedup_embedding_pairs,
     "event_rate_windows": q_event_rate_windows,
     "ann_topk": q_ann_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -1624,6 +1664,7 @@ ORACLES: dict[str, str] = {
     "doc_simhash": _simhash_oracle(),
     "doc_fp_overlap": ORACLE_FP_OVERLAP,
     "dedup_near_pairs": ORACLE_NEAR_PAIRS,
+    "dedup_embedding_pairs": _embedding_pairs_oracle(),
     "event_rate_windows": """
          SELECT CAST(FLOOR(epoch(ts) / 600) AS BIGINT) AS bucket, event_type,
                 COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value

@@ -149,3 +149,20 @@ def test_embed_udf_and_expr_parity(spark):
         twin = py_embed(r["t"], 64)
         assert list(r["v"]) == [np.float32(x) for x in twin]
         assert max(abs(a - b) for a, b in zip(r["ve"], twin)) < 1e-6
+
+
+def test_query_rewrite_variants():
+    """X7 stand-in: deterministic morphological expansion, original first,
+    deduplicated, bounded."""
+    from coco_search_spark.functions.query_rewrite import rewrite_query
+
+    out = rewrite_query("paymentGateway")
+    assert out[0] == "paymentGateway"
+    assert "payment_gateway" in out and "PaymentGateway" in out and "payment-gateway" in out
+    assert len(out) == len(set(out))
+    # multi-token query bridges words → identifier forms
+    out2 = rewrite_query("payment gateway")
+    assert "payment_gateway" in out2 and "paymentGateway" in out2
+    assert rewrite_query("payment gateway", max_variants=3) == out2[:3]
+    # deterministic
+    assert rewrite_query("payment gateway") == out2
