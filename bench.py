@@ -46,7 +46,7 @@ def _sf_of(sf_dir: str) -> float:
 def _fixture_parquet(sf: float) -> str:
     """Generate (once) and cache the bench transcripts fixture."""
     n_convs = _bench_convs(sf)
-    path = f"/tmp/coco_bench_transcripts_c{n_convs}_s42_g2"  # _g2: grammar v2 fixture
+    path = f"/tmp/coco_bench_transcripts_c{n_convs}_s42_g3"  # _g3: grammar v3 fixture
     marker = os.path.join(path, "_SUCCESS_GEN")
     if not os.path.exists(marker):
         from coco_search_spark import fixtures

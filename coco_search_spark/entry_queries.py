@@ -840,6 +840,75 @@ def _surfaces_and_catalog(spark, sf_dir):
     return surf, catalog
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF-style ANN (pgvector ivfflat analog, flow.py:80-83): k-means-lite
+    coarse quantization with deterministic seeding + unrolled Lloyd
+    iterations, nprobe probe-list scan, exact cosine re-rank. The whole
+    index build is replayed by the DuckDB oracle."""
+    from coco_search_spark.ops.similarity import ivf_topk
+
+    load_views(spark, sf_dir)
+    e = spark.table("embeddings")
+    queries = (
+        e.filter(F.col("vec_id") < 3)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    )
+    return ivf_topk(
+        e, queries, k=5, dim=64, n_centroids=8, n_iters=2, nprobe=2
+    ).orderBy("q_id", "rk")
+
+
+def _ivf_topk_oracle(
+    k: int = 5, dim: int = 64, n_centroids: int = 8, n_iters: int = 2, nprobe: int = 2
+) -> str:
+    """DuckDB replica of ivf_topk: same seed centroids, same unrolled Lloyd
+    iterations (max-cosine assignment, min-cid tie-break, per-dim AVG),
+    same probe-list scan and re-rank. DuckDB arrays are 1-based (v[i+1]
+    for Spark's v[i])."""
+
+    def assign_cte(name: str, cents: str) -> str:
+        return f"""{name} AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid ASC) AS r
+    FROM emb e CROSS JOIN {cents} c) x WHERE r = 1
+)"""
+
+    avg_vec = "[" + ", ".join(f"avg(v[{i + 1}])" for i in range(dim)) + "]"
+    ctes = [
+        "emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cid, v AS cv FROM emb ORDER BY vec_id LIMIT {n_centroids})",
+    ]
+    for it in range(n_iters):
+        ctes.append(assign_cte(f"a{it + 1}", f"c{it}"))
+        ctes.append(f"c{it + 1} AS (SELECT cid, {avg_vec} AS cv FROM a{it + 1} GROUP BY cid)")
+    ctes.append(assign_cte("posting", f"c{n_iters}"))
+    ctes.append(
+        "q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 3)"
+    )
+    ctes.append(f"""probes AS (
+  SELECT q_id, qv, cid FROM (
+    SELECT q.q_id, q.qv, c.cid,
+           row_number() OVER (PARTITION BY q.q_id
+             ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cid ASC) AS r
+    FROM q CROSS JOIN c{n_iters} c) x WHERE r <= {nprobe}
+)""")
+    ctes.append("""sims AS (
+  SELECT p.q_id, po.vec_id,
+         ROUND(list_cosine_similarity(po.v, p.qv), 6) AS cos_sim
+  FROM posting po JOIN probes p ON po.cid = p.cid
+)""")
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT q_id, vec_id, cos_sim,
+       row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC) AS rk
+FROM sims QUALIFY rk <= {k}
+ORDER BY q_id, rk
+"""
+    )
+
+
 def q_dedup_embedding_pairs(spark, sf_dir):
     """Embedding-cosine near-dup pairs blocked by sign-projection LSH
     buckets (single table, deterministic hyperplanes) — the portable-hash
@@ -1545,6 +1614,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_rate_windows": q_event_rate_windows,
     "ann_topk": q_ann_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "kg_link_mentions": q_kg_link_mentions,
     "kg_link_topn": q_kg_link_topn,
     "kg_canonicalize": q_kg_canonicalize,
@@ -1679,6 +1749,7 @@ ORACLES: dict[str, str] = {
                 row_number() OVER (ORDER BY cos_sim DESC, vec_id ASC) AS rk
          FROM sims QUALIFY rk <= 10""",
     "ann_lsh_topk": _lsh_topk_oracle(),
+    "ann_ivf_topk": _ivf_topk_oracle(),
     "kg_canonicalize": _canonicalize_oracle(),
     "kg_link_mentions": _link_mentions_oracle(),
     "kg_link_topn": _link_mentions_oracle(top_n=3),

@@ -150,19 +150,44 @@ def generate(
                 pred, phrase = RELATIONS[int(rng.integers(len(RELATIONS)))]
                 subj = subj_e.aliases[int(rng.integers(len(subj_e.aliases)))]
                 obj = obj_e.aliases[int(rng.integers(len(obj_e.aliases)))]
-                # three sentence forms × whitespace variance (real
+                # four sentence forms × whitespace variance (real
                 # transcripts have newlines / double spaces) — the grammar
                 # the extractor must cover; all forms stay ≤ 11 word-tokens
                 # so the segmenter's overlap-containment guarantee holds
-                form = int(rng.integers(3))
+                form = int(rng.integers(4))
                 ws = [" ", "  ", " \n "][int(rng.integers(3))]
                 if form == 0:
                     sent = f"{subj}{ws}{phrase}{ws}{obj} ."
                 elif form == 1:
                     sent = f"{obj}{ws}is{ws}{PASSIVE_OF[pred]}{ws}by{ws}{subj} ."
-                else:
+                elif form == 2:
                     sent = f"{subj} , which{ws}{phrase}{ws}{obj} ."
+                else:
+                    # conjunction: second object → second ground-truth row
+                    obj2_e = entities[int(rng.integers(len(entities)))]
+                    obj2 = obj2_e.aliases[int(rng.integers(len(obj2_e.aliases)))]
+                    sent = f"{subj}{ws}{phrase}{ws}{obj} and {obj2} ."
+                    gt.append(
+                        {
+                            "conv_id": conv_id,
+                            "turn_idx": t,
+                            "subj": subj_e.canonical,
+                            "pred": pred,
+                            "obj": obj2_e.canonical,
+                            "subj_surface": subj,
+                            "obj_surface": obj2,
+                        }
+                    )
                 sent_parts.append(sent)
+                # negated distractor: must yield NO triple (negation rule)
+                if rng.random() < 0.1:
+                    ne1 = entities[int(rng.integers(len(entities)))]
+                    ne2 = entities[int(rng.integers(len(entities)))]
+                    _, nphrase = RELATIONS[int(rng.integers(len(RELATIONS)))]
+                    neg = "never" if rng.random() < 0.5 else "not"
+                    sent_parts.append(
+                        f"{ne1.aliases[0]} {neg} {nphrase} {ne2.aliases[0]} ."
+                    )
                 gt.append(
                     {
                         "conv_id": conv_id,

@@ -65,23 +65,30 @@ _PASSIVE_ALT = _ws_alt(list(PASSIVE_OF.values()))
 ACTIVE_RE = rf"\b({IDENT_RE})\s+({_PHRASE_ALT})\s+({IDENT_RE})\b"
 PASSIVE_RE = rf"\b({IDENT_RE})\s+is\s+({_PASSIVE_ALT})\s+by\s+({IDENT_RE})\b"
 APPOS_RE = rf"\b({IDENT_RE})\s*,\s*which\s+({_PHRASE_ALT})\s+({IDENT_RE})\b"
+# conjunction: "A <phrase> B and C" → (A,p,B) + (A,p,C); group 4 = 2nd obj
+CONJ_RE = rf"\b({IDENT_RE})\s+({_PHRASE_ALT})\s+({IDENT_RE})\s+and\s+({IDENT_RE})\b"
 
 PRED_OF_PHRASE = {phrase: pred for pred, phrase in RELATIONS}
 PRED_OF_PASSIVE = {phrase: pred for pred, phrase in PASSIVE_OF.items()}
 
-# function words that may syntactically occupy an identifier slot in one
-# form while being part of another form's scaffolding
-STOP_IDENTS = frozenset({"which", "is", "by"})
+# Function words that may syntactically occupy an identifier slot in one
+# form while being part of another form's scaffolding — plus negation
+# markers: "A never uses B" must yield NOTHING, and the only way the active
+# pattern can fire on it is with subj="never"/"not", so stop-filtering the
+# markers IS the negation rule (applied identically in every impl).
+STOP_IDENTS = frozenset({"which", "is", "by", "and", "never", "not"})
 
 # (regex, swap, pred map, required literal substrings): the literals gate
 # the form's regex behind cheap instr() substring checks — a segment that
 # never contains "which" cannot match the appositive form, so its regex
 # scan is skipped entirely (false positives in the guard are fine, the
 # regex still decides; false negatives are impossible for literal words).
+# The conjunction form is 4-group: the extra object yields a second triple.
 GRAMMAR: list[tuple[str, bool, dict[str, str], list[str]]] = [
     (ACTIVE_RE, False, PRED_OF_PHRASE, []),
     (PASSIVE_RE, True, PRED_OF_PASSIVE, ["is", "by"]),
     (APPOS_RE, False, PRED_OF_PHRASE, ["which"]),
+    (CONJ_RE, False, PRED_OF_PHRASE, ["and"]),
 ]
 
 
@@ -109,14 +116,18 @@ def _form_triples(
             F.array().cast("array<string>")
         )
     g = lambda m, i: F.regexp_extract(m, regex, i)  # noqa: E731
-    return F.transform(
-        matches,
-        lambda m: F.struct(
+
+    def triple(m, obj_group: int):
+        return F.struct(
             g(m, 3 if swap else 1).alias("subj"),
             pred_map[F.regexp_replace(g(m, 2), r"\s+", " ")].alias("pred"),
-            g(m, 1 if swap else 3).alias("obj"),
-        ),
-    )
+            g(m, 1 if swap else obj_group).alias("obj"),
+        )
+
+    out = F.transform(matches, lambda m: triple(m, 3))
+    if re.compile(regex).groups >= 4:  # conjunction: second object → second triple
+        out = F.concat(out, F.transform(matches, lambda m: triple(m, 4)))
+    return out
 
 
 def extract_triples(segments: DataFrame) -> DataFrame:
@@ -166,13 +177,15 @@ def extract_triples_arrow(segments: DataFrame) -> DataFrame:
             ):
                 for pattern, swap, mapping in _ARROW_GRAMMAR:
                     for m in pattern.finditer(text or ""):
-                        subj, obj = (
-                            (m.group(3), m.group(1)) if swap else (m.group(1), m.group(3))
-                        )
-                        if subj in STOP_IDENTS or obj in STOP_IDENTS:
-                            continue
                         pred = mapping[re.sub(r"\s+", " ", m.group(2))]
-                        rows.append((conv_id, int(turn_idx), subj, pred, obj))
+                        objs = [m.group(3)]
+                        if pattern.groups >= 4:  # conjunction second object
+                            objs.append(m.group(4))
+                        for o in objs:
+                            subj, obj = (o, m.group(1)) if swap else (m.group(1), o)
+                            if subj in STOP_IDENTS or obj in STOP_IDENTS:
+                                continue
+                            rows.append((conv_id, int(turn_idx), subj, pred, obj))
             yield pd.DataFrame(rows, columns=["conv_id", "turn_idx", "subj", "pred", "obj"])
 
     return (

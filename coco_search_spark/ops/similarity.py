@@ -129,6 +129,89 @@ def lsh_topk(
     return per_query_topk(sims, k).select("q_id", "vec_id", "cos_sim", "rk")
 
 
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    dim: int = 64,
+    n_centroids: int = 8,
+    n_iters: int = 2,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """IVF-style ANN: coarse quantization (k-means-lite) + probe-list scan —
+    the classic inverted-file index the reference's pgvector ivfflat uses
+    (flow.py:80-83), re-expressed as DataFrame ops.
+
+    Everything is deterministic so the whole index build + search is
+    oracle-checkable: centroids initialize to the n_centroids vectors with
+    the smallest ids, Lloyd iterations are UNROLLED (fixed n_iters, each =
+    assign-to-max-cosine-centroid with smallest-cid tie-break, then
+    per-dimension AVG), queries probe their nprobe nearest centroids, and
+    candidates (vectors assigned to probed centroids) are re-ranked by
+    exact cosine.
+
+    Scale: assignment is a broadcast join against n_centroids rows; the
+    probe join is an equi-join on cid (candidates ≈ n·nprobe/n_centroids
+    per query); the final ranking is the salted two-phase per_query_topk.
+    At 10^9+ vectors raise n_centroids (√n rule) and train on a sample —
+    the plan shape is unchanged."""
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
+    ).localCheckpoint(eager=True)
+
+    def assign(vectors: DataFrame, cents: DataFrame) -> DataFrame:
+        """(vec_id, v, cid): each vector's max-cosine centroid (ties → min cid)."""
+        sims = vectors.crossJoin(F.broadcast(cents)).select(
+            "vec_id", "v", "cid", cosine_expr(F.col("v"), F.col("cv")).alias("sim")
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cid"))
+        return (
+            sims.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") == 1)
+            .select("vec_id", "v", "cid")
+        )
+
+    def recompute(assigned: DataFrame) -> DataFrame:
+        """Per-dimension mean of each cluster's members."""
+        return assigned.groupBy("cid").agg(
+            F.array(*[F.avg(F.col("v")[i]) for i in range(dim)]).alias("cv")
+        )
+
+    cents = (
+        base.orderBy("vec_id")
+        .limit(n_centroids)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+    )
+    for _ in range(n_iters):
+        cents = recompute(assign(base, cents))
+    cents = cents.localCheckpoint(eager=True)
+
+    posting = assign(base, cents).select("vec_id", "v", "cid")
+
+    q = queries.select(
+        F.col(q_id_col).alias("q_id"), F.col(q_vec_col).cast("array<double>").alias("qv")
+    )
+    q_sims = q.crossJoin(F.broadcast(cents)).select(
+        "q_id", "qv", "cid", cosine_expr(F.col("qv"), F.col("cv")).alias("sim")
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("cid"))
+    probes = (
+        q_sims.withColumn("_r", F.row_number().over(wq))
+        .filter(F.col("_r") <= nprobe)
+        .select("q_id", "qv", "cid")
+    )
+
+    cand = posting.join(F.broadcast(probes), "cid").select("q_id", "qv", "vec_id", "v")
+    sims = cand.select(
+        "q_id", "vec_id", F.round(cosine_expr(F.col("v"), F.col("qv")), 6).alias("cos_sim")
+    )
+    return per_query_topk(sims, k).select("q_id", "vec_id", "cos_sim", "rk")
+
+
 def recall_at_k(approx: DataFrame, exact: DataFrame, k: int = 10) -> float:
     """Fraction of exact top-k pairs recovered by the approximate search."""
     a = approx.filter(F.col("rk") <= k).select("q_id", "vec_id")

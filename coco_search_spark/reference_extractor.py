@@ -51,32 +51,44 @@ _PASSIVE = re.compile(
 _APPOS = re.compile(
     r"\b(" + _IDENT + r")\s*,\s*which\s+(" + _alt([ph for _, ph in RELATIONS]) + r")\s+(" + _IDENT + r")\b"
 )
+_CONJ = re.compile(
+    r"\b(" + _IDENT + r")\s+(" + _alt([ph for _, ph in RELATIONS]) + r")\s+("
+    + _IDENT + r")\s+and\s+(" + _IDENT + r")\b"
+)
 _PRED_OF_PHRASE = {phrase: pred for pred, phrase in RELATIONS}
 _PRED_OF_PASSIVE = {phrase: pred for pred, phrase in PASSIVE_OF.items()}
-_STOP = frozenset({"which", "is", "by"})
+# function words + negation markers (the stop-filter IS the negation rule:
+# "A never uses B" can only fire the active pattern with subj="never")
+_STOP = frozenset({"which", "is", "by", "and", "never", "not"})
 
 _FORMS = [
     (_ACTIVE, False, _PRED_OF_PHRASE),
     (_PASSIVE, True, _PRED_OF_PASSIVE),
     (_APPOS, False, _PRED_OF_PHRASE),
+    (_CONJ, False, _PRED_OF_PHRASE),
 ]
 
 
 def extract_triples_from_text(text: str) -> list[tuple[str, str, str]]:
     """All (subj_surface, pred, obj_surface) matches in one turn's text,
-    across the three grammar forms, deduplicated, document order preserved
-    per form."""
+    across the grammar forms (conjunction expands to one triple per
+    object), deduplicated, document order preserved per form."""
     seen: set[tuple[str, str, str]] = set()
     out: list[tuple[str, str, str]] = []
     for pattern, swap, mapping in _FORMS:
         for m in pattern.finditer(text or ""):
-            subj, obj = (m.group(3), m.group(1)) if swap else (m.group(1), m.group(3))
-            if subj in _STOP or obj in _STOP:
-                continue
-            triple = (subj, mapping[re.sub(r"\s+", " ", m.group(2))], obj)
-            if triple not in seen:
-                seen.add(triple)
-                out.append(triple)
+            pred = mapping[re.sub(r"\s+", " ", m.group(2))]
+            objs = [m.group(3)]
+            if pattern.groups >= 4:
+                objs.append(m.group(4))
+            for o in objs:
+                subj, obj = (o, m.group(1)) if swap else (m.group(1), o)
+                if subj in _STOP or obj in _STOP:
+                    continue
+                triple = (subj, pred, obj)
+                if triple not in seen:
+                    seen.add(triple)
+                    out.append(triple)
     return out
 
 

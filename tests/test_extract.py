@@ -103,3 +103,18 @@ def test_mentions_shape(spark, transcripts):
     assert mentions.columns == ["conv_id", "turn_idx", "mention", "mention_role"]
     assert mentions.filter(F.col("mention_role").isin("subj", "obj")).count() == mentions.count()
     assert mentions.count() > 0
+
+
+def test_reference_extractor_conjunction_and_negation():
+    # conjunction expands to one triple per object
+    assert extract_triples_from_text("a_b uses c_d and e_f .") == [
+        ("a_b", "uses", "c_d"),
+        ("a_b", "uses", "e_f"),
+    ]
+    # negation suppresses entirely
+    assert extract_triples_from_text("a_b never uses c_d .") == []
+    assert extract_triples_from_text("a_b not calls c_d .") == []
+    # negated sentence next to a real one: only the real one survives
+    assert extract_triples_from_text("x_y never emits z_w . a_b emits c_d .") == [
+        ("a_b", "emits", "c_d")
+    ]

@@ -162,3 +162,25 @@ def test_multi_index_merge_tolerates_failed_index(spark):
         merge_ranked_indexes({"broken": broken}, k=5)
     with pytest.raises(IOError):
         merge_ranked_indexes({"broken": broken}, k=5, on_error="raise")
+
+
+def test_similarity_ivf_recall_and_selfmatch(spark):
+    from coco_search_spark.functions.embed import py_embed
+    from coco_search_spark.ops.similarity import ivf_topk
+
+    emb = spark.createDataFrame(
+        [(i, py_embed(f"doc {i}", 32)) for i in range(200)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = spark.createDataFrame(
+        [(q, py_embed(f"doc {q}", 32)) for q in (3, 77)],
+        "q_id long, q_vec array<float>",
+    )
+    exact = brute_force_topk(emb, queries, k=5).cache()
+    approx = ivf_topk(emb, queries, k=5, dim=32, n_centroids=8, n_iters=2, nprobe=3)
+    rec = recall_at_k(approx, exact, k=5)
+    assert rec >= 0.5
+    # self-match guaranteed: the query's own vector lives in a probed cluster
+    a1 = {r["q_id"]: (r["vec_id"], r["cos_sim"]) for r in approx.filter("rk=1").collect()}
+    assert a1[3][0] == 3 and abs(a1[3][1] - 1.0) < 1e-6
+    assert a1[77][0] == 77
