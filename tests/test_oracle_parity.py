@@ -19,14 +19,20 @@ SF_DIR = "/root/testdata/sf0.001"
 SUBSET = [
     "kg_extract_triples",
     "kg_conv_hash",
+    "kg_link_mentions",
+    "kg_canonicalize",
+    "kg_context_expand",
     "rrf_fusion_docs",
     "pricing_summary",
     "doc_minhash",
     "doc_simhash",
     "dedup_near_pairs",
     "ann_topk",
+    "ann_ivf_topk",
     "graph_reach",
+    "graph_tree",
     "multi_index_merge",
+    "transcript_quarantine",
 ]
 
 

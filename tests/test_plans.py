@@ -108,3 +108,41 @@ def test_per_query_topk_is_two_phase(spark):
     assert _re.search(r"hashpartitioning\(q_id#\d+L?, _salt", plan), plan
     # rank predicate pushed into WindowGroupLimit (per-partition pre-filter)
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """SCALE.md claims big co-located joins should use bucketing: two tables
+    bucketed+sorted on the join key must join with NO Exchange on either
+    side (SortMergeJoin reads bucket-aligned scans directly)."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    n1 = f"t_bucketed_a_{uuid.uuid4().hex[:8]}"
+    n2 = f"t_bucketed_b_{uuid.uuid4().hex[:8]}"
+    df = spark.range(10000).select(
+        F.concat(F.lit("c"), F.pmod("id", F.lit(500))).alias("conv_id"),
+        F.col("id").alias("payload"),
+    )
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force a sort-merge join: a broadcast would also be exchange-free
+        # but would not demonstrate bucket co-location
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df.write.bucketBy(8, "conv_id").sortBy("conv_id").mode("overwrite").saveAsTable(n1)
+        df.write.bucketBy(8, "conv_id").sortBy("conv_id").mode("overwrite").saveAsTable(n2)
+        joined = (
+            spark.table(n1)
+            .join(spark.table(n2), "conv_id")
+            .groupBy("conv_id")
+            .count()
+        )
+        plan = _formatted(joined)
+        assert "SortMergeJoin" in plan, plan
+        # bucket-aligned scans: no shuffle for the join NOR the downstream
+        # groupBy on the same key (partitioning is reused end to end)
+        assert "Exchange" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+        spark.sql(f"DROP TABLE IF EXISTS {n1}")
+        spark.sql(f"DROP TABLE IF EXISTS {n2}")
