@@ -724,6 +724,147 @@ ORDER BY 1, 2
 """
 
 
+def q_dedup_groups(spark, sf_dir):
+    """Dedup as a decision, not just pairs: near-dup candidate pairs (same
+    single-band blocking + Jaccard verify as dedup_near_pairs) collapsed by
+    connected components into groups with one kept representative per group
+    (min doc_id) — the transitive-duplicate rule production dedup needs
+    (A≈B, B≈C ⇒ one survivor of {A,B,C})."""
+    from coco_search_spark.ops.dedup import (
+        dedup_groups,
+        minhash_sig_col,
+        word_shingles_col,
+    )
+
+    load_views(spark, sf_dir)
+    d = spark.table("documents")
+    base = d.select(
+        "doc_id", word_shingles_col(F.col("text"), 3).alias("sh")
+    ).withColumn("mh0", F.element_at(minhash_sig_col(F.col("sh"), 1), 1))
+    a = base.select(F.col("mh0"), F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = base.select(F.col("mh0"), F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    pairs = (
+        a.join(b, "mh0")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b"))
+            >= 0.2
+        )
+        .select("id_a", "id_b")
+    )
+    return dedup_groups(d, "doc_id", pairs).orderBy("doc_id")
+
+
+ORACLE_DEDUP_GROUPS = """
+WITH RECURSIVE sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(1, len(string_split_regex(text,'\\s+')) - 2)),
+           i -> array_to_string(string_split_regex(text,'\\s+')[i:i+2], ' '))) AS sh
+  FROM documents
+),
+m AS (
+  SELECT doc_id, sh,
+         list_min(list_transform(sh,
+           x -> CAST(('0x' || substr(md5('0|' || x), 1, 15)) AS BIGINT))) AS mh0
+  FROM sh
+),
+pairs AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib
+  FROM m a JOIN m b ON a.mh0 = b.mh0 AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.2
+),
+sym AS (SELECT ia AS s, ib AS d FROM pairs UNION SELECT ib, ia FROM pairs),
+walk(id, node) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT w.id, s.d FROM walk w JOIN sym s ON s.s = w.node
+)
+SELECT id AS doc_id, MIN(node) AS group_id,
+       CASE WHEN MIN(node) = id THEN 1 ELSE 0 END AS keep
+FROM walk GROUP BY id ORDER BY doc_id
+"""
+
+
+def q_doc_quality_filter(spark, sf_dir):
+    """The keep/drop quality GATE (first failing rule wins): too_short /
+    too_stoppy / degenerate_words / ok, with the keep flag training
+    pipelines filter on."""
+    from coco_search_spark.ops.textstats import quality_filter
+
+    load_views(spark, sf_dir)
+    return quality_filter(spark.table("documents"), "doc_id", "text").orderBy("id")
+
+
+def _quality_filter_oracle(
+    min_words: int = 5, max_stop: float = 0.5, min_wlen: float = 2.0, max_wlen: float = 12.0
+) -> str:
+    from coco_search_spark.ops.textstats import STOPWORDS
+
+    stops = ",".join(repr(s) for s in STOPWORDS["en"])
+    words = "string_split_regex(text, '\\s+')"
+    return f"""
+WITH f AS (
+  SELECT doc_id,
+         len({words}) AS n_words,
+         CAST(len(list_filter({words}, x -> list_contains([{stops}], x))) AS DOUBLE)
+           / len({words}) AS stop_ratio,
+         CAST(list_sum(list_transform({words}, x -> length(x))) AS DOUBLE)
+           / len({words}) AS mean_wlen
+  FROM documents
+),
+r AS (
+  SELECT doc_id,
+         CASE WHEN n_words < {min_words} THEN 'too_short'
+              WHEN stop_ratio > {max_stop} THEN 'too_stoppy'
+              WHEN mean_wlen < {min_wlen} OR mean_wlen > {max_wlen} THEN 'degenerate_words'
+              ELSE 'ok' END AS drop_reason
+  FROM f
+)
+SELECT doc_id AS id, drop_reason,
+       CASE WHEN drop_reason = 'ok' THEN 1 ELSE 0 END AS keep
+FROM r ORDER BY id
+"""
+
+
+def q_pack_docs(spark, sf_dir):
+    """Sequence packing (concat-then-chunk pretraining layout): per-source
+    shards, cumulative word-token offsets, fixed 256-token windows —
+    each document's pack id / in-pack offset / boundary-straddle flag."""
+    from coco_search_spark.ops.packing import pack_sequences
+
+    load_views(spark, sf_dir)
+    d = spark.table("documents").withColumn(
+        "n_toks", F.size(F.split(F.col("text"), r"\s+"))
+    )
+    return pack_sequences(
+        d, "doc_id", "n_toks", "source", window_tokens=256, sep_tokens=1
+    ).orderBy("id")
+
+
+ORACLE_PACK = r"""
+WITH t AS (
+  SELECT doc_id, source, len(string_split_regex(text, '\s+')) AS n_toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id, source, n_toks,
+         CAST(COALESCE(SUM(n_toks + 1) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+  FROM t
+)
+SELECT doc_id AS id, source AS shard, start_tok,
+       start_tok // 256 AS pack_id,
+       start_tok % 256 AS pack_offset,
+       CASE WHEN start_tok // 256 <> (start_tok + n_toks - 1) // 256
+            THEN 1 ELSE 0 END AS spans_boundary
+FROM s ORDER BY id
+"""
+
+
 def q_event_rate_windows(spark, sf_dir):
     """Tumbling 10-minute event-rate windows per event_type (the streaming
     metrics aggregation expressed portably over the batch events table)."""
@@ -1611,6 +1752,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fp_overlap": q_doc_fp_overlap,
     "dedup_near_pairs": q_dedup_near_pairs,
     "dedup_embedding_pairs": q_dedup_embedding_pairs,
+    "dedup_groups": q_dedup_groups,
+    "doc_quality_filter": q_doc_quality_filter,
+    "pack_docs": q_pack_docs,
     "event_rate_windows": q_event_rate_windows,
     "ann_topk": q_ann_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -1735,6 +1879,9 @@ ORACLES: dict[str, str] = {
     "doc_fp_overlap": ORACLE_FP_OVERLAP,
     "dedup_near_pairs": ORACLE_NEAR_PAIRS,
     "dedup_embedding_pairs": _embedding_pairs_oracle(),
+    "dedup_groups": ORACLE_DEDUP_GROUPS,
+    "doc_quality_filter": _quality_filter_oracle(),
+    "pack_docs": ORACLE_PACK,
     "event_rate_windows": """
          SELECT CAST(FLOOR(epoch(ts) / 600) AS BIGINT) AS bucket, event_type,
                 COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value

@@ -220,6 +220,35 @@ def simhash_pairs(
     )
 
 
+# ----------------------------------------------------------- dedup groups
+
+def dedup_groups(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+) -> DataFrame:
+    """Near-duplicate pairs → actionable dedup decision: (id, group_id,
+    keep). Production dedup doesn't stop at pairs — transitive duplicates
+    (A≈B, B≈C) must collapse into ONE group with ONE survivor. Connected
+    components over the pair graph (the same pointer-doubling CC the
+    canonicalizer uses) labels each id with its group's minimum id; keep=1
+    exactly for the group representative (min id — deterministic under any
+    partitioning).
+
+    pairs: DataFrame(id_a, id_b) from any of the pair generators
+    (minhash_lsh_pairs / simhash_pairs / embedding_near_dup_pairs)."""
+    from coco_search_spark.operators.canonicalize import connected_components
+
+    nodes = df.select(F.col(id_col).alias("surface"))
+    edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    comp = connected_components(nodes, edges)
+    return comp.select(
+        F.col("surface").alias(id_col),
+        F.col("component").alias("group_id"),
+        (F.col("surface") == F.col("component")).cast("int").alias("keep"),
+    )
+
+
 # ---------------------------------------------------- embedding near-dup
 
 def projection_bucket_col(vec, n_planes: int = 8, seed: str = "proj"):

@@ -113,6 +113,40 @@ def quality_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def quality_filter(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 5,
+    max_stop_ratio: float = 0.5,
+    min_mean_wlen: float = 2.0,
+    max_mean_wlen: float = 12.0,
+) -> DataFrame:
+    """The keep/drop GATE a training-data pipeline actually applies (the
+    scoring above is the diagnostic; this is the decision): first failing
+    rule wins, reason ∈ {too_short, too_stoppy, degenerate_words, ok}.
+    Pure Catalyst CASE — drop reasons are countable per shard for free."""
+    text = F.col(text_col)
+    words = words_col(text)
+    n_words = F.size(words)
+    en_stop = F.array(*[F.lit(s) for s in STOPWORDS["en"]])
+    stop_ratio = F.size(F.filter(words, lambda x: F.array_contains(en_stop, x))) / n_words.cast(
+        "double"
+    )
+    mean_wlen = F.aggregate(words, F.lit(0), lambda a, x: a + F.length(x)) / n_words.cast("double")
+    reason = (
+        F.when(n_words < min_words, "too_short")
+        .when(stop_ratio > max_stop_ratio, "too_stoppy")
+        .when((mean_wlen < min_mean_wlen) | (mean_wlen > max_mean_wlen), "degenerate_words")
+        .otherwise("ok")
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        reason.alias("drop_reason"),
+        (reason == "ok").cast("int").alias("keep"),
+    )
+
+
 def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Whitespace word count + BPE-ish subword-proxy token count + chars."""
     text = F.col(text_col)

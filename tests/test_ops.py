@@ -184,3 +184,31 @@ def test_similarity_ivf_recall_and_selfmatch(spark):
     a1 = {r["q_id"]: (r["vec_id"], r["cos_sim"]) for r in approx.filter("rk=1").collect()}
     assert a1[3][0] == 3 and abs(a1[3][1] - 1.0) < 1e-6
     assert a1[77][0] == 77
+
+
+def test_dedup_groups_transitive_collapse(spark):
+    """A≈B and B≈C (never A≈C directly) must still form ONE group with ONE
+    survivor — the transitive rule pair-level dedup misses."""
+    from coco_search_spark.ops.dedup import dedup_groups
+
+    df = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    pairs = spark.createDataFrame([(0, 3), (3, 5)], "id_a long, id_b long")
+    got = {r["doc_id"]: (r["group_id"], r["keep"]) for r in dedup_groups(df, "doc_id", pairs).collect()}
+    assert got[0] == (0, 1) and got[3] == (0, 0) and got[5] == (0, 0)
+    assert got[1] == (1, 1) and got[2] == (2, 1) and got[4] == (4, 1)
+
+
+def test_pack_sequences_layout(spark):
+    """Concat-then-chunk placement: offsets are cumulative (+separator),
+    windows cut at fixed token counts, straddling docs flagged."""
+    from coco_search_spark.ops.packing import pack_sequences
+
+    rows = [(1, "s", 10), (2, "s", 80), (3, "s", 20), (10, "t", 150)]
+    df = spark.createDataFrame(rows, "doc_id long, src string, n long")
+    out = {r["id"]: r for r in pack_sequences(df, "doc_id", "n", "src", window_tokens=100).collect()}
+    assert out[1]["start_tok"] == 0 and out[1]["pack_id"] == 0 and out[1]["spans_boundary"] == 0
+    assert out[2]["start_tok"] == 11 and out[2]["pack_id"] == 0 and out[2]["spans_boundary"] == 0
+    # doc 3 starts at 11+81=92, ends at 112 → crosses the 100-token edge
+    assert out[3]["start_tok"] == 92 and out[3]["pack_offset"] == 92 and out[3]["spans_boundary"] == 1
+    # shards pack independently
+    assert out[10]["start_tok"] == 0 and out[10]["pack_id"] == 0 and out[10]["spans_boundary"] == 1
