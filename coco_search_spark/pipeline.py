@@ -158,21 +158,40 @@ def run_pipeline(
         .localCheckpoint(eager=True)
     )
 
-    if catalog is not None:
-        surface_links = link_surfaces(
-            surfaces.select(F.col("surface").alias("mention")), catalog, embed_dim=embed_dim
-        )
-    else:
-        surface_links = surfaces.select(
+    # linking and canonicalization are INDEPENDENT consumers of the same
+    # checkpointed surface table — submit both from separate threads so
+    # Spark interleaves their (vocabulary-sized, scheduling-bound) jobs;
+    # on a cluster this is two concurrent job groups sharing executors.
+    # Each thread materializes its result (localCheckpoint/cache) so the
+    # overlap is real, not deferred to the first downstream action.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _compute_links():
+        if catalog is not None:
+            links = link_surfaces(
+                surfaces.select(F.col("surface").alias("mention")),
+                catalog,
+                embed_dim=embed_dim,
+            )
+            return links.localCheckpoint(eager=True)
+        return surfaces.select(
             F.col("surface").alias("mention"),
             F.lit(None).cast("string").alias("entity_id"),
             F.lit(None).cast("double").alias("link_score"),
             F.lit(None).cast("string").alias("match_type"),
         )
-    links_raw = surface_links
 
-    canon = canonicalize_surfaces(surfaces).cache()
-    canon.count()
+    def _compute_canon():
+        c = canonicalize_surfaces(surfaces).cache()
+        c.count()
+        return c
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_links = pool.submit(_compute_links)
+        f_canon = pool.submit(_compute_canon)
+        surface_links = f_links.result()
+        canon = f_canon.result()
+    links_raw = surface_links
     _stamp("link_canonicalize")
 
     # canonical id: linked entity id wins, else the surface's canonical form
