@@ -1696,6 +1696,116 @@ FROM edges GROUP BY obj_id ORDER BY in_degree DESC, entity_id ASC LIMIT 10
 """
 
 
+def q_graph_stats(spark, sf_dir):
+    """Management-stats analog (reference: src/cocosearch/management/stats.py
+    — its most heavily tested surface, tests/unit/management/test_stats.py
+    2,237 L): one-row graph summary — node/edge counts, distinct predicates,
+    degree extremes and mean over the containment graph."""
+    load_views(spark, sf_dir)
+    edges = _containment_edges(spark).withColumn("pred", F.lit("contains"))
+    nodes = (
+        edges.select(F.col("subj_id").alias("n"))
+        .unionByName(edges.select(F.col("obj_id").alias("n")))
+        .distinct()
+    )
+    deg = edges.groupBy("obj_id").agg(F.count(F.lit(1)).alias("d"))
+    return (
+        edges.agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            F.countDistinct("pred").alias("n_preds"),
+        )
+        .crossJoin(nodes.agg(F.count(F.lit(1)).alias("n_nodes")))
+        .crossJoin(
+            deg.agg(
+                F.max("d").alias("max_in_degree"),
+                F.min("d").alias("min_in_degree"),
+                F.round(F.avg("d"), 6).alias("mean_in_degree"),
+            )
+        )
+        .select(
+            "n_nodes", "n_edges", "n_preds",
+            "max_in_degree", "min_in_degree", "mean_in_degree",
+        )
+    )
+
+
+ORACLE_GRAPH_STATS = """
+WITH edges AS (
+  SELECT 's-' || s_suppkey AS subj_id, 'n-' || s_nationkey AS obj_id FROM supplier
+  UNION ALL
+  SELECT 'n-' || n_nationkey, 'r-' || n_regionkey FROM nation
+),
+nodes AS (SELECT subj_id AS n FROM edges UNION SELECT obj_id FROM edges),
+deg AS (SELECT obj_id, COUNT(*) AS d FROM edges GROUP BY obj_id)
+SELECT (SELECT COUNT(*) FROM nodes) AS n_nodes,
+       (SELECT COUNT(*) FROM edges) AS n_edges,
+       1 AS n_preds,
+       CAST((SELECT MAX(d) FROM deg) AS BIGINT) AS max_in_degree,
+       CAST((SELECT MIN(d) FROM deg) AS BIGINT) AS min_in_degree,
+       ROUND((SELECT AVG(d) FROM deg), 6) AS mean_in_degree
+"""
+
+
+def q_kg_incremental_diff(spark, sf_dir):
+    """J2 through the driver gate: full-outer diff of current vs stored
+    conversation hashes → status ∈ {new, changed, unchanged, deleted}. The
+    'stored' state is synthesized deterministically from the same derived
+    transcripts: conv 0-4 absent from storage (→ new), conv 5-9 stored with
+    altered text (→ changed), plus five phantom stored convs (→ deleted)."""
+    from coco_search_spark.state import conversation_hashes, diff_against_state
+
+    t = derived_transcripts(spark, sf_dir)
+    conv_num = F.substring(F.col("conv_id"), 6, 10).cast("int")
+    current = conversation_hashes(t)
+    stored_src = (
+        t.filter(conv_num >= 5)
+        .withColumn(
+            "text",
+            F.when(conv_num < 10, F.concat(F.col("text"), F.lit(" drift"))).otherwise(
+                F.col("text")
+            ),
+        )
+    )
+    stored = conversation_hashes(stored_src).select("conv_id", "content_hash")
+    phantoms = spark.range(5).select(
+        F.concat(F.lit("ghost-"), F.col("id")).alias("conv_id"),
+        F.lit("deadbeef").alias("content_hash"),
+    )
+    stored = stored.unionByName(phantoms)
+    return (
+        diff_against_state(current, stored)
+        .select("conv_id", "status")
+        .orderBy("conv_id")
+    )
+
+
+ORACLE_INCR_DIFF = """
+WITH t AS ({derived}),
+cur AS (
+  SELECT conv_id, sha256(string_agg(text, '' ORDER BY turn_idx)) AS h
+  FROM t GROUP BY conv_id
+),
+stored AS (
+  SELECT conv_id,
+         sha256(string_agg(
+           CASE WHEN CAST(substr(conv_id, 6) AS INT) < 10
+                THEN text || ' drift' ELSE text END,
+           '' ORDER BY turn_idx)) AS h
+  FROM t WHERE CAST(substr(conv_id, 6) AS INT) >= 5
+  GROUP BY conv_id
+  UNION ALL
+  SELECT 'ghost-' || i, 'deadbeef' FROM generate_series(0, 4) s(i)
+)
+SELECT COALESCE(c.conv_id, st.conv_id) AS conv_id,
+       CASE WHEN c.h IS NULL THEN 'deleted'
+            WHEN st.h IS NULL THEN 'new'
+            WHEN c.h <> st.h THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM cur c FULL OUTER JOIN stored st ON c.conv_id = st.conv_id
+ORDER BY conv_id
+"""
+
+
 def q_blast_radius(spark, sf_dir):
     """Per-root reverse reachability size (impact / blast-radius,
     deps/query.py:246-293) for every region node — per-root BFS via
@@ -1773,6 +1883,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_hubs": q_graph_hubs,
     "blast_radius": q_blast_radius,
     "graph_tree": q_graph_tree,
+    "graph_stats": q_graph_stats,
+    "kg_incremental_diff": q_kg_incremental_diff,
 }
 
 _PORTABLE_HASH = "CAST(('0x' || substr(md5({e}), 1, 15)) AS BIGINT)"
@@ -1913,4 +2025,6 @@ ORACLES: dict[str, str] = {
     "sessionize_events": ORACLE_SESSIONIZE,
     "graph_hubs": ORACLE_HUBS,
     "blast_radius": ORACLE_BLAST,
+    "graph_stats": ORACLE_GRAPH_STATS,
+    "kg_incremental_diff": ORACLE_INCR_DIFF.format(derived=DERIVED_TRANSCRIPTS_SQL),
 }
