@@ -231,9 +231,17 @@ def connected_components(
     return labels.select("surface", "component")
 
 
-def canonicalize_surfaces(surfaces: DataFrame, **kwargs) -> DataFrame:
+def canonicalize_surfaces(
+    surfaces: DataFrame, extra_edges: DataFrame | None = None, **kwargs
+) -> DataFrame:
     """surfaces(surface) → (surface, canon_id): canonical id = min normalized
     form within the component.
+
+    extra_edges: optional (a, b) same-entity evidence from outside the
+    similarity blocking — e.g. in-text alias bindings ("TARGET as ALIAS",
+    extract.extract_alias_bindings), which can merge surfaces that share no
+    shingles or tokens at all. Unioned into the LSH/norm edge set before
+    connected components.
 
     The distinct-surface table is vocabulary-sized (orders of magnitude
     below the corpus), so the whole stage runs under a scoped
@@ -251,6 +259,20 @@ def canonicalize_surfaces(surfaces: DataFrame, **kwargs) -> DataFrame:
     spark.conf.set("spark.sql.shuffle.partitions", str(parts))
     try:
         pairs = candidate_pairs(distinct_surfaces, **kwargs)
+        if extra_edges is not None:
+            # only edges between known surfaces (bindings may reference
+            # strings outside the mention vocabulary)
+            known = distinct_surfaces
+            ee = (
+                extra_edges.select(F.col("a"), F.col("b"))
+                .join(known.withColumnRenamed("surface", "a"), "a", "left_semi")
+                .join(known.withColumnRenamed("surface", "b"), "b", "left_semi")
+                .filter(F.col("a") != F.col("b"))
+                .select(
+                    F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+                )
+            )
+            pairs = pairs.unionByName(ee).distinct()
         comp = connected_components(distinct_surfaces, pairs)
         canon = (
             comp.withColumn("norm", normalize_name_col(F.col("surface")))

@@ -195,6 +195,35 @@ def extract_triples_arrow(segments: DataFrame) -> DataFrame:
     )
 
 
+# "X <phrase> Y as Z" — Z is a local alias for Y (the reference's aliased
+# import, deps/extractors/python.py aliased-import rules); the triple
+# (X, pred, Y) itself is already produced by the active form.
+ALIAS_BINDING_RE = rf"\b(?:{IDENT_RE})\s+(?:{_PHRASE_ALT})\s+({IDENT_RE})\s+as\s+({IDENT_RE})\b"
+
+
+def extract_alias_bindings(segments: DataFrame) -> DataFrame:
+    """segments → distinct (conv_id, turn_idx, target, alias) rows from
+    'X <phrase> TARGET as ALIAS' sentences. These bindings are explicit
+    same-entity evidence for canonicalization (canonicalize_surfaces'
+    extra_edges) — the only evidence when the alias shares no tokens or
+    shingles with the target."""
+    m0 = F.regexp_extract_all(F.col("seg_text"), F.lit(ALIAS_BINDING_RE), 0)
+    guarded = F.when(F.instr(F.col("seg_text"), "as") > 0, m0).otherwise(
+        F.array().cast("array<string>")
+    )
+    return (
+        segments.select("conv_id", "turn_idx", F.explode(guarded).alias("m"))
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.regexp_extract(F.col("m"), ALIAS_BINDING_RE, 1).alias("target"),
+            F.regexp_extract(F.col("m"), ALIAS_BINDING_RE, 2).alias("alias"),
+        )
+        .filter(~F.col("target").isin(*STOP_IDENTS) & ~F.col("alias").isin(*STOP_IDENTS))
+        .distinct()
+    )
+
+
 def extract_mentions(triples: DataFrame) -> DataFrame:
     """Triples → mention rows to be entity-linked: each subj/obj occurrence
     becomes (conv_id, turn_idx, mention, mention_role). Analog of the

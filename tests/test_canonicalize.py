@@ -87,3 +87,38 @@ def test_cc_long_chain_converges_and_cap_is_loud(spark):
     assert set(comp.values()) == {"s00"}
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(nodes, edges, max_iterations=2).collect()
+
+
+def test_alias_bindings_merge_unrelated_surfaces(spark):
+    """'TARGET as ALIAS' bindings are same-entity evidence even when the
+    alias shares no shingles/tokens with the target — without the binding
+    the two surfaces stay separate components."""
+    from coco_search_spark.operators.canonicalize import canonicalize_surfaces
+    from coco_search_spark.operators.extract import extract_alias_bindings
+    from coco_search_spark.operators.segments import segment_turns
+
+    t = spark.createDataFrame(
+        [("c", 0, "user", "auth_service uses payment_gateway as pg_zz .", None, None)],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    segs = segment_turns(t)
+    bindings = extract_alias_bindings(segs)
+    got = {(r["target"], r["alias"]) for r in bindings.collect()}
+    assert got == {("payment_gateway", "pg_zz")}
+
+    surfaces = spark.createDataFrame(
+        [("payment_gateway",), ("paymentGateway",), ("pg_zz",), ("auth_service",)],
+        "surface string",
+    )
+    without = {
+        r["surface"]: r["canon_id"]
+        for r in canonicalize_surfaces(surfaces).collect()
+    }
+    assert without["pg_zz"] != without["payment_gateway"]  # no evidence → separate
+    edges = bindings.select(F.col("target").alias("a"), F.col("alias").alias("b"))
+    with_b = {
+        r["surface"]: r["canon_id"]
+        for r in canonicalize_surfaces(surfaces, extra_edges=edges).collect()
+    }
+    assert with_b["pg_zz"] == with_b["payment_gateway"] == with_b["paymentGateway"]
+    assert with_b["auth_service"] != with_b["pg_zz"]
