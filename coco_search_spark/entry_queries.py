@@ -1782,14 +1782,14 @@ def q_kg_incremental_diff(spark, sf_dir):
 ORACLE_INCR_DIFF = """
 WITH t AS ({derived}),
 cur AS (
-  SELECT conv_id, sha256(string_agg(text, '' ORDER BY turn_idx)) AS h
+  SELECT conv_id, sha256(string_agg(sha256(text), '' ORDER BY turn_idx)) AS h
   FROM t GROUP BY conv_id
 ),
 stored AS (
   SELECT conv_id,
-         sha256(string_agg(
+         sha256(string_agg(sha256(
            CASE WHEN CAST(substr(conv_id, 6) AS INT) < 10
-                THEN text || ' drift' ELSE text END,
+                THEN text || ' drift' ELSE text END),
            '' ORDER BY turn_idx)) AS h
   FROM t WHERE CAST(substr(conv_id, 6) AS INT) >= 5
   GROUP BY conv_id
@@ -1902,7 +1902,7 @@ ORACLES: dict[str, str] = {
            SELECT DISTINCT conv_id, turn_idx, obj AS mention, 'obj' AS mention_role FROM gt
          ) m GROUP BY mention, mention_role ORDER BY mention, mention_role""",
     "kg_conv_hash": f"""WITH t AS ({DERIVED_TRANSCRIPTS_SQL})
-         SELECT conv_id, sha256(string_agg(text, '' ORDER BY turn_idx)) AS content_hash,
+         SELECT conv_id, sha256(string_agg(sha256(text), '' ORDER BY turn_idx)) AS content_hash,
                 COUNT(*) AS rows_in
          FROM t GROUP BY conv_id""",
     "kg_turn_window": f"""WITH t AS ({DERIVED_TRANSCRIPTS_SQL})

@@ -57,7 +57,6 @@ def normalize_name_col(name: Column) -> Column:
     PaymentGateway and payment_gateway all map to 'payment_gateway' —
     the key the canonicalizer blocks on (resolver.build_index analog,
     reference: src/cocosearch/deps/resolver.py:109-133)."""
-    camel = F.regexp_extract_all(name, F.lit(CAMEL_RE), 0)
     parts = F.flatten(
         F.transform(
             F.filter(F.split(name, r"[_\-]"), lambda p: p != F.lit("")),
@@ -67,7 +66,6 @@ def normalize_name_col(name: Column) -> Column:
             ).otherwise(F.array(p)),
         )
     )
-    _ = camel
     return F.lower(F.array_join(parts, "_"))
 
 

@@ -244,42 +244,64 @@ def canonicalize_surfaces(
     connected components.
 
     The distinct-surface table is vocabulary-sized (orders of magnitude
-    below the corpus), so the whole stage runs under a scoped
-    shuffle-partition override — without it every tiny job in the CC loop
+    below the corpus), so the whole stage runs under a small
+    shuffle-partition setting — without it every tiny job in the CC loop
     schedules cores× empty tasks and the stage anti-scales with
-    parallelism. The result is materialized before the override is
-    restored."""
+    parallelism. The override is ISOLATED in ``spark.newSession()`` (same
+    SparkContext, separate SQLConf): mutating the caller's session conf
+    would race with any concurrently-planning job (the pipeline runs
+    linking and canonicalization from parallel threads — a large linking
+    shuffle must never inherit partitions=2). DataFrames cross the session
+    boundary via localCheckpoint + global temp views, which wrap a
+    context-level RDD, so no data moves."""
     spark = surfaces.sparkSession
-    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
     # materialize the (corpus-shuffle) distinct ONCE — candidate_pairs and
     # the CC node set must not each re-run it
     distinct_surfaces = surfaces.select("surface").distinct().localCheckpoint(eager=True)
     n = distinct_surfaces.count()
-    parts = max(2, min(int(old_sp), n // 10000 + 1))
-    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    parts = max(2, min(int(spark.conf.get("spark.sql.shuffle.partitions")), n // 10000 + 1))
+
+    iso = spark.newSession()
+    iso.conf.set("spark.sql.shuffle.partitions", str(parts))
+    gt_db = spark.conf.get("spark.sql.globalTempDatabase", "global_temp")
+    global _CANON_RUN_SEQ
+    _CANON_RUN_SEQ += 1
+    tags = [f"_canon_{_CANON_RUN_SEQ}_{s}" for s in ("in", "ee", "out")]
     try:
-        pairs = candidate_pairs(distinct_surfaces, **kwargs)
+        distinct_surfaces.createOrReplaceGlobalTempView(tags[0])
+        surf_iso = iso.table(f"{gt_db}.{tags[0]}")
+        pairs = candidate_pairs(surf_iso, **kwargs)
         if extra_edges is not None:
             # only edges between known surfaces (bindings may reference
             # strings outside the mention vocabulary)
-            known = distinct_surfaces
+            extra_edges.select("a", "b").localCheckpoint(
+                eager=True
+            ).createOrReplaceGlobalTempView(tags[1])
             ee = (
-                extra_edges.select(F.col("a"), F.col("b"))
-                .join(known.withColumnRenamed("surface", "a"), "a", "left_semi")
-                .join(known.withColumnRenamed("surface", "b"), "b", "left_semi")
+                iso.table(f"{gt_db}.{tags[1]}")
+                .join(surf_iso.withColumnRenamed("surface", "a"), "a", "left_semi")
+                .join(surf_iso.withColumnRenamed("surface", "b"), "b", "left_semi")
                 .filter(F.col("a") != F.col("b"))
                 .select(
                     F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
                 )
             )
             pairs = pairs.unionByName(ee).distinct()
-        comp = connected_components(distinct_surfaces, pairs)
+        comp = connected_components(surf_iso, pairs)
         canon = (
             comp.withColumn("norm", normalize_name_col(F.col("surface")))
             .groupBy("component")
             .agg(F.min("norm").alias("canon_id"))
         )
         out = comp.join(canon, "component").select("surface", "canon_id")
-        return out.localCheckpoint(eager=True)
+        out.localCheckpoint(eager=True).createOrReplaceGlobalTempView(tags[2])
+        # hand the materialized result back to the CALLER's session —
+        # spark.table analyzes eagerly, so the returned plan is bound to the
+        # checkpointed RDD and survives the view drop below
+        return spark.table(f"{gt_db}.{tags[2]}")
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        for t in tags:
+            spark.catalog.dropGlobalTempView(t)
+
+
+_CANON_RUN_SEQ = 0

@@ -179,7 +179,12 @@ def simhash_pairs(
 
     ``max_bucket`` caps degenerate buckets (the posting-list guard —
     narrow chunk keys at high max_hamming make hot buckets, and one
-    all-zeros bucket must not go quadratic at 100 TB)."""
+    all-zeros bucket must not go quadratic at 100 TB). Oversized buckets
+    are NOT dropped — they keep a deterministic sample (the ``max_bucket``
+    smallest ids), so mass-duplicated content (which is exactly what fills
+    a hot bucket) still pairs within the sample instead of silently losing
+    the pigeonhole recall guarantee; recall beyond the sample degrades
+    gracefully rather than to zero."""
     if n_chunks is None:
         n_chunks = max_hamming + 1
     assert max_hamming < n_chunks, (
@@ -205,8 +210,17 @@ def simhash_pairs(
             )
         ).alias("ck"),
     ).select("id", "sim", F.col("ck.chunk").alias("chunk"), F.col("ck.ckey").alias("ckey"))
-    sizes = chunked.groupBy("chunk", "ckey").agg(F.count(F.lit(1)).alias("bsz"))
-    chunked = chunked.join(sizes.filter(F.col("bsz") <= max_bucket), ["chunk", "ckey"]).drop("bsz")
+    # deterministic bucket cap: rank by id within (chunk, ckey) and keep the
+    # smallest max_bucket ids — same exchange key as the self-join below, so
+    # the window reuses the shuffle instead of adding a groupBy+join pass
+    from pyspark.sql import Window as _W
+
+    _w = _W.partitionBy("chunk", "ckey").orderBy("id")
+    chunked = (
+        chunked.withColumn("_rk", F.row_number().over(_w))
+        .filter(F.col("_rk") <= max_bucket)
+        .drop("_rk")
+    )
     left = chunked.select("chunk", "ckey", F.col("id").alias("id_a"), F.col("sim").alias("sim_a"))
     right = chunked.select("chunk", "ckey", F.col("id").alias("id_b"), F.col("sim").alias("sim_b"))
     return (

@@ -193,12 +193,25 @@ def attach_media_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     ).withColumn("content_sha", F.sha2(p, 256))
 
 
-def size_bucketed(df: DataFrame, target_mb: int = 64, avg_payload_kb: int = 256) -> DataFrame:
+def size_bucketed(
+    df: DataFrame,
+    target_mb: int = 64,
+    avg_payload_kb: int = 256,
+    n_rows: int | None = None,
+) -> DataFrame:
     """Repartition so each partition carries ~target_mb of binary payload —
-    wide rows must not concentrate (executor OOM defense at 100 TB)."""
+    wide rows must not concentrate (executor OOM defense at 100 TB).
+
+    ``n_rows``: caller-supplied row count (e.g. from source statistics or a
+    prior action). When None, no counting pass runs over the payloads —
+    the partition count falls back to the session's shuffle parallelism and
+    AQE coalescing sizes the output by bytes (the byte-accurate path; an
+    eager ``df.count()`` here would be a full extra scan of the binary
+    column just to pick an integer)."""
     rows_per_part = max(1, (target_mb * 1024) // avg_payload_kb)
-    n = df.count()
-    parts = max(2, n // rows_per_part + 1)
+    if n_rows is None:
+        return df.repartition()
+    parts = max(2, n_rows // rows_per_part + 1)
     return df.repartition(parts)
 
 

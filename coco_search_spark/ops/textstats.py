@@ -51,20 +51,8 @@ def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             for lang, sw in sorted(STOPWORDS.items())
         ]
     )
-    best = F.array_max(
-        F.transform(
-            scores,
-            lambda s: F.struct(
-                s["score"].alias("score"),
-                # invert lang ordering inside the max so ties pick the
-                # LOWEST code deterministically
-                F.lit(None).cast("string").alias("_pad"),
-                s["lang"].alias("lang"),
-            ),
-        )
-    )
-    # array_max on structs orders by fields; equal scores → lang descending
-    # would win, so instead sort ascending by (-score, lang) and take first
+    # sort ascending by (-score, lang) and take first: equal scores pick the
+    # lowest language code deterministically
     ordered = F.array_sort(
         F.transform(
             scores,
@@ -72,7 +60,6 @@ def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         )
     )
     first = F.element_at(ordered, 1)
-    _ = best
     return df.select(
         F.col(id_col).alias("id"),
         first["lang"].alias("lang_guess"),

@@ -221,7 +221,10 @@ def run_pipeline(
         _stamp("write_graph_triples")
 
     n_quarantined = quarantined.count()
-    if out_dir and n_quarantined:
+    if out_dir:
+        # always overwrite (even when empty): a rerun after the data was
+        # fixed must not leave the previous run's quarantine rows behind
+        # contradicting n_quarantined_turns=0 in metrics
         quarantined.write.mode("overwrite").parquet(f"{out_dir}/quarantine")
 
     metrics = {

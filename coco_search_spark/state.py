@@ -40,17 +40,31 @@ STATE_SCHEMA = (
 
 def conversation_hashes(transcripts: DataFrame) -> DataFrame:
     """(conv_id, content_hash): sha256 over the ordered concatenation of
-    turn texts — stable under (conv_id, turn_idx) ordering (flow.py:348-351
-    analog). Computed with sort_array over collected (turn_idx, text)
-    structs so the result is independent of partitioning."""
+    PER-TURN sha256 hashes — stable under (conv_id, turn_idx) ordering
+    (flow.py:348-351 content-identity analog, Merkle-style).
+
+    Hashing per turn BEFORE the aggregation keeps the buffer at a constant
+    64 bytes per turn regardless of turn text size: concatenating raw texts
+    would make one pathological conversation (10^6 turns × 1 MB) a multi-GB
+    aggregation buffer on a single task at 100× scale. Null texts contribute
+    nothing on either engine (sha256(NULL) is NULL; array_join and
+    string_agg both skip NULLs). The identical form in DuckDB is
+    ``sha256(string_agg(sha256(text), '' ORDER BY turn_idx))``."""
     return (
         transcripts.groupBy("conv_id")
         .agg(
             F.sha2(
                 F.array_join(
                     F.transform(
-                        F.array_sort(F.collect_list(F.struct("turn_idx", "text"))),
-                        lambda s: s["text"],
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    "turn_idx",
+                                    F.sha2(F.col("text"), 256).alias("turn_sha"),
+                                )
+                            )
+                        ),
+                        lambda s: s["turn_sha"],
                     ),
                     "",
                 ),

@@ -35,7 +35,10 @@ def _update_progress(
         if len(pdf) == 0:
             continue
         n_turns += len(pdf)
-        n_chars += int(pdf["text"].astype(str).str.len().fillna(0).sum())
+        # fillna BEFORE astype: astype(str) would turn null into the literal
+        # "None" (4 chars); nulls must contribute 0 exactly like the batch
+        # twin's F.sum(F.length(...)) which skips nulls
+        n_chars += int(pdf["text"].fillna("").astype(str).str.len().sum())
         max_ti = max(max_ti, int(pdf["turn_idx"].max()))
     state.update((n_turns, n_chars, max_ti))
     yield pd.DataFrame(
