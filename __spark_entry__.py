@@ -22,14 +22,22 @@ from coco_search_spark.entry_queries import ORACLES, QUERIES  # noqa: E402
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: full KG construction over
     the derived transcripts (segment → extract → link → canonicalize →
-    materialize) and return the predicate histogram of the resolved edges."""
+    materialize) and return the predicate histogram of the resolved edges.
+    The alias catalog is built from the derived surfaces so the run
+    exercises BOTH resolution paths end to end: hybrid-RRF entity linking
+    (non-null entity ids) and LSH+CC canonicalization (fallback ids)."""
     from pyspark.sql import functions as F
 
-    from coco_search_spark.entry_queries import derived_transcripts
+    from coco_search_spark.entry_queries import (
+        _surfaces_and_catalog,
+        derived_transcripts,
+    )
     from coco_search_spark.pipeline import run_pipeline
 
-    t = derived_transcripts(spark, "/root/testdata/sf0.001")
-    res = run_pipeline(spark, t)
+    sf_dir = "/root/testdata/sf0.001"
+    t = derived_transcripts(spark, sf_dir)
+    _, catalog = _surfaces_and_catalog(spark, sf_dir)
+    res = run_pipeline(spark, t, catalog=catalog)
     return (
         res.edges.groupBy("pred")
         .agg(

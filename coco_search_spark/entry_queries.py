@@ -60,12 +60,34 @@ _PASSIVE_CASE = (
 # newline instead of a space — the extractor's \s+ tolerance is thereby
 # oracle-gated, not just unit-tested
 _WS_CASE = "CASE WHEN CAST(doc_id % 7 AS INT) = 0 THEN chr(10) ELSE ' ' END"
-# one ground-truth relation sentence per row in one of the three grammar
-# forms (active / passive-swapped / appositive), chosen by doc_id % 3
-_REL_SENTENCE = f"""CASE CAST(doc_id % 3 AS INT)
+# grammar-form selector, decorrelated from the %5 phrase selector (cycles
+# every 25 rows through every phrase × form combination)
+_FORM_KEY = "CAST(FLOOR(doc_id / 5.0) % 5 AS INT)"
+_NEG_CASE = "CASE WHEN CAST(doc_id % 2 AS INT) = 0 THEN 'never' ELSE 'not' END"
+# one ground-truth relation sentence per row in one of FIVE grammar forms:
+# active / passive-swapped / appositive / conjunction (two triples) /
+# negation (ZERO triples — the stop-rule must suppress it)
+_REL_SENTENCE = f"""CASE {_FORM_KEY}
     WHEN 0 THEN source || '_svc' || {_WS_CASE} || {_PHRASE_CASE} || {_WS_CASE} || lang || '_store'
     WHEN 1 THEN lang || '_store' || {_WS_CASE} || 'is' || {_WS_CASE} || {_PASSIVE_CASE} || {_WS_CASE} || 'by' || {_WS_CASE} || source || '_svc'
-    ELSE source || '_svc' || ' , which' || {_WS_CASE} || {_PHRASE_CASE} || {_WS_CASE} || lang || '_store' END"""
+    WHEN 2 THEN source || '_svc' || ' , which' || {_WS_CASE} || {_PHRASE_CASE} || {_WS_CASE} || lang || '_store'
+    WHEN 3 THEN source || '_svc' || {_WS_CASE} || {_PHRASE_CASE} || {_WS_CASE} || lang || '_store' || {_WS_CASE} || 'and' || {_WS_CASE} || lang || '_cache'
+    ELSE source || '_svc' || {_WS_CASE} || {_NEG_CASE} || {_WS_CASE} || {_PHRASE_CASE} || {_WS_CASE} || lang || '_store' END"""
+# one relation-FREE mention sentence per row ("see X" / "the X module") —
+# the standalone-mention grammar's ground truth (X2)
+_MENTION_SENTENCE = f"""CASE CAST(doc_id % 2 AS INT)
+    WHEN 0 THEN 'see' || {_WS_CASE} || source || '_cli'
+    ELSE 'the ' || lang || '_probe' || {_WS_CASE} || 'module' END"""
+# structural metadata carriers (X3): markdown heading prefix every 13th
+# row, fenced code block suffix every 11th row
+_HEADING = (
+    "CASE WHEN CAST(doc_id % 13 AS INT) = 0"
+    " THEN '# section_' || CAST(doc_id % 7 AS INT) || chr(10) ELSE '' END"
+)
+_FENCE = (
+    "CASE WHEN CAST(doc_id % 11 AS INT) = 0"
+    " THEN ' ```' || chr(10) || 'let handler = init()' || chr(10) || '```' ELSE '' END"
+)
 
 DERIVED_TRANSCRIPTS_SQL = f"""
 SELECT
@@ -73,13 +95,15 @@ SELECT
   CAST(FLOOR(doc_id / 50.0) AS INT)                AS turn_idx,
   CASE CAST(doc_id % 4 AS INT)
     WHEN 0 THEN 'user' WHEN 2 THEN 'tool' ELSE 'assistant' END AS role,
-  text || ' ' || {_REL_SENTENCE} || ' .' AS text,
+  {_HEADING} || text || ' ' || {_REL_SENTENCE} || ' . ' || {_MENTION_SENTENCE} || ' .' || {_FENCE} AS text,
   CASE WHEN CAST(doc_id % 4 AS INT) = 2 THEN 'grep' ELSE NULL END AS tool
 FROM documents
 """
 
-# the same rows with the injected ground-truth triple exposed as columns —
-# used only inside oracle CTEs
+# the same rows with the injected ground-truth triples exposed as columns —
+# used only inside oracle CTEs. Forms 0-3 emit the (subj, pred, store)
+# triple, form 3 additionally (subj, pred, cache), form 4 (negation)
+# emits nothing.
 _ORACLE_TRIPLES_CTE = f"""
 WITH t AS ({DERIVED_TRANSCRIPTS_SQL}),
 gt AS (
@@ -88,7 +112,14 @@ gt AS (
          source || '_svc' AS subj,
          {_PRED_CASE} AS pred,
          lang || '_store' AS obj
-  FROM documents
+  FROM documents WHERE {_FORM_KEY} <= 3
+  UNION ALL
+  SELECT 'conv-' || (doc_id % 50),
+         CAST(FLOOR(doc_id / 50.0) AS INT),
+         source || '_svc',
+         {_PRED_CASE},
+         lang || '_cache'
+  FROM documents WHERE {_FORM_KEY} = 3
 )
 """
 
@@ -200,6 +231,121 @@ FROM mrows m JOIN t ON t.conv_id = m.conv_id AND t.turn_idx = m.turn_idx
 ORDER BY m.conv_id, m.turn_idx, qualified
 """
 )
+
+
+def q_kg_standalone_mentions(spark, sf_dir):
+    """X2 FULL: relation-free entity mentions extracted directly from
+    segment text by the context-typed marker grammar ("see X" → reference,
+    "the X module" → definition) — entities appearing without any relation
+    still become mention rows / KG nodes (symbols.py:423-483 analog). The
+    oracle re-runs the same grammar with DuckDB's RE2 regexp over the
+    unsegmented turn text — a genuine independent implementation, not a
+    ground-truth shortcut."""
+    from coco_search_spark.operators.extract import extract_standalone_mentions
+
+    segs = segment_turns(derived_transcripts(spark, sf_dir))
+    return (
+        extract_standalone_mentions(segs)
+        .groupBy("mention", "mention_kind")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy("mention", "mention_kind")
+    )
+
+
+ORACLE_STANDALONE_MENTIONS = r"""
+WITH t AS ({derived}),
+m AS (
+  SELECT conv_id, turn_idx,
+         UNNEST(regexp_extract_all(text, '\bsee\s+([A-Za-z_][A-Za-z0-9_]*)\b', 1)) AS mention,
+         'reference' AS mention_kind
+  FROM t
+  UNION ALL
+  SELECT conv_id, turn_idx,
+         UNNEST(regexp_extract_all(text, '\bthe\s+([A-Za-z_][A-Za-z0-9_]*)\s+(?:module|component|subsystem)\b', 1)),
+         'definition'
+  FROM t
+),
+md AS (SELECT DISTINCT conv_id, turn_idx, mention, mention_kind FROM m)
+SELECT mention, mention_kind, COUNT(*) AS n_occurrences
+FROM md GROUP BY mention, mention_kind ORDER BY mention, mention_kind
+"""
+
+
+def q_kg_block_types(spark, sf_dir):
+    """X3: structural block-type classification + section hierarchy
+    (ChunkMetadata{block_type, hierarchy} analog, handlers/__init__.py:
+    36-42): per-(block_type, section) turn counts over the derived
+    transcripts (which carry injected code fences and markdown headings)."""
+    from coco_search_spark.functions.text import classify_block_col, section_col
+
+    t = derived_transcripts(spark, sf_dir)
+    return (
+        t.select(
+            classify_block_col(F.col("text"), F.col("tool")).alias("block_type"),
+            section_col(F.col("text")).alias("section"),
+        )
+        .groupBy("block_type", "section")
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+        .orderBy("block_type", "section")
+    )
+
+
+ORACLE_BLOCK_TYPES = """
+WITH t AS ({derived}),
+h AS (
+  SELECT CASE WHEN tool IS NOT NULL THEN 'tool_output'
+              WHEN strpos(text, '``' || '`') > 0 THEN 'code'
+              ELSE 'prose' END AS block_type,
+         regexp_extract_all(text, '(?m)^#[ ]([A-Za-z0-9_]+)', 1) AS heads
+  FROM t
+),
+c AS (
+  SELECT block_type,
+         CASE WHEN len(heads) > 0 THEN heads[len(heads)] ELSE NULL END AS section
+  FROM h
+)
+SELECT block_type, section, COUNT(*) AS n_turns
+FROM c GROUP BY block_type, section ORDER BY block_type, section
+"""
+
+
+def q_kg_edge_provenance(spark, sf_dir):
+    """Edge provenance (per-edge JSONB metadata analog, deps/db.py:46):
+    every extracted triple with the 1-based char offset of its earliest
+    evidencing match in the turn text. Spark computes it per segment
+    (start_char + instr, min over segments = global first occurrence by
+    the overlap-containment guarantee); the oracle reconstructs each form's
+    match string and takes DuckDB strpos over the unsegmented turn."""
+    from coco_search_spark.operators.extract import extract_triples_prov
+
+    segs = segment_turns(derived_transcripts(spark, sf_dir), with_offsets=True)
+    return (
+        extract_triples_prov(segs)
+        .select("conv_id", "turn_idx", "subj", "pred", "obj", "src_offset")
+        .orderBy("conv_id", "turn_idx", "subj", "pred", "obj")
+    )
+
+
+def _edge_provenance_oracle() -> str:
+    return (
+        _ORACLE_TRIPLES_CTE
+        + f""", ms AS (
+  SELECT 'conv-' || (doc_id % 50) AS conv_id,
+         CAST(FLOOR(doc_id / 50.0) AS INT) AS turn_idx,
+         CASE {_FORM_KEY}
+           WHEN 1 THEN lang || '_store' || {_WS_CASE} || 'is' || {_WS_CASE} || {_PASSIVE_CASE} || {_WS_CASE} || 'by' || {_WS_CASE} || source || '_svc'
+           WHEN 2 THEN source || '_svc' || ' , which' || {_WS_CASE} || {_PHRASE_CASE} || {_WS_CASE} || lang || '_store'
+           ELSE source || '_svc' || {_WS_CASE} || {_PHRASE_CASE} || {_WS_CASE} || lang || '_store' END AS m
+  FROM documents WHERE {_FORM_KEY} <= 3
+)
+SELECT g.conv_id, g.turn_idx, g.subj, g.pred, g.obj,
+       strpos(t.text, s.m) AS src_offset
+FROM gt g
+JOIN ms s ON s.conv_id = g.conv_id AND s.turn_idx = g.turn_idx
+JOIN t ON t.conv_id = g.conv_id AND t.turn_idx = g.turn_idx
+ORDER BY g.conv_id, g.turn_idx, g.subj, g.pred, g.obj
+"""
+    )
 
 
 def q_kg_context_expand(spark, sf_dir):
@@ -1163,9 +1309,11 @@ def _link_mentions_oracle(dim: int = 64, rrf_k: int = 60, top_n: int = 1) -> str
     rank_order = ", link_rank" if top_n > 1 else ""
     return f"""
 WITH surf AS (
-  SELECT DISTINCT source || '_svc' AS surface FROM documents
+  SELECT DISTINCT source || '_svc' AS surface FROM documents WHERE {_FORM_KEY} <= 3
   UNION
-  SELECT DISTINCT lang || '_store' FROM documents
+  SELECT DISTINCT lang || '_store' FROM documents WHERE {_FORM_KEY} <= 3
+  UNION
+  SELECT DISTINCT lang || '_cache' FROM documents WHERE {_FORM_KEY} = 3
 ),
 cat AS (
   SELECT surface AS entity_id, surface AS alias FROM surf
@@ -1281,6 +1429,9 @@ def _canonicalize_oracle(n_hashes: int = 12, n_bands: int = 4, thr: float = 0.6)
     return f"""
 WITH RECURSIVE gt AS (
   SELECT source || '_svc' AS subj, lang || '_store' AS obj FROM documents
+  WHERE {_FORM_KEY} <= 3
+  UNION ALL
+  SELECT source || '_svc', lang || '_cache' FROM documents WHERE {_FORM_KEY} = 3
 ),
 surf AS (SELECT DISTINCT subj AS surface FROM gt UNION SELECT DISTINCT obj FROM gt),
 base AS (
@@ -1845,6 +1996,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_turn_window": q_kg_turn_window,
     "kg_context_expand": q_kg_context_expand,
     "kg_qualified_mentions": q_kg_qualified_mentions,
+    "kg_standalone_mentions": q_kg_standalone_mentions,
+    "kg_block_types": q_kg_block_types,
+    "kg_edge_provenance": q_kg_edge_provenance,
     "transcript_quarantine": q_transcript_quarantine,
     "rrf_fusion_docs": q_rrf_fusion_docs,
     "pricing_summary": q_pricing_summary,
@@ -1913,6 +2067,11 @@ ORACLES: dict[str, str] = {
          FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)""",
     "kg_context_expand": ORACLE_CONTEXT.format(derived=DERIVED_TRANSCRIPTS_SQL),
     "kg_qualified_mentions": ORACLE_QUALIFIED,
+    "kg_standalone_mentions": ORACLE_STANDALONE_MENTIONS.format(
+        derived=DERIVED_TRANSCRIPTS_SQL
+    ),
+    "kg_block_types": ORACLE_BLOCK_TYPES.format(derived=DERIVED_TRANSCRIPTS_SQL),
+    "kg_edge_provenance": _edge_provenance_oracle(),
     "transcript_quarantine": ORACLE_QUARANTINE.format(derived=DERIVED_TRANSCRIPTS_SQL),
     "graph_tree": ORACLE_GRAPH_TREE,
     "rrf_fusion_docs": ORACLE_RRF,

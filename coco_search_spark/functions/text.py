@@ -95,6 +95,37 @@ def qualified_name_col(*parts: Column) -> Column:
     return F.concat_ws("::", *parts)
 
 
+def classify_block_col(text: Column, tool: Column) -> Column:
+    """X3 block-type classification (reference: ChunkMetadata block_type
+    dispatch, src/cocosearch/handlers/__init__.py:36-42, 331-360 — ~15
+    per-format handlers): cheap structural predicates typing each turn's
+    text. Transcript-shaped taxonomy:
+
+    - ``tool_output``  — the turn came from a tool invocation;
+    - ``code``         — contains a fenced code block (``````` marker);
+    - ``prose``        — everything else.
+
+    Pure Catalyst and portable: the identical CASE/LIKE form runs in the
+    DuckDB oracle. Downstream, linking boosts definition-typed blocks
+    (hybrid.py:419-481 analog)."""
+    return (
+        F.when(tool.isNotNull(), "tool_output")
+        .when(F.instr(text, "```") > 0, "code")
+        .otherwise("prose")
+    )
+
+
+def section_col(text: Column) -> Column:
+    """X3 hierarchy metadata: the LAST markdown-style heading in the text
+    (``# name`` at line start), or null — the flat-transcript analog of the
+    reference's handler hierarchy path (handlers/__init__.py ChunkMetadata
+    ``hierarchy``). element_at(..., -1) takes the innermost heading."""
+    heads = F.regexp_extract_all(text, F.lit(r"(?m)^#[ ]([A-Za-z0-9_]+)"), 1)
+    return F.when(F.size(heads) > 0, F.element_at(heads, -1)).otherwise(
+        F.lit(None).cast("string")
+    )
+
+
 def sha256_col(c: Column) -> Column:
     """Content hash for incremental-state identity
     (reference: flow.py:348-351 sha256 file identity)."""

@@ -100,15 +100,21 @@ def _map_expr(mapping: dict[str, str]) -> Column:
 
 
 def _form_triples(
-    seg: Column, regex: str, swap: bool, mapping: dict[str, str], guards: list[str]
+    seg: Column,
+    regex: str,
+    swap: bool,
+    mapping: dict[str, str],
+    guards: list[str],
+    with_match: bool = False,
 ) -> Column:
-    """array<struct<subj,pred,obj>> of this form's matches in seg.
+    """array<struct<subj,pred,obj[,m]>> of this form's matches in seg.
 
     ONE full-text regex scan per form (group 0); capture groups are then
     re-extracted from each short match string — O(match length), not
     another pass over the segment. Running 3 scans instead of 9 keeps the
     extractor's cost ≈ the single-form round-1 extractor despite 3× the
-    grammar."""
+    grammar. ``with_match`` additionally carries the raw group-0 match
+    string (for provenance offsets)."""
     pred_map = _map_expr(mapping)
     matches = F.regexp_extract_all(seg, F.lit(regex), 0)
     for lit in guards:
@@ -118,11 +124,14 @@ def _form_triples(
     g = lambda m, i: F.regexp_extract(m, regex, i)  # noqa: E731
 
     def triple(m, obj_group: int):
-        return F.struct(
+        fields = [
             g(m, 3 if swap else 1).alias("subj"),
             pred_map[F.regexp_replace(g(m, 2), r"\s+", " ")].alias("pred"),
             g(m, 1 if swap else obj_group).alias("obj"),
-        )
+        ]
+        if with_match:
+            fields.append(m.alias("m"))
+        return F.struct(*fields)
 
     out = F.transform(matches, lambda m: triple(m, 3))
     if re.compile(regex).groups >= 4:  # conjunction: second object → second triple
@@ -220,6 +229,120 @@ def extract_alias_bindings(segments: DataFrame) -> DataFrame:
             F.regexp_extract(F.col("m"), ALIAS_BINDING_RE, 2).alias("alias"),
         )
         .filter(~F.col("target").isin(*STOP_IDENTS) & ~F.col("alias").isin(*STOP_IDENTS))
+        .distinct()
+    )
+
+
+def extract_triples_prov(segments: DataFrame) -> DataFrame:
+    """Like ``extract_triples`` but with per-edge provenance — the analog of
+    the reference's per-edge JSONB metadata (module / line / alias,
+    reference: src/cocosearch/deps/db.py:46, extractors/python.py:96-106):
+
+    - ``src_offset``: 1-based char position of the FIRST occurrence of the
+      evidencing match in the reassembled turn text (strpos semantics —
+      min over segments of segment start_char + instr within the segment;
+      the overlap-containment guarantee makes that exactly the global first
+      occurrence).
+    - ``src_seg_idx``: the segment index of that earliest occurrence.
+
+    Requires ``segment_turns(..., with_offsets=True)`` input (start_char
+    column). Same single-shuffle shape as extract_triples: the groupBy
+    min(struct) combines map-side, so the exchange carries ≈unique triples.
+    """
+    seg = F.col("seg_text")
+    all_forms = F.concat(
+        *[
+            _form_triples(seg, rx, sw, mp, gd, with_match=True)
+            for rx, sw, mp, gd in GRAMMAR
+        ]
+    )
+    exploded = (
+        segments.select(
+            "conv_id", "turn_idx", "seg_idx", "start_char", "seg_text",
+            F.explode(all_forms).alias("t"),
+        )
+        .select(
+            "conv_id",
+            "turn_idx",
+            "seg_idx",
+            F.col("t.subj").alias("subj"),
+            F.col("t.pred").alias("pred"),
+            F.col("t.obj").alias("obj"),
+            (F.col("start_char") + F.expr("instr(seg_text, t.m)")).alias("pos"),
+        )
+        .filter(
+            ~F.col("subj").isin(*STOP_IDENTS) & ~F.col("obj").isin(*STOP_IDENTS)
+        )
+    )
+    prov = F.min(
+        F.struct(F.col("pos").alias("src_offset"), F.col("seg_idx").alias("src_seg_idx"))
+    ).alias("prov")
+    return (
+        exploded.groupBy("conv_id", "turn_idx", "subj", "pred", "obj")
+        .agg(prov)
+        .select(
+            "conv_id",
+            "turn_idx",
+            "subj",
+            "pred",
+            "obj",
+            F.col("prov.src_offset").alias("src_offset"),
+            F.col("prov.src_seg_idx").alias("src_seg_idx"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Standalone mention extraction (X2 full): entities mentioned WITHOUT a
+# relation still become mention rows / KG nodes — the analog of the
+# reference extracting symbols independently of dependency edges
+# (reference: src/cocosearch/indexer/symbols.py:423-483). The grammar is
+# context-typed: a marker construction assigns each mention a kind, like
+# the reference's symbol kinds (function/class/... per node type).
+# ---------------------------------------------------------------------------
+
+# (regex with ONE capture group, mention_kind, guard literals)
+MENTION_GRAMMAR: list[tuple[str, str, list[str]]] = [
+    (rf"\bsee\s+({IDENT_RE})\b", "reference", ["see"]),
+    (
+        rf"\bthe\s+({IDENT_RE})\s+(?:module|component|subsystem)\b",
+        "definition",
+        ["module", "component", "subsystem"],
+    ),
+]
+
+
+def _tag_mention(kind: str):
+    # closure factory — pyspark inspects HOF lambda arity, so the kind must
+    # be bound via closure, not a default argument
+    return lambda x: F.struct(x.alias("mention"), F.lit(kind).alias("mention_kind"))
+
+
+def extract_standalone_mentions(segments: DataFrame) -> DataFrame:
+    """segments → distinct (conv_id, turn_idx, mention, mention_kind) rows
+    from marker constructions ("see X", "the X module") — relation-free
+    entity evidence. Pure Catalyst: one guarded regex scan per marker form,
+    one explode, distinct; same shuffle shape as extract_triples."""
+    seg = F.col("seg_text")
+    arrays = []
+    for rx, kind, guards in MENTION_GRAMMAR:
+        m = F.regexp_extract_all(seg, F.lit(rx), 1)
+        guard_cond = None
+        for g in guards:
+            c = F.instr(seg, g) > 0
+            guard_cond = c if guard_cond is None else (guard_cond | c)
+        if guard_cond is not None:
+            m = F.when(guard_cond, m).otherwise(F.array().cast("array<string>"))
+        arrays.append(F.transform(m, _tag_mention(kind)))
+    return (
+        segments.select("conv_id", "turn_idx", F.explode(F.concat(*arrays)).alias("t"))
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.col("t.mention").alias("mention"),
+            F.col("t.mention_kind").alias("mention_kind"),
+        )
+        .filter(~F.col("mention").isin(*STOP_IDENTS))
         .distinct()
     )
 

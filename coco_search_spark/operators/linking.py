@@ -46,14 +46,20 @@ def norm_tokens_col(name_col):
     return F.array_distinct(F.split(normalize_name_col(name_col), "_"))
 
 
+DEFINITION_BLOCK = "code"  # block_type that marks an alias as definition-like
+
+
 def build_alias_index(catalog: DataFrame) -> DataFrame:
-    """catalog(entity_id, alias) → token-inverted index
-    (token, entity_id, alias, alias_norm). The GIN-index analog
-    (schema_migration.py:74-90) as a small DataFrame."""
+    """catalog(entity_id, alias[, block_type]) → token-inverted index
+    (token, entity_id, alias, alias_norm[, block_type]). The GIN-index
+    analog (schema_migration.py:74-90) as a small DataFrame. ``block_type``
+    (optional) records the block kind the alias was observed in — the
+    definition-boost signal (hybrid.py:419-481)."""
+    extra = ["block_type"] if "block_type" in catalog.columns else []
     return (
         catalog.withColumn("alias_norm", normalize_name_col(F.col("alias")))
         .withColumn("token", F.explode(norm_tokens_col(F.col("alias"))))
-        .select("token", "entity_id", "alias", "alias_norm")
+        .select("token", "entity_id", "alias", "alias_norm", *extra)
     )
 
 
@@ -84,12 +90,20 @@ def link_surfaces(
     ).withColumn("m_tokens", norm_tokens_col(F.col("mention")))
 
     alias_idx = build_alias_index(catalog)
+    has_blocks = "block_type" in alias_idx.columns
+    block_col = (
+        [(F.col("block_type") == DEFINITION_BLOCK).cast("int").alias("is_def")]
+        if has_blocks
+        else [F.lit(0).alias("is_def")]
+    )
 
     # candidate pairs: any shared normalized token (resolver probe analog)
     cand = (
         surfaces.withColumn("token", F.explode(F.col("m_tokens")))
         .join(F.broadcast(alias_idx), "token")
-        .select("mention", "m_norm", "m_tokens", "entity_id", "alias", "alias_norm")
+        .select(
+            "mention", "m_norm", "m_tokens", "entity_id", "alias", "alias_norm", *block_col
+        )
         .distinct()
     )
 
@@ -127,6 +141,7 @@ def link_surfaces(
         F.max("vec_sim").alias("vec_sim"),
         F.max("kw_sim").alias("kw_sim"),
         F.max((F.col("alias_norm") == F.col("m_norm")).cast("int")).alias("exact_norm"),
+        F.max("is_def").alias("is_def"),
     )
 
     # ---- per-leg prefetch rank (deterministic tie-break on entity_id)
@@ -135,7 +150,9 @@ def link_surfaces(
     vec_leg = (
         scored.withColumn("v_rank", F.row_number().over(w_vec))
         .filter(F.col("v_rank") <= prefetch)
-        .select("mention", "m_norm", "entity_id", "exact_norm", "vec_sim", "v_rank")
+        .select(
+            "mention", "m_norm", "entity_id", "exact_norm", "is_def", "vec_sim", "v_rank"
+        )
     )
     kw_leg = (
         scored.withColumn("k_rank", F.row_number().over(w_kw))
@@ -160,9 +177,14 @@ def link_surfaces(
         )
         .withColumn(
             "link_score",
-            F.when(F.col("exact_norm") == 1, F.col("rrf") * EXACT_MATCH_BOOST).otherwise(
-                F.col("rrf")
-            ),
+            # DEFINITION_BOOST_MULTIPLIER semantics (hybrid.py:33, 419-481):
+            # one ×2 boost if the candidate is definition-evidence — either
+            # an exact normalized-name match or an alias observed in a
+            # definition-typed (code) block; the boosts do not stack
+            F.when(
+                (F.col("exact_norm") == 1) | (F.col("is_def") == 1),
+                F.col("rrf") * EXACT_MATCH_BOOST,
+            ).otherwise(F.col("rrf")),
         )
     )
 

@@ -49,10 +49,11 @@ def resolve_edges(
     # write_graph — keeping it out of the cached intermediate halves the
     # cache's allocation/GC pressure (maps are the most expensive column
     # type to materialize)
+    prov = [c for c in ("src_offset", "src_seg_idx") if c in triples.columns]
     return (
         triples.join(F.broadcast(subj_link), "subj", "left")
         .join(F.broadcast(obj_link), "obj", "left")
-        .select("subj_id", "pred", "obj_id", "subj", "obj", "conv_id", "turn_idx")
+        .select("subj_id", "pred", "obj_id", "subj", "obj", "conv_id", "turn_idx", *prov)
     )
 
 
@@ -98,22 +99,33 @@ def salted_distinct_count(
     return partial.groupBy(key).agg(F.sum("d").alias(f"n_distinct_{value}"))
 
 
-def build_nodes(edges: DataFrame) -> DataFrame:
+def build_nodes(edges: DataFrame, extra_entities: DataFrame | None = None) -> DataFrame:
     """Node table: every canonical endpoint with out/in degree.
 
     Single pass: both endpoints stack into (entity_id, is_out) rows, and ONE
     groupBy computes both degrees. Conditional sums combine map-side, so
     this is one shuffle carrying ≤ one partial row per (entity, map task) —
-    skew-safe without salting."""
+    skew-safe without salting.
+
+    ``extra_entities`` (entity_id): relation-free entities — e.g. canonical
+    ids of standalone mentions (X2, symbols.py:423-483 analog: an entity
+    mentioned without any dependency edge is still a node). They join the
+    same single aggregation with null is_out (sum skips nulls → degree 0)."""
     endpoints = edges.select(
         F.col("subj_id").alias("entity_id"), F.lit(1).alias("is_out")
     ).unionAll(edges.select(F.col("obj_id").alias("entity_id"), F.lit(0).alias("is_out")))
+    if extra_entities is not None:
+        endpoints = endpoints.unionAll(
+            extra_entities.select(
+                F.col("entity_id"), F.lit(None).cast("int").alias("is_out")
+            )
+        )
     return (
         endpoints.filter(F.col("entity_id").isNotNull())
         .groupBy("entity_id")
         .agg(
-            F.sum("is_out").alias("out_degree"),
-            F.sum(1 - F.col("is_out")).alias("in_degree"),
+            F.coalesce(F.sum("is_out"), F.lit(0)).alias("out_degree"),
+            F.coalesce(F.sum(1 - F.col("is_out")), F.lit(0)).alias("in_degree"),
         )
     )
 
@@ -123,12 +135,17 @@ def write_graph(nodes: DataFrame, edges: DataFrame, out_dir: str) -> None:
     subj_id so one hot entity cannot produce one giant output file."""
     out_edges = edges
     if "metadata" not in edges.columns:
-        out_edges = edges.withColumn(
-            "metadata",
-            F.create_map(
-                F.lit("subj_surface"), F.col("subj"),
-                F.lit("obj_surface"), F.col("obj"),
-            ),
+        # JSONB-metadata analog (deps/db.py:46): surfaces + provenance
+        # (where in the conversation this edge is evidenced) as a string map
+        kv = [
+            F.lit("subj_surface"), F.col("subj"),
+            F.lit("obj_surface"), F.col("obj"),
+        ]
+        for c in ("src_offset", "src_seg_idx"):
+            if c in edges.columns:
+                kv.extend([F.lit(c), F.col(c).cast("string")])
+        out_edges = edges.withColumn("metadata", F.create_map(*kv)).drop(
+            "src_offset", "src_seg_idx"
         )
     out_edges.withColumn(
         "write_bucket", F.pmod(F.xxhash64("subj_id", "conv_id", "turn_idx"), F.lit(32))

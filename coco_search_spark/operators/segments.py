@@ -33,11 +33,22 @@ def segment_turns(
     transcripts: DataFrame,
     seg_size: int = SEG_SIZE_WORDS,
     seg_overlap: int = SEG_OVERLAP_WORDS,
+    with_offsets: bool = False,
 ) -> DataFrame:
     """transcripts → one row per segment.
 
     Output: conv_id, turn_idx, role, tool, ts, seg_idx, start_word,
-    end_word, n_words, seg_text.
+    end_word, n_words, seg_text [, start_char].
+
+    ``with_offsets`` adds ``start_char``: the number of characters of the
+    turn text before this segment's first character (0 for segment 0), so
+    char positions found inside ``seg_text`` map back to turn-level
+    positions as ``start_char + pos`` — the coordinate transform provenance
+    extraction needs. Splitting on single spaces means a contiguous word
+    slice joined with " " reproduces the exact substring, so the prefix
+    length is ``len(join(words[:start_word])) + 1``. Off by default: the
+    prefix join makes segmentation O(n_words × n_segs) per turn instead of
+    O(n_words + seg output), which only provenance consumers should pay.
     """
     if seg_overlap >= seg_size:
         raise ValueError("seg_overlap must be < seg_size")
@@ -47,27 +58,38 @@ def segment_turns(
     n_seg = F.when(n <= seg_size, F.lit(1)).otherwise(
         F.ceil((n - F.lit(seg_overlap)) / F.lit(step)).cast("int")
     )
-    seg_struct = F.transform(
-        F.sequence(F.lit(0), n_seg - 1),
-        lambda i: F.struct(
+
+    def seg_fields(i):
+        fields = [
             i.cast("int").alias("seg_idx"),
             (i * step).cast("int").alias("start_word"),
             F.least(i * step + seg_size, n).cast("int").alias("end_word"),
             F.array_join(F.slice(words, i * step + 1, seg_size), " ").alias("seg_text"),
-        ),
-    )
+        ]
+        if with_offsets:
+            fields.append(
+                F.when(i == 0, F.lit(0))
+                .otherwise(F.length(F.array_join(F.slice(words, 1, i * step), " ")) + 1)
+                .cast("int")
+                .alias("start_char")
+            )
+        return F.struct(*fields)
+
+    seg_struct = F.transform(F.sequence(F.lit(0), n_seg - 1), seg_fields)
     passthrough = [c for c in transcripts.columns if c != "text"]
+    out_cols = [
+        F.col("seg.seg_idx").alias("seg_idx"),
+        F.col("seg.start_word").alias("start_word"),
+        F.col("seg.end_word").alias("end_word"),
+        F.col("n_words"),
+        F.col("seg.seg_text").alias("seg_text"),
+    ]
+    if with_offsets:
+        out_cols.append(F.col("seg.start_char").alias("start_char"))
     return (
         transcripts.withColumn("n_words", n)
         .withColumn("seg", F.explode(seg_struct))
-        .select(
-            *passthrough,
-            F.col("seg.seg_idx").alias("seg_idx"),
-            F.col("seg.start_word").alias("start_word"),
-            F.col("seg.end_word").alias("end_word"),
-            "n_words",
-            F.col("seg.seg_text").alias("seg_text"),
-        )
+        .select(*passthrough, *out_cols)
     )
 
 

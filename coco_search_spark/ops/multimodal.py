@@ -203,14 +203,14 @@ def size_bucketed(
     wide rows must not concentrate (executor OOM defense at 100 TB).
 
     ``n_rows``: caller-supplied row count (e.g. from source statistics or a
-    prior action). When None, no counting pass runs over the payloads —
-    the partition count falls back to the session's shuffle parallelism and
-    AQE coalescing sizes the output by bytes (the byte-accurate path; an
-    eager ``df.count()`` here would be a full extra scan of the binary
-    column just to pick an integer)."""
-    rows_per_part = max(1, (target_mb * 1024) // avg_payload_kb)
+    prior action). When None, no counting pass runs over the payloads and
+    the input partitioning is kept — scan partition sizing
+    (``spark.sql.files.maxPartitionBytes``) and AQE coalescing already
+    bound partition bytes, and an eager ``df.count()`` here would be a
+    full extra scan of the binary column just to pick an integer."""
     if n_rows is None:
-        return df.repartition()
+        return df
+    rows_per_part = max(1, (target_mb * 1024) // avg_payload_kb)
     parts = max(2, n_rows // rows_per_part + 1)
     return df.repartition(parts)
 

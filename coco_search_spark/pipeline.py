@@ -23,8 +23,9 @@ from pyspark.sql import functions as F
 
 from coco_search_spark.operators.canonicalize import canonicalize_surfaces
 from coco_search_spark.operators.extract import (
-    extract_triples,
+    extract_standalone_mentions,
     extract_triples_arrow,
+    extract_triples_prov,
 )
 from coco_search_spark.operators.linking import link_surfaces
 from coco_search_spark.operators.materialize import build_nodes, resolve_edges, write_graph
@@ -68,7 +69,7 @@ def run_pipeline(
         timings[name] = round(now - _t0, 2)
         _t0 = now
 
-    extract_fn = extract_triples if extractor == "native" else extract_triples_arrow
+    extract_fn = extract_triples_prov if extractor == "native" else extract_triples_arrow
 
     # parse-status gate (parse_tracking.py:58-111 analog): malformed turns
     # are quarantined and counted per conversation into state `errors`;
@@ -76,6 +77,9 @@ def run_pipeline(
     transcripts, quarantined = split_quarantine(transcripts)
 
     store = StateStore(state_dir) if state_dir else None
+    # staleness metric (stats.py:642 analog): age of the state we resume
+    # from, surfaced BEFORE this run commits a fresh snapshot
+    snapshot_age = store.staleness_seconds() if store else None
     prev_triples: DataFrame | None = None
     dirty = transcripts
     n_unchanged = 0
@@ -104,7 +108,9 @@ def run_pipeline(
                 dirty = transcripts
                 n_unchanged = 0
 
-    segments = segment_turns(dirty)
+    # native path carries char offsets for edge provenance; the Arrow path
+    # (grammar-in-Python escape hatch) skips them
+    segments = segment_turns(dirty, with_offsets=(extractor == "native"))
 
     # chunks table — the reference's chunk relation parity (flow.py:61-84:
     # text, tokens (tsvector input), embedding per chunk). Tokenization is
@@ -125,6 +131,8 @@ def run_pipeline(
             F.concat(F.lit("Conv: "), F.col("conv_id"), F.lit(" role: "), F.col("role")),
             F.col("seg_text"),
         )
+        from coco_search_spark.functions.text import classify_block_col, section_col
+
         chunks = segments.select(
             "conv_id",
             "turn_idx",
@@ -134,6 +142,11 @@ def run_pipeline(
             "start_word",
             "end_word",
             "seg_text",
+            # X3 metadata: structural block typing + innermost section
+            # heading (ChunkMetadata{block_type, hierarchy} analog,
+            # handlers/__init__.py:36-42)
+            classify_block_col(F.col("seg_text"), F.col("tool")).alias("block_type"),
+            section_col(F.col("seg_text")).alias("section"),
             # stored as one text column exactly like the reference's
             # content_tsv_input (flow.py:69) — consumers re-split on space
             F.array_join(tokenize_col(F.col("seg_text")), " ").alias("tsv_input"),
@@ -142,18 +155,28 @@ def run_pipeline(
 
     triples = extract_fn(segments)
     if prev_triples is not None:
-        triples = triples.unionByName(prev_triples)
+        # allowMissingColumns: snapshots written before provenance columns
+        # existed reload with null provenance instead of failing (the
+        # schema-evolution rule — see state.ensure_columns)
+        triples = triples.unionByName(prev_triples, allowMissingColumns=True)
     triples = triples.cache()
     n_triples = triples.count()
+
+    # standalone mentions (X2): relation-free entity evidence — extracted
+    # from the same segment scan shape, cached alongside the triples
+    standalone = extract_standalone_mentions(segments).cache()
+    n_standalone = standalone.count()
     _stamp("extract")
 
-    # vocabulary-sized surface table straight from the cached triples:
-    # per-column distincts collapse map-side BEFORE the union, so no
-    # occurrence-level shuffle exists anywhere in the linking path
+    # vocabulary-sized surface table straight from the cached triples +
+    # standalone mentions: per-column distincts collapse map-side BEFORE
+    # the union, so no occurrence-level shuffle exists anywhere in the
+    # linking path
     surfaces = (
         triples.select(F.col("subj").alias("surface"))
         .distinct()
         .unionByName(triples.select(F.col("obj").alias("surface")).distinct())
+        .unionByName(standalone.select(F.col("mention").alias("surface")).distinct())
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -202,7 +225,16 @@ def run_pipeline(
     )
 
     edges = resolve_edges(triples, link_map).cache()
-    nodes = build_nodes(edges).cache()
+    # relation-free entities (X2): canonical ids of standalone mentions
+    # become degree-0 nodes unless they also appear as edge endpoints
+    standalone_ids = (
+        standalone.select(F.col("mention"))
+        .distinct()
+        .join(F.broadcast(link_map), "mention")
+        .select(F.col("canon_id").alias("entity_id"))
+        .distinct()
+    )
+    nodes = build_nodes(edges, extra_entities=standalone_ids).cache()
     nodes.count()
     _stamp("resolve_nodes")
 
@@ -229,6 +261,8 @@ def run_pipeline(
 
     metrics = {
         "n_triples": n_triples,
+        "n_standalone_mentions": n_standalone,
+        "snapshot_age_sec": snapshot_age,
         "n_unchanged_convs": n_unchanged,
         "n_quarantined_turns": n_quarantined,
         "n_surfaces": surfaces.count(),

@@ -38,6 +38,26 @@ STATE_SCHEMA = (
 )
 
 
+def ensure_columns(df: DataFrame, schema: str) -> DataFrame:
+    """Idempotent schema migration (reference: schema_migration.py:138-199
+    ensure-column-if-missing + query.py:362-377 capability probe): any
+    column of ``schema`` absent from ``df`` is added as a typed NULL, so
+    state directories written by an older engine version read cleanly after
+    an upgrade instead of failing on the first missing-column reference.
+    Columns are returned in schema order (extras, if any, trail)."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    target = _parse_datatype_string(schema)  # DDL "name type, ..." → StructType
+    have = set(df.columns)
+    out = df
+    for field in target.fields:
+        if field.name not in have:
+            out = out.withColumn(field.name, F.lit(None).cast(field.dataType))
+    ordered = [f.name for f in target.fields]
+    extras = [c for c in df.columns if c not in ordered]
+    return out.select(*ordered, *extras)
+
+
 def conversation_hashes(transcripts: DataFrame) -> DataFrame:
     """(conv_id, content_hash): sha256 over the ordered concatenation of
     PER-TURN sha256 hashes — stable under (conv_id, turn_idx) ordering
@@ -122,7 +142,19 @@ class StateStore:
         snap = self.last_snapshot()
         if snap is None:
             return spark.createDataFrame([], STATE_SCHEMA)
-        return spark.read.parquet(snap["data_path"])
+        # ensureSchema on read: snapshots from an older engine version gain
+        # any newer columns as typed NULLs (schema_migration.py analog)
+        return ensure_columns(spark.read.parquet(snap["data_path"]), STATE_SCHEMA)
+
+    def staleness_seconds(self) -> float | None:
+        """Age of the last committed snapshot in seconds, or None when no
+        snapshot exists — the check_staleness analog (reference:
+        management/stats.py:642, 526): surfaces how out-of-date the stored
+        state is so operators can alert on stuck ingestion."""
+        snap = self.last_snapshot()
+        if snap is None or "committed_at" not in snap:
+            return None
+        return max(0.0, time.time() - float(snap["committed_at"]))
 
     def commit(self, state_rows: DataFrame, stage: str) -> str:
         """Write a new state snapshot; returns snapshot id. Atomic via

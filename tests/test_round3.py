@@ -1,0 +1,289 @@
+"""Round-3 feature tests: standalone mentions (X2), block metadata (X3),
+edge provenance, definition boost, schema evolution, staleness, preflight."""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from coco_search_spark.functions.text import classify_block_col, section_col
+from coco_search_spark.operators.extract import (
+    MENTION_GRAMMAR,
+    extract_standalone_mentions,
+    extract_triples,
+    extract_triples_prov,
+)
+from coco_search_spark.operators.segments import segment_turns
+
+TS = None  # ts unused by these operators
+
+
+def _tdf(spark, rows):
+    return spark.createDataFrame(
+        [(c, t, "user", x, None, TS) for c, t, x in rows],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+
+
+# ------------------------------------------------------- standalone mentions
+
+def test_standalone_mentions_basic(spark):
+    t = _tdf(
+        spark,
+        [
+            ("c0", 0, "routing is flaky . see payment_gateway ."),
+            ("c0", 1, "the auth_router module handles tokens"),
+            ("c0", 2, "nothing of note here"),
+            # stop-ident must be filtered even in marker position
+            ("c0", 3, "see which . the is module ."),
+        ],
+    )
+    m = {
+        (r["mention"], r["mention_kind"]): (r["conv_id"], r["turn_idx"])
+        for r in extract_standalone_mentions(segment_turns(t)).collect()
+    }
+    assert ("payment_gateway", "reference") in m
+    assert ("auth_router", "definition") in m
+    assert all(k[0] not in ("which", "is") for k in m)
+    assert len(m) == 2
+
+
+def test_standalone_mentions_whitespace_and_overlap(spark):
+    # marker split across a segment boundary must be recovered by overlap
+    filler = " ".join(f"w{i}" for i in range(148))
+    text = filler + " see stream_engine ."
+    t = _tdf(spark, [("c1", 0, text), ("c1", 1, "see\nqueue_broker .")])
+    got = {
+        r["mention"]
+        for r in extract_standalone_mentions(segment_turns(t)).collect()
+    }
+    assert got == {"stream_engine", "queue_broker"}
+
+
+def test_relation_free_entity_becomes_node(spark):
+    from coco_search_spark.pipeline import run_pipeline
+
+    t = _tdf(
+        spark,
+        [
+            ("c2", 0, "billing_engine calls ledger_store ."),
+            ("c2", 1, "unrelated chatter . see orphan_service ."),
+        ],
+    )
+    res = run_pipeline(spark, t)
+    nodes = {r["entity_id"]: r for r in res.nodes.collect()}
+    assert "orphan_service" in nodes
+    assert nodes["orphan_service"]["out_degree"] == 0
+    assert nodes["orphan_service"]["in_degree"] == 0
+    assert res.metrics["n_standalone_mentions"] == 1
+    # edge endpoints still carry degrees
+    assert nodes["billing_engine"]["out_degree"] == 1
+
+
+# ------------------------------------------------------------ block metadata
+
+def test_classify_block_and_section(spark):
+    rows = [
+        ("b0", 0, "user", "plain prose text", None),
+        ("b0", 1, "assistant", "look:\n```\nlet x = 1\n```\ndone", None),
+        ("b0", 2, "tool", "grep output lines", "grep"),
+        ("b0", 3, "user", "# section_alpha\nintro\n# section_beta\nbody", None),
+    ]
+    df = spark.createDataFrame(
+        [(c, t, r, x, tool, None) for c, t, r, x, tool in rows],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    out = {
+        r["turn_idx"]: (r["bt"], r["sec"])
+        for r in df.select(
+            "turn_idx",
+            classify_block_col(F.col("text"), F.col("tool")).alias("bt"),
+            section_col(F.col("text")).alias("sec"),
+        ).collect()
+    }
+    assert out[0] == ("prose", None)
+    assert out[1] == ("code", None)
+    assert out[2] == ("tool_output", None)
+    assert out[3] == ("prose", "section_beta")  # innermost (last) heading
+
+
+def test_chunks_carry_block_metadata(spark, tmp_path):
+    from coco_search_spark.pipeline import run_pipeline
+
+    t = _tdf(spark, [("c3", 0, "alpha_service calls beta_store . ```\ncode\n```")])
+    out = str(tmp_path / "out")
+    run_pipeline(spark, t, out_dir=out)
+    chunks = spark.read.parquet(f"{out}/chunks")
+    assert "block_type" in chunks.columns and "section" in chunks.columns
+    assert chunks.filter(F.col("block_type") == "code").count() >= 1
+
+
+# -------------------------------------------------------- definition boost
+
+def test_definition_boost_flips_winner(spark):
+    from coco_search_spark.operators.linking import link_surfaces
+
+    # two entities with aliases equidistant from the mention; only ent_b's
+    # alias was observed in a code (definition) block → boost must flip the
+    # otherwise entity-id tie-break (which favors ent_a)
+    mentions = spark.createDataFrame([("shared_name",)], "mention string")
+    cat_rows = [
+        ("ent_a", "shared_alpha", "prose"),
+        ("ent_b", "shared_beta", "code"),
+    ]
+    catalog = spark.createDataFrame(
+        cat_rows, "entity_id string, alias string, block_type string"
+    )
+    best = link_surfaces(mentions, catalog, embedder="expr").collect()[0]
+    assert best["entity_id"] == "ent_b"
+    # without block_type the tie-break picks ent_a (stable entity_id asc)
+    catalog_plain = catalog.drop("block_type")
+    base = link_surfaces(mentions, catalog_plain, embedder="expr").collect()[0]
+    assert base["entity_id"] in ("ent_a", "ent_b")  # scores decide; boost off
+    assert base["link_score"] < best["link_score"] or base["entity_id"] != "ent_b"
+
+
+# ------------------------------------------------------------- provenance
+
+def test_edge_provenance_offsets(spark):
+    filler = " ".join(f"f{i}" for i in range(200))  # forces multi-segment turns
+    rows = [
+        ("p0", 0, "intro words . cache_layer imports token_store . outro"),
+        ("p0", 1, filler + " vector_index is used by query_planner ."),
+        ("p0", 2, "a_svc , which emits b_store . tail"),
+    ]
+    t = _tdf(spark, rows)
+    segs = segment_turns(t, with_offsets=True)
+    got = {
+        (r["turn_idx"], r["subj"], r["pred"], r["obj"]): (
+            r["src_offset"],
+            r["src_seg_idx"],
+        )
+        for r in extract_triples_prov(segs).collect()
+    }
+    texts = {r[1]: r[2] for r in rows}
+    # active form: match starts at subject
+    off, seg0 = got[(0, "cache_layer", "imports", "token_store")]
+    assert off == texts[0].find("cache_layer") + 1 and seg0 == 0
+    # passive form: group-0 match starts at the OBJECT surface
+    off, _ = got[(1, "query_planner", "uses", "vector_index")]
+    assert off == texts[1].find("vector_index") + 1
+    # appositive
+    off, _ = got[(2, "a_svc", "emits", "b_store")]
+    assert off == texts[2].find("a_svc") + 1
+    # provenance variant must emit exactly the same triples as the plain one
+    plain = {
+        (r["conv_id"], r["turn_idx"], r["subj"], r["pred"], r["obj"])
+        for r in extract_triples(segment_turns(t)).collect()
+    }
+    assert plain == {("p0", k[0], k[1], k[2], k[3]) for k in got}
+
+
+def test_provenance_survives_in_edge_metadata(spark, tmp_path):
+    from coco_search_spark.pipeline import run_pipeline
+
+    t = _tdf(spark, [("m0", 0, "alpha_svc calls beta_store .")])
+    out = str(tmp_path / "graph")
+    run_pipeline(spark, t, out_dir=out)
+    edges = spark.read.parquet(f"{out}/edges")
+    md = edges.select(F.col("metadata")).collect()[0][0]
+    assert md["subj_surface"] == "alpha_svc"
+    assert int(md["src_offset"]) == 1  # match starts at char 1 of the turn
+    assert int(md["src_seg_idx"]) == 0
+
+
+# ------------------------------------------------- schema evolution / state
+
+def test_ensure_columns_reads_old_schema(spark, tmp_path):
+    from coco_search_spark.state import STATE_SCHEMA, StateStore, ensure_columns
+
+    old = spark.createDataFrame(
+        [("c0", "hash0", "extract")],
+        "conv_id string, content_hash string, stage string",
+    )
+    migrated = ensure_columns(old, STATE_SCHEMA)
+    assert migrated.columns[:7] == [
+        "conv_id", "content_hash", "stage", "snapshot_id",
+        "rows_in", "rows_out", "errors",
+    ]
+    row = migrated.collect()[0]
+    assert row["errors"] is None and row["conv_id"] == "c0"
+
+    # end-to-end: a state dir whose parquet predates newer columns
+    sd = str(tmp_path / "state")
+    store = StateStore(sd)
+    data_path = os.path.join(sd, "state_v000001")
+    old.write.mode("overwrite").parquet(data_path)
+    with open(os.path.join(sd, "manifest.json"), "w") as f:
+        json.dump(
+            {"version": 1, "snapshot_id": "v000001", "stage": "extract",
+             "data_path": data_path, "committed_at": time.time() - 120},
+            f,
+        )
+    readback = store.read(spark)
+    assert set(readback.columns) >= {"errors", "rows_out", "snapshot_id"}
+    assert readback.count() == 1
+    age = store.staleness_seconds()
+    assert age is not None and 60 <= age <= 3600
+
+
+def test_staleness_none_without_snapshot(tmp_path):
+    from coco_search_spark.state import StateStore
+
+    assert StateStore(str(tmp_path / "empty")).staleness_seconds() is None
+
+
+# ---------------------------------------------------------------- preflight
+
+def test_preflight_pass_and_fail(spark, tmp_path):
+    from coco_search_spark.preflight import preflight_or_raise, run_preflight
+
+    ok = preflight_or_raise(
+        spark,
+        input_paths=["/root/testdata/sf0.001/documents.parquet"],
+        out_dirs=[str(tmp_path / "out")],
+    )
+    assert all(c["ok"] for c in ok)
+
+    checks = run_preflight(spark, input_paths=["/nonexistent/nope.parquet"])
+    bad = [c for c in checks if not c["ok"]]
+    assert len(bad) == 1 and bad[0]["check"].startswith("input:")
+    with pytest.raises(RuntimeError, match="preflight failed"):
+        preflight_or_raise(spark, input_paths=["/nonexistent/nope.parquet"])
+
+
+# ------------------------------------------------------------- size buckets
+
+def test_size_bucketed_no_eager_count(spark):
+    from coco_search_spark.ops.multimodal import size_bucketed
+
+    df = spark.range(100).select(F.col("id").alias("media_id"))
+    sized = size_bucketed(df, target_mb=1, avg_payload_kb=256, n_rows=100)
+    assert sized.rdd.getNumPartitions() == 100 // 4 + 1
+    # without n_rows: no counting job is launched (plan stays lazy)
+    lazy = size_bucketed(df)
+    assert lazy.count() == 100
+
+
+# ---------------------------------------------------- grammar/pytest parity
+
+def test_mention_grammar_python_twin(spark):
+    """Each marker regex behaves identically in Python re (documentation of
+    the RE2/Java-compatible subset the grammar sticks to)."""
+    samples = {
+        "see payment_gateway": [("payment_gateway", "reference")],
+        "the auth_router module": [("auth_router", "definition")],
+        "the auth_router component": [("auth_router", "definition")],
+        "foresee nothing": [],
+        "the x modules": [],  # 'modules' != 'module\b'
+    }
+    for text, want in samples.items():
+        got = []
+        for rx, kind, _ in MENTION_GRAMMAR:
+            got += [(m, kind) for m in re.findall(rx, text)]
+        assert got == want, text
