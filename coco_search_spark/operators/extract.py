@@ -347,6 +347,176 @@ def extract_standalone_mentions(segments: DataFrame) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Unified one-scan extraction: at 10^12 turns the corpus scan IS the cost,
+# so the pipeline must not read it once per extraction family. extract_all
+# computes every family's match arrays (4 triple forms + 2 mention markers
+# + alias bindings) in ONE projection over ONE scan, explodes once, and
+# dedups everything through ONE shuffle (groupBy with map-side combine).
+# The per-family functions above remain the composable/driver-query units;
+# their outputs are provably identical (tests/test_round3.py parity test).
+# ---------------------------------------------------------------------------
+
+EXTRACT_KINDS = ("triple", "mention", "binding")
+
+
+def _null_str(name: str):
+    return F.lit(None).cast("string").alias(name)
+
+
+def extract_all(segments: DataFrame) -> DataFrame:
+    """segments (from ``segment_turns(..., with_offsets=True)``) → one
+    deduped row per extracted fact, tagged by ``kind``:
+
+    - kind='triple':  subj, pred, obj, src_offset, src_seg_idx
+    - kind='mention': mention, mention_kind        (standalone, X2)
+    - kind='binding': target, alias                (in-text alias evidence)
+
+    One corpus scan, one explode, one shuffle; provenance offsets ride the
+    same min-struct aggregate the triple dedup needs anyway."""
+    seg = F.col("seg_text")
+    arrays = []
+
+    def guard_matches(matches, guards):
+        for lit in guards:
+            matches = F.when(F.instr(seg, lit) > 0, matches).otherwise(
+                F.array().cast("array<string>")
+            )
+        return matches
+
+    def triple_builder(regex: str, swap: bool, pred_map, obj_group: int):
+        def build(m):
+            g = lambda i: F.regexp_extract(m, regex, i)  # noqa: E731
+            return F.struct(
+                F.lit("triple").alias("kind"),
+                g(3 if swap else 1).alias("subj"),
+                pred_map[F.regexp_replace(g(2), r"\s+", " ")].alias("pred"),
+                g(1 if swap else obj_group).alias("obj"),
+                m.alias("m"),
+                _null_str("mention"),
+                _null_str("mention_kind"),
+                _null_str("target"),
+                _null_str("alias"),
+            )
+
+        return build
+
+    for rx, sw, mp, gd in GRAMMAR:
+        pred_map = _map_expr(mp)
+        matches = guard_matches(F.regexp_extract_all(seg, F.lit(rx), 0), gd)
+        arrays.append(F.transform(matches, triple_builder(rx, sw, pred_map, 3)))
+        if re.compile(rx).groups >= 4:
+            arrays.append(F.transform(matches, triple_builder(rx, sw, pred_map, 4)))
+
+    def mention_builder(kind: str):
+        def build(x):
+            return F.struct(
+                F.lit("mention").alias("kind"),
+                _null_str("subj"),
+                _null_str("pred"),
+                _null_str("obj"),
+                _null_str("m"),
+                x.alias("mention"),
+                F.lit(kind).alias("mention_kind"),
+                _null_str("target"),
+                _null_str("alias"),
+            )
+
+        return build
+
+    for rx, kind, guards in MENTION_GRAMMAR:
+        m_arr = F.regexp_extract_all(seg, F.lit(rx), 1)
+        cond = None
+        for g in guards:
+            c = F.instr(seg, g) > 0
+            cond = c if cond is None else (cond | c)
+        if cond is not None:
+            m_arr = F.when(cond, m_arr).otherwise(F.array().cast("array<string>"))
+        arrays.append(F.transform(m_arr, mention_builder(kind)))
+
+    def binding_builder(x):
+        return F.struct(
+            F.lit("binding").alias("kind"),
+            _null_str("subj"),
+            _null_str("pred"),
+            _null_str("obj"),
+            _null_str("m"),
+            _null_str("mention"),
+            _null_str("mention_kind"),
+            F.regexp_extract(x, ALIAS_BINDING_RE, 1).alias("target"),
+            F.regexp_extract(x, ALIAS_BINDING_RE, 2).alias("alias"),
+        )
+
+    b_arr = guard_matches(
+        F.regexp_extract_all(seg, F.lit(ALIAS_BINDING_RE), 0), ["as"]
+    )
+    arrays.append(F.transform(b_arr, binding_builder))
+
+    stop = list(STOP_IDENTS)
+    exploded = (
+        segments.select(
+            "conv_id", "turn_idx", "seg_idx", "start_char", "seg_text",
+            F.explode(F.concat(*arrays)).alias("t"),
+        )
+        .select(
+            "conv_id",
+            "turn_idx",
+            "seg_idx",
+            F.col("t.kind").alias("kind"),
+            F.col("t.subj").alias("subj"),
+            F.col("t.pred").alias("pred"),
+            F.col("t.obj").alias("obj"),
+            F.col("t.mention").alias("mention"),
+            F.col("t.mention_kind").alias("mention_kind"),
+            F.col("t.target").alias("target"),
+            F.col("t.alias").alias("alias"),
+            # null for non-triple kinds (instr of a null match is null)
+            (F.col("start_char") + F.expr("instr(seg_text, t.m)")).alias("pos"),
+        )
+        .filter(
+            (F.col("kind") != "triple")
+            | (~F.col("subj").isin(*stop) & ~F.col("obj").isin(*stop))
+        )
+        .filter((F.col("kind") != "mention") | ~F.col("mention").isin(*stop))
+        .filter(
+            (F.col("kind") != "binding")
+            | (~F.col("target").isin(*stop) & ~F.col("alias").isin(*stop))
+        )
+    )
+    prov = F.min(
+        F.struct(F.col("pos").alias("src_offset"), F.col("seg_idx").alias("src_seg_idx"))
+    ).alias("prov")
+    return (
+        exploded.groupBy(
+            "conv_id", "turn_idx", "kind", "subj", "pred", "obj",
+            "mention", "mention_kind", "target", "alias",
+        )
+        .agg(prov)
+        .select(
+            "conv_id", "turn_idx", "kind", "subj", "pred", "obj",
+            "mention", "mention_kind", "target", "alias",
+            F.col("prov.src_offset").alias("src_offset"),
+            F.col("prov.src_seg_idx").alias("src_seg_idx"),
+        )
+    )
+
+
+def split_extracted(combined: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """extract_all output → (triples, standalone_mentions, alias_bindings)
+    with each family's canonical schema. The filters run over the already-
+    deduped (fact-sized, post-shuffle) table — splitting is free."""
+    triples = combined.filter(F.col("kind") == "triple").select(
+        "conv_id", "turn_idx", "subj", "pred", "obj", "src_offset", "src_seg_idx"
+    )
+    mentions = combined.filter(F.col("kind") == "mention").select(
+        "conv_id", "turn_idx", "mention", "mention_kind"
+    )
+    bindings = combined.filter(F.col("kind") == "binding").select(
+        "conv_id", "turn_idx", "target", "alias"
+    )
+    return triples, mentions, bindings
+
+
 def extract_mentions(triples: DataFrame) -> DataFrame:
     """Triples → mention rows to be entity-linked: each subj/obj occurrence
     becomes (conv_id, turn_idx, mention, mention_role). Analog of the

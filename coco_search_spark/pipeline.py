@@ -23,9 +23,10 @@ from pyspark.sql import functions as F
 
 from coco_search_spark.operators.canonicalize import canonicalize_surfaces
 from coco_search_spark.operators.extract import (
+    extract_all,
     extract_standalone_mentions,
     extract_triples_arrow,
-    extract_triples_prov,
+    split_extracted,
 )
 from coco_search_spark.operators.linking import link_surfaces
 from coco_search_spark.operators.materialize import build_nodes, resolve_edges, write_graph
@@ -69,7 +70,8 @@ def run_pipeline(
         timings[name] = round(now - _t0, 2)
         _t0 = now
 
-    extract_fn = extract_triples_prov if extractor == "native" else extract_triples_arrow
+    if extractor not in ("native", "arrow"):
+        raise ValueError(f"unknown extractor {extractor!r}")
 
     # parse-status gate (parse_tracking.py:58-111 analog): malformed turns
     # are quarantined and counted per conversation into state `errors`;
@@ -153,7 +155,17 @@ def run_pipeline(
             embed(embed_input).alias("embedding"),
         )
 
-    triples = extract_fn(segments)
+    # ONE corpus scan + ONE shuffle extracts every fact family (triples
+    # with provenance, standalone mentions, alias bindings) — at 10^12
+    # turns the scan dominates, so the pipeline must not pay it per family.
+    # The Arrow escape hatch (grammar-in-Python) keeps the per-family scans.
+    if extractor == "native":
+        combined = extract_all(segments).cache()
+        triples, standalone, bindings = split_extracted(combined)
+    else:
+        triples = extract_triples_arrow(segments)
+        standalone = extract_standalone_mentions(segments)
+        bindings = None
     if prev_triples is not None:
         # allowMissingColumns: snapshots written before provenance columns
         # existed reload with null provenance instead of failing (the
@@ -161,10 +173,7 @@ def run_pipeline(
         triples = triples.unionByName(prev_triples, allowMissingColumns=True)
     triples = triples.cache()
     n_triples = triples.count()
-
-    # standalone mentions (X2): relation-free entity evidence — extracted
-    # from the same segment scan shape, cached alongside the triples
-    standalone = extract_standalone_mentions(segments).cache()
+    standalone = standalone.cache()
     n_standalone = standalone.count()
     _stamp("extract")
 
@@ -172,14 +181,21 @@ def run_pipeline(
     # standalone mentions: per-column distincts collapse map-side BEFORE
     # the union, so no occurrence-level shuffle exists anywhere in the
     # linking path
-    surfaces = (
-        triples.select(F.col("subj").alias("surface"))
-        .distinct()
-        .unionByName(triples.select(F.col("obj").alias("surface")).distinct())
-        .unionByName(standalone.select(F.col("mention").alias("surface")).distinct())
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    surface_parts = [
+        triples.select(F.col("subj").alias("surface")).distinct(),
+        triples.select(F.col("obj").alias("surface")).distinct(),
+        standalone.select(F.col("mention").alias("surface")).distinct(),
+    ]
+    if bindings is not None:
+        # both binding sides are observed surfaces — an alias bound in text
+        # but never mentioned elsewhere must still canonicalize into its
+        # target's cluster
+        surface_parts.append(bindings.select(F.col("target").alias("surface")).distinct())
+        surface_parts.append(bindings.select(F.col("alias").alias("surface")).distinct())
+    surfaces = surface_parts[0]
+    for p in surface_parts[1:]:
+        surfaces = surfaces.unionByName(p)
+    surfaces = surfaces.distinct().localCheckpoint(eager=True)
 
     # linking and canonicalization are INDEPENDENT consumers of the same
     # checkpointed surface table — submit both from separate threads so
@@ -205,7 +221,15 @@ def run_pipeline(
         )
 
     def _compute_canon():
-        c = canonicalize_surfaces(surfaces).cache()
+        # in-text alias bindings ("TARGET as ALIAS") are explicit
+        # same-entity evidence fed into the similarity graph — they merge
+        # surfaces sharing no shingles/tokens (the aliased-import analog)
+        extra = (
+            bindings.select(F.col("target").alias("a"), F.col("alias").alias("b"))
+            if bindings is not None
+            else None
+        )
+        c = canonicalize_surfaces(surfaces, extra_edges=extra).cache()
         c.count()
         return c
 

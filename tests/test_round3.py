@@ -270,6 +270,58 @@ def test_size_bucketed_no_eager_count(spark):
     assert lazy.count() == 100
 
 
+# ------------------------------------------------- unified one-scan extract
+
+def test_extract_all_matches_per_family_extractors(spark, transcripts):
+    from coco_search_spark.operators.extract import (
+        extract_alias_bindings,
+        extract_all,
+        split_extracted,
+    )
+
+    segs_off = segment_turns(transcripts, with_offsets=True)
+    segs = segment_turns(transcripts)
+    triples, mentions, bindings = split_extracted(extract_all(segs_off))
+
+    t_combined = {
+        tuple(r) for r in triples.select("conv_id", "turn_idx", "subj", "pred", "obj").collect()
+    }
+    t_solo = {tuple(r) for r in extract_triples(segment_turns(transcripts)).collect()}
+    assert t_combined == t_solo and len(t_solo) > 0
+
+    p_combined = {
+        tuple(r)
+        for r in triples.select("conv_id", "turn_idx", "subj", "pred", "obj", "src_offset", "src_seg_idx").collect()
+    }
+    p_solo = {tuple(r) for r in extract_triples_prov(segs_off).collect()}
+    assert p_combined == p_solo
+
+    m_combined = {tuple(r) for r in mentions.collect()}
+    m_solo = {tuple(r) for r in extract_standalone_mentions(segs).collect()}
+    assert m_combined == m_solo
+
+    b_combined = {tuple(r) for r in bindings.collect()}
+    b_solo = {tuple(r) for r in extract_alias_bindings(segs).collect()}
+    assert b_combined == b_solo
+
+
+def test_pipeline_merges_in_text_alias_bindings(spark):
+    from coco_search_spark.pipeline import run_pipeline
+
+    t = _tdf(
+        spark,
+        [
+            ("ab0", 0, "core_svc uses payment_gateway as zz9 ."),
+            ("ab0", 1, "zz9 emits audit_log ."),
+        ],
+    )
+    res = run_pipeline(spark, t)
+    canon = {r["surface"]: r["canon_id"] for r in res.canon.collect()}
+    # the in-text binding merges zz9 (no shared shingles/tokens) into the
+    # payment_gateway cluster
+    assert canon["zz9"] == canon["payment_gateway"]
+
+
 # ---------------------------------------------------- grammar/pytest parity
 
 def test_mention_grammar_python_twin(spark):
