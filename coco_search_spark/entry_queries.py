@@ -1570,12 +1570,21 @@ ORDER BY entity_id
 
 
 def q_glob_filter(spark, sf_dir):
-    """P3 analog (filters.py:11-51 glob→SQL pattern): glob 'src1*' compiled
-    to a LIKE filter + symbol-type-style IN filter, pushed ahead of ranking."""
+    """S2/S3/P3 analog (filters.py:11-51 glob→SQL): include glob 'src1*'
+    AND exclude glob '*7' compiled by ops/globs.compile_glob_filter into
+    one pushdown-friendly predicate, plus a symbol-type-style IN filter —
+    include and exclude lists are both first-class and oracle-gated."""
+    from coco_search_spark.ops.globs import compile_glob_filter
+
     load_views(spark, sf_dir)
     d = spark.table("documents")
     return (
-        d.filter(F.col("source").like("src1%") & F.col("lang").isin("en", "de"))
+        d.filter(
+            compile_glob_filter(
+                F.col("source"), includes=["src1*"], excludes=["*7"]
+            )
+            & F.col("lang").isin("en", "de")
+        )
         .select("doc_id", "source", "lang")
         .orderBy("doc_id")
     )
@@ -2176,7 +2185,8 @@ ORACLES: dict[str, str] = {
     "deps_enrichment": ORACLE_DEPS_ENRICH,
     "glob_filter": """
          SELECT doc_id, source, lang FROM documents
-         WHERE source LIKE 'src1%' AND lang IN ('en', 'de')
+         WHERE source LIKE 'src1%' AND source NOT LIKE '%7'
+           AND lang IN ('en', 'de')
          ORDER BY doc_id""",
     "rollup_revenue": ORACLE_ROLLUP,
     "price_percentiles": ORACLE_PERCENTILES,

@@ -85,6 +85,9 @@ def link_surfaces(
     reproduce value for value. Each distinct mention/alias string is
     embedded exactly once (not once per candidate pair) and joined onto the
     pair table."""
+    from coco_search_spark.ops.globs import require_positive
+
+    require_positive(embed_dim=embed_dim, prefetch=prefetch, rrf_k=rrf_k, top_n=top_n)
     surfaces = surfaces.select("mention").withColumn(
         "m_norm", normalize_name_col(F.col("mention"))
     ).withColumn("m_tokens", norm_tokens_col(F.col("mention")))

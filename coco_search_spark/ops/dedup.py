@@ -27,6 +27,8 @@ from pyspark.sql import functions as F
 
 from coco_search_spark.functions.embed import cosine_expr
 from coco_search_spark.functions.text import portable_hash_col
+from coco_search_spark.ops.globs import require_fraction as _require_fraction
+from coco_search_spark.ops.globs import require_positive as _require_positive
 
 # ------------------------------------------------------------------ exact
 
@@ -81,6 +83,10 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard): MinHash bands → bucket
     join → exact Jaccard filter."""
+    _require_positive(shingle_n=shingle_n, n_hashes=n_hashes, n_bands=n_bands, max_bucket=max_bucket)
+    _require_fraction(jaccard_threshold=jaccard_threshold)
+    if n_hashes % n_bands != 0:
+        raise ValueError(f"n_bands ({n_bands}) must divide n_hashes ({n_hashes})")
     rows_per_band = n_hashes // n_bands
     base = df.select(
         F.col(id_col).alias("id"),

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from coco_search_spark.functions.embed import cosine_expr
 from coco_search_spark.ops.dedup import projection_bucket_col
+from coco_search_spark.ops.globs import require_positive as _require_positive
 
 TOPK_SALT_BUCKETS = 32
 
@@ -65,6 +66,7 @@ def brute_force_topk(
     join is a broadcast nested loop, cosine is a codegen'd fold, and the
     per-query window is the only shuffle (keyed by q_id).
     """
+    _require_positive(k=k)
     q = queries.select(
         F.col(q_id_col).alias("q_id"), F.col(q_vec_col).cast("array<double>").alias("qv")
     )
@@ -93,6 +95,7 @@ def lsh_topk(
     candidate is any vector sharing a bucket with the query in ≥1 table;
     exact cosine re-ranks candidates. At 100 TB the bucket join replaces the
     full scan — candidates ≈ n/2^n_planes per table."""
+    _require_positive(k=k, n_planes=n_planes, n_tables=n_tables)
     base = embeddings.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
     )
@@ -159,6 +162,9 @@ def ivf_topk(
     per query); the final ranking is the salted two-phase per_query_topk.
     At 10^9+ vectors raise n_centroids (√n rule) and train on a sample —
     the plan shape is unchanged."""
+    _require_positive(k=k, dim=dim, n_centroids=n_centroids, n_iters=n_iters, nprobe=nprobe)
+    if nprobe > n_centroids:
+        raise ValueError(f"nprobe ({nprobe}) cannot exceed n_centroids ({n_centroids})")
     base = embeddings.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
     ).localCheckpoint(eager=True)

@@ -322,6 +322,61 @@ def test_pipeline_merges_in_text_alias_bindings(spark):
     assert canon["zz9"] == canon["payment_gateway"]
 
 
+# ------------------------------------------------ glob compile / validation
+
+def test_glob_compile_and_filter(spark):
+    from coco_search_spark.ops.globs import compile_glob_filter, glob_to_like
+
+    assert glob_to_like("src1*") == "src1%"
+    assert glob_to_like("a?c") == "a_c"
+    assert glob_to_like("100%_x") == r"100\%\_x"  # LIKE metachars escaped
+    with pytest.raises(ValueError):
+        glob_to_like("")
+
+    df = spark.createDataFrame(
+        [("src1",), ("src10",), ("src17",), ("other",)], "source string"
+    )
+    got = {
+        r["source"]
+        for r in df.filter(
+            compile_glob_filter(F.col("source"), includes=["src1*"], excludes=["*7"])
+        ).collect()
+    }
+    assert got == {"src1", "src10"}
+    # exclude-only mode (the reference's default)
+    got2 = {
+        r["source"]
+        for r in df.filter(
+            compile_glob_filter(F.col("source"), excludes=["other"])
+        ).collect()
+    }
+    assert got2 == {"src1", "src10", "src17"}
+    with pytest.raises(ValueError):
+        compile_glob_filter(F.col("source"))
+
+
+def test_query_arg_validation(spark):
+    from coco_search_spark.operators.linking import link_surfaces
+    from coco_search_spark.ops.dedup import minhash_lsh_pairs
+    from coco_search_spark.ops.similarity import ivf_topk
+
+    df = spark.createDataFrame([(0, "x")], "doc_id int, text string")
+    emb = spark.createDataFrame([(0, [0.1, 0.2])], "vec_id int, embedding array<double>")
+    q = spark.createDataFrame([(0, [0.1, 0.2])], "q_id int, q_vec array<double>")
+    with pytest.raises(ValueError, match="positive"):
+        ivf_topk(emb, q, k=0)
+    with pytest.raises(ValueError, match="nprobe"):
+        ivf_topk(emb, q, n_centroids=2, nprobe=5)
+    with pytest.raises(ValueError, match="divide"):
+        minhash_lsh_pairs(df, "doc_id", "text", n_hashes=16, n_bands=5)
+    with pytest.raises(ValueError, match="fractions"):
+        minhash_lsh_pairs(df, "doc_id", "text", jaccard_threshold=1.5)
+    m = spark.createDataFrame([("a",)], "mention string")
+    cat = spark.createDataFrame([("e", "a")], "entity_id string, alias string")
+    with pytest.raises(ValueError, match="positive"):
+        link_surfaces(m, cat, prefetch=0)
+
+
 # ---------------------------------------------------- grammar/pytest parity
 
 def test_mention_grammar_python_twin(spark):
