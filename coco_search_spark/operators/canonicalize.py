@@ -265,8 +265,10 @@ def canonicalize_surfaces(
     iso.conf.set("spark.sql.shuffle.partitions", str(parts))
     gt_db = spark.conf.get("spark.sql.globalTempDatabase", "global_temp")
     global _CANON_RUN_SEQ
-    _CANON_RUN_SEQ += 1
-    tags = [f"_canon_{_CANON_RUN_SEQ}_{s}" for s in ("in", "ee", "out")]
+    with _CANON_SEQ_LOCK:
+        _CANON_RUN_SEQ += 1
+        seq = _CANON_RUN_SEQ
+    tags = [f"_canon_{seq}_{s}" for s in ("in", "ee", "out")]
     try:
         distinct_surfaces.createOrReplaceGlobalTempView(tags[0])
         surf_iso = iso.table(f"{gt_db}.{tags[0]}")
@@ -304,4 +306,7 @@ def canonicalize_surfaces(
             spark.catalog.dropGlobalTempView(t)
 
 
+import threading as _threading  # noqa: E402  (module tail: counter + lock)
+
 _CANON_RUN_SEQ = 0
+_CANON_SEQ_LOCK = _threading.Lock()
