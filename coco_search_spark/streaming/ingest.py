@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from coco_search_spark.fixtures import TRANSCRIPT_SCHEMA
-from coco_search_spark.operators.extract import extract_triples
+from coco_search_spark.operators.extract import extract_all, split_extracted
 from coco_search_spark.operators.segments import segment_turns
 
 
@@ -54,7 +54,13 @@ def run_streaming_pipeline(
     stream = stream_transcripts(spark, input_dir)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        triples = extract_triples(segment_turns(batch_df))
+        # same one-scan unified extraction as the batch pipeline (Kappa:
+        # one code path); the combined fact table is cached once per batch
+        # so the two family sinks don't re-scan the micro-batch
+        combined = extract_all(
+            segment_turns(batch_df, with_offsets=True)
+        ).cache()
+        triples, mentions, _ = split_extracted(combined)
         # idempotent replay: each batch owns a batch-id-keyed directory and
         # OVERWRITES it, so a batch re-run after a failure (foreachBatch is
         # at-least-once) replaces its own output instead of appending
@@ -65,6 +71,11 @@ def run_streaming_pipeline(
             triples.write.mode("overwrite")
             .parquet(f"{out_dir}/triples_stream/batch_id={batch_id}")
         )
+        (
+            mentions.write.mode("overwrite")
+            .parquet(f"{out_dir}/mentions_stream/batch_id={batch_id}")
+        )
+        combined.unpersist()
 
     writer = stream.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_dir

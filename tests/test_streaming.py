@@ -35,6 +35,10 @@ def test_streaming_extract_matches_batch(spark, fx, tmp_path):
     }
     ref = {tuple(r) for r in extract_reference(fx.transcripts).itertuples(index=False)}
     assert got == ref
+    # the unified extraction also lands the standalone-mention stream
+    # (fixture text has none, but the sink must exist with the schema)
+    mentions = spark.read.parquet(f"{out}/mentions_stream")
+    assert set(mentions.columns) >= {"conv_id", "turn_idx", "mention", "mention_kind"}
 
 
 def test_streaming_resume_no_duplicates(spark, fx, tmp_path):
