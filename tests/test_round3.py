@@ -322,6 +322,34 @@ def test_pipeline_merges_in_text_alias_bindings(spark):
     assert canon["zz9"] == canon["payment_gateway"]
 
 
+def test_pipeline_with_catalog_links_concurrently(spark):
+    """Linking and canonicalization run from concurrent threads; the
+    canonicalize shuffle-partition override must stay isolated in its own
+    session (caller conf untouched) while linking produces entity ids."""
+    from coco_search_spark.pipeline import run_pipeline
+
+    t = _tdf(
+        spark,
+        [
+            ("cc0", 0, "payment_gateway calls auth_router ."),
+            ("cc0", 1, "paymentGateway emits audit_log ."),
+        ],
+    )
+    catalog = spark.createDataFrame(
+        [("pay", "payment_gateway"), ("pay", "paymentGateway"), ("auth", "auth_router")],
+        "entity_id string, alias string",
+    )
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    res = run_pipeline(spark, t, catalog=catalog)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    links = {r["mention"]: r["entity_id"] for r in res.links.collect()}
+    assert links["payment_gateway"] == "pay" and links["paymentGateway"] == "pay"
+    assert links["auth_router"] == "auth"
+    # linked ids win over canon ids in the edge table
+    subj_ids = {r["subj_id"] for r in res.edges.collect()}
+    assert "pay" in subj_ids
+
+
 # ------------------------------------------------ glob compile / validation
 
 def test_glob_compile_and_filter(spark):
