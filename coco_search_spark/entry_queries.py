@@ -67,8 +67,15 @@ _NEG_CASE = "CASE WHEN CAST(doc_id % 2 AS INT) = 0 THEN 'never' ELSE 'not' END"
 # one ground-truth relation sentence per row in one of FIVE grammar forms:
 # active / passive-swapped / appositive / conjunction (two triples) /
 # negation (ZERO triples — the stop-rule must suppress it)
+# every other active-form row binds a local alias for its object
+# ("X <phrase> Y as Z" — the aliased-import analog); the binding is
+# same-entity evidence consumed by canonicalization
+_BINDING_SUFFIX = (
+    f"CASE WHEN CAST(doc_id % 2 AS INT) = 1"
+    f" THEN {_WS_CASE} || 'as' || {_WS_CASE} || lang || '_al' ELSE '' END"
+)
 _REL_SENTENCE = f"""CASE {_FORM_KEY}
-    WHEN 0 THEN source || '_svc' || {_WS_CASE} || {_PHRASE_CASE} || {_WS_CASE} || lang || '_store'
+    WHEN 0 THEN source || '_svc' || {_WS_CASE} || {_PHRASE_CASE} || {_WS_CASE} || lang || '_store' || {_BINDING_SUFFIX}
     WHEN 1 THEN lang || '_store' || {_WS_CASE} || 'is' || {_WS_CASE} || {_PASSIVE_CASE} || {_WS_CASE} || 'by' || {_WS_CASE} || source || '_svc'
     WHEN 2 THEN source || '_svc' || ' , which' || {_WS_CASE} || {_PHRASE_CASE} || {_WS_CASE} || lang || '_store'
     WHEN 3 THEN source || '_svc' || {_WS_CASE} || {_PHRASE_CASE} || {_WS_CASE} || lang || '_store' || {_WS_CASE} || 'and' || {_WS_CASE} || lang || '_cache'
@@ -1286,6 +1293,56 @@ def q_kg_canonicalize(spark, sf_dir):
     return canonicalize_surfaces(surfaces).orderBy("surface")
 
 
+def q_kg_alias_bindings(spark, sf_dir):
+    """X2b through the driver gate: in-text alias bindings
+    ('X <phrase> TARGET as ALIAS' — the aliased-import analog,
+    deps/extractors/python.py aliased-import rules) extracted from the
+    derived transcripts, which bind an alias on every other active-form
+    row."""
+    from coco_search_spark.operators.extract import extract_alias_bindings
+
+    segs = segment_turns(derived_transcripts(spark, sf_dir))
+    return extract_alias_bindings(segs).orderBy(
+        "conv_id", "turn_idx", "target", "alias"
+    )
+
+
+ORACLE_ALIAS_BINDINGS = f"""
+SELECT 'conv-' || (doc_id % 50) AS conv_id,
+       CAST(FLOOR(doc_id / 50.0) AS INT) AS turn_idx,
+       lang || '_store' AS target,
+       lang || '_al' AS alias
+FROM documents
+WHERE {_FORM_KEY} = 0 AND CAST(doc_id % 2 AS INT) = 1
+ORDER BY conv_id, turn_idx, target, alias
+"""
+
+
+def q_kg_canonicalize_bindings(spark, sf_dir):
+    """Canonicalization WITH in-text alias-binding evidence (the
+    extra_edges path, previously pytest-only): binding aliases join the
+    surface set and their edges merge clusters that share no shingles or
+    tokens — the oracle replays the whole thing including the binding
+    edges in its recursive-CTE connected components."""
+    from coco_search_spark.operators.canonicalize import canonicalize_surfaces
+    from coco_search_spark.operators.extract import (
+        extract_alias_bindings,
+        extract_mentions,
+    )
+
+    segs = segment_turns(derived_transcripts(spark, sf_dir))
+    mentions = extract_mentions(_triples(spark, sf_dir))
+    b = extract_alias_bindings(segs)
+    surfaces = (
+        mentions.select(F.col("mention").alias("surface"))
+        .unionByName(b.select(F.col("target").alias("surface")))
+        .unionByName(b.select(F.col("alias").alias("surface")))
+        .distinct()
+    )
+    extra = b.select(F.col("target").alias("a"), F.col("alias").alias("b"))
+    return canonicalize_surfaces(surfaces, extra_edges=extra).orderBy("surface")
+
+
 def _link_mentions_oracle(dim: int = 64, rrf_k: int = 60, top_n: int = 1) -> str:
     """DuckDB replica of the full hybrid-RRF linking pipeline in
     q_kg_link_mentions: shared-token candidate generation, double-precision
@@ -1410,11 +1467,19 @@ _SHINGLES_SQL = (
 )
 
 
-def _canonicalize_oracle(n_hashes: int = 12, n_bands: int = 4, thr: float = 0.6) -> str:
+def _canonicalize_oracle(
+    n_hashes: int = 12,
+    n_bands: int = 4,
+    thr: float = 0.6,
+    include_bindings: bool = False,
+) -> str:
     """DuckDB replica of canonicalize_surfaces over the derived-transcript
     mention surfaces: same portable-hash MinHash signatures, same band keys,
     same exact-Jaccard verification and norm-equality edges, connected
-    components via recursive CTE, canon = min norm per component."""
+    components via recursive CTE, canon = min norm per component.
+    ``include_bindings`` additionally replays the extra_edges path: in-text
+    alias bindings join the surface set and the edge set, merging clusters
+    that share no shingles (the aliased-import evidence)."""
     rpb = n_hashes // n_bands
     sig_elems = ", ".join(
         f"list_min(list_transform(sh, x -> CAST(('0x' || substr(md5('{seed}|' || x), 1, 15)) AS BIGINT)))"
@@ -1426,14 +1491,29 @@ def _canonicalize_oracle(n_hashes: int = 12, n_bands: int = 4, thr: float = 0.6)
         + " AS key FROM sig"
         for b in range(n_bands)
     )
+    binding_rows = (
+        f"SELECT lang || '_store' AS target, lang || '_al' AS alias FROM documents "
+        f"WHERE {_FORM_KEY} = 0 AND CAST(doc_id % 2 AS INT) = 1"
+    )
+    surf_extra = (
+        "  UNION SELECT DISTINCT alias FROM bind\n" if include_bindings else ""
+    )
+    bind_cte = f"bind AS ({binding_rows}),\n" if include_bindings else ""
+    edge_extra = (
+        """  UNION SELECT DISTINCT LEAST(target, alias) AS a, GREATEST(target, alias) AS b
+  FROM bind WHERE target <> alias\n"""
+        if include_bindings
+        else ""
+    )
     return f"""
-WITH RECURSIVE gt AS (
+WITH RECURSIVE {bind_cte}gt AS (
   SELECT source || '_svc' AS subj, lang || '_store' AS obj FROM documents
   WHERE {_FORM_KEY} <= 3
   UNION ALL
   SELECT source || '_svc', lang || '_cache' FROM documents WHERE {_FORM_KEY} = 3
 ),
-surf AS (SELECT DISTINCT subj AS surface FROM gt UNION SELECT DISTINCT obj FROM gt),
+surf AS (SELECT DISTINCT subj AS surface FROM gt UNION SELECT DISTINCT obj FROM gt
+{surf_extra}),
 base AS (
   SELECT surface,
          {_NORM_SQL.format(s='surface')} AS norm,
@@ -1455,7 +1535,8 @@ norm_pairs AS (
   SELECT l.surface AS a, r.surface AS b
   FROM base l JOIN base r ON l.norm = r.norm AND l.surface < r.surface
 ),
-edges AS (SELECT a, b FROM lsh_pairs UNION SELECT a, b FROM norm_pairs),
+edges AS (SELECT a, b FROM lsh_pairs UNION SELECT a, b FROM norm_pairs
+{edge_extra}),
 sym AS (SELECT a AS src, b AS dst FROM edges UNION SELECT b AS src, a AS dst FROM edges),
 walk(surface, node) AS (
   SELECT surface, surface FROM base
@@ -2035,6 +2116,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_link_mentions": q_kg_link_mentions,
     "kg_link_topn": q_kg_link_topn,
     "kg_canonicalize": q_kg_canonicalize,
+    "kg_alias_bindings": q_kg_alias_bindings,
+    "kg_canonicalize_bindings": q_kg_canonicalize_bindings,
     "graph_reach": q_graph_reach,
     "multi_index_merge": q_multi_index_merge,
     "deps_enrichment": q_deps_enrichment,
@@ -2178,6 +2261,8 @@ ORACLES: dict[str, str] = {
     "ann_lsh_topk": _lsh_topk_oracle(),
     "ann_ivf_topk": _ivf_topk_oracle(),
     "kg_canonicalize": _canonicalize_oracle(),
+    "kg_alias_bindings": ORACLE_ALIAS_BINDINGS,
+    "kg_canonicalize_bindings": _canonicalize_oracle(include_bindings=True),
     "kg_link_mentions": _link_mentions_oracle(),
     "kg_link_topn": _link_mentions_oracle(top_n=3),
     "graph_reach": ORACLE_GRAPH,
