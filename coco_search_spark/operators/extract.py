@@ -99,6 +99,35 @@ def _map_expr(mapping: dict[str, str]) -> Column:
     return F.create_map(*pairs)
 
 
+def _guarded_matches(seg: Column, regex: str, mapping: dict[str, str], guards: list[str]) -> Column:
+    """regexp_extract_all gated behind cheap instr() literal checks:
+
+    - OR-guard: a match REQUIRES one of the form's phrase words, so a
+      segment containing none of them (most filler-heavy segments) skips
+      the regex scan entirely — N instr substring probes are far cheaper
+      than one alternation-heavy regex pass over the segment;
+    - AND-guards (``guards``): form-scaffolding literals (is/by/which/and)
+      that every match must contain.
+
+    False positives in either guard are fine (the regex still decides);
+    false negatives are impossible for literal substrings of any match."""
+    or_words = sorted({phrase.split(" ")[0] for phrase in mapping})
+    phrase_cond = None
+    for w in or_words:
+        c = F.instr(seg, w) > 0
+        phrase_cond = c if phrase_cond is None else (phrase_cond | c)
+    matches = F.regexp_extract_all(seg, F.lit(regex), 0)
+    if phrase_cond is not None:
+        matches = F.when(phrase_cond, matches).otherwise(
+            F.array().cast("array<string>")
+        )
+    for lit in guards:
+        matches = F.when(F.instr(seg, lit) > 0, matches).otherwise(
+            F.array().cast("array<string>")
+        )
+    return matches
+
+
 def _form_triples(
     seg: Column,
     regex: str,
@@ -116,11 +145,7 @@ def _form_triples(
     grammar. ``with_match`` additionally carries the raw group-0 match
     string (for provenance offsets)."""
     pred_map = _map_expr(mapping)
-    matches = F.regexp_extract_all(seg, F.lit(regex), 0)
-    for lit in guards:
-        matches = F.when(F.instr(seg, lit) > 0, matches).otherwise(
-            F.array().cast("array<string>")
-        )
+    matches = _guarded_matches(seg, regex, mapping, guards)
     g = lambda m, i: F.regexp_extract(m, regex, i)  # noqa: E731
 
     def triple(m, obj_group: int):
@@ -216,9 +241,8 @@ def extract_alias_bindings(segments: DataFrame) -> DataFrame:
     same-entity evidence for canonicalization (canonicalize_surfaces'
     extra_edges) — the only evidence when the alias shares no tokens or
     shingles with the target."""
-    m0 = F.regexp_extract_all(F.col("seg_text"), F.lit(ALIAS_BINDING_RE), 0)
-    guarded = F.when(F.instr(F.col("seg_text"), "as") > 0, m0).otherwise(
-        F.array().cast("array<string>")
+    guarded = _guarded_matches(
+        F.col("seg_text"), ALIAS_BINDING_RE, PRED_OF_PHRASE, ["as"]
     )
     return (
         segments.select("conv_id", "turn_idx", F.explode(guarded).alias("m"))
@@ -377,13 +401,6 @@ def extract_all(segments: DataFrame) -> DataFrame:
     seg = F.col("seg_text")
     arrays = []
 
-    def guard_matches(matches, guards):
-        for lit in guards:
-            matches = F.when(F.instr(seg, lit) > 0, matches).otherwise(
-                F.array().cast("array<string>")
-            )
-        return matches
-
     def triple_builder(regex: str, swap: bool, pred_map, obj_group: int):
         def build(m):
             g = lambda i: F.regexp_extract(m, regex, i)  # noqa: E731
@@ -403,7 +420,7 @@ def extract_all(segments: DataFrame) -> DataFrame:
 
     for rx, sw, mp, gd in GRAMMAR:
         pred_map = _map_expr(mp)
-        matches = guard_matches(F.regexp_extract_all(seg, F.lit(rx), 0), gd)
+        matches = _guarded_matches(seg, rx, mp, gd)
         arrays.append(F.transform(matches, triple_builder(rx, sw, pred_map, 3)))
         if re.compile(rx).groups >= 4:
             arrays.append(F.transform(matches, triple_builder(rx, sw, pred_map, 4)))
@@ -447,9 +464,7 @@ def extract_all(segments: DataFrame) -> DataFrame:
             F.regexp_extract(x, ALIAS_BINDING_RE, 2).alias("alias"),
         )
 
-    b_arr = guard_matches(
-        F.regexp_extract_all(seg, F.lit(ALIAS_BINDING_RE), 0), ["as"]
-    )
+    b_arr = _guarded_matches(seg, ALIAS_BINDING_RE, PRED_OF_PHRASE, ["as"])
     arrays.append(F.transform(b_arr, binding_builder))
 
     stop = list(STOP_IDENTS)
