@@ -1293,6 +1293,21 @@ def q_kg_canonicalize(spark, sf_dir):
     return canonicalize_surfaces(surfaces).orderBy("surface")
 
 
+def q_kg_pipeline_nodes(spark, sf_dir):
+    """THE flagship end-to-end check: the real run_pipeline (one-scan
+    extraction of triples+mentions+bindings → surface vocabulary → LSH/CC
+    canonicalization with binding evidence → canonical edge resolution →
+    degree aggregation with relation-free nodes) against a DuckDB oracle
+    that independently replays the entire DAG in SQL (_nodes_oracle)."""
+    from coco_search_spark.pipeline import run_pipeline
+
+    t = derived_transcripts(spark, sf_dir)
+    res = run_pipeline(spark, t)
+    return res.nodes.select("entity_id", "out_degree", "in_degree").orderBy(
+        "entity_id"
+    )
+
+
 def q_kg_alias_bindings(spark, sf_dir):
     """X2b through the driver gate: in-text alias bindings
     ('X <phrase> TARGET as ALIAS' — the aliased-import analog,
@@ -1467,19 +1482,18 @@ _SHINGLES_SQL = (
 )
 
 
-def _canonicalize_oracle(
+def _canon_cte(
     n_hashes: int = 12,
     n_bands: int = 4,
     thr: float = 0.6,
     include_bindings: bool = False,
+    include_standalone: bool = False,
 ) -> str:
-    """DuckDB replica of canonicalize_surfaces over the derived-transcript
-    mention surfaces: same portable-hash MinHash signatures, same band keys,
-    same exact-Jaccard verification and norm-equality edges, connected
-    components via recursive CTE, canon = min norm per component.
-    ``include_bindings`` additionally replays the extra_edges path: in-text
-    alias bindings join the surface set and the edge set, merging clusters
-    that share no shingles (the aliased-import evidence)."""
+    """Shared WITH-body replaying canonicalize_surfaces in DuckDB: MinHash
+    signatures → band buckets → exact-Jaccard + norm-equality (+ optional
+    binding) edges → recursive-CTE connected components → ``canon``
+    (surface, canon_id) map. ``include_standalone`` adds the standalone-
+    mention surfaces (the pipeline's full surface vocabulary)."""
     rpb = n_hashes // n_bands
     sig_elems = ", ".join(
         f"list_min(list_transform(sh, x -> CAST(('0x' || substr(md5('{seed}|' || x), 1, 15)) AS BIGINT)))"
@@ -1498,7 +1512,21 @@ def _canonicalize_oracle(
     surf_extra = (
         "  UNION SELECT DISTINCT alias FROM bind\n" if include_bindings else ""
     )
+    if include_standalone:
+        surf_extra += (
+            "  UNION SELECT DISTINCT mention FROM standalone\n"
+        )
+    standalone_cte = (
+        f"""standalone AS (
+  SELECT DISTINCT CASE CAST(doc_id % 2 AS INT)
+    WHEN 0 THEN source || '_cli' ELSE lang || '_probe' END AS mention
+  FROM documents
+),\n"""
+        if include_standalone
+        else ""
+    )
     bind_cte = f"bind AS ({binding_rows}),\n" if include_bindings else ""
+    bind_cte = standalone_cte + bind_cte
     edge_extra = (
         """  UNION SELECT DISTINCT LEAST(target, alias) AS a, GREATEST(target, alias) AS b
   FROM bind WHERE target <> alias\n"""
@@ -1542,11 +1570,76 @@ walk(surface, node) AS (
   SELECT surface, surface FROM base
   UNION
   SELECT w.surface, s.dst FROM walk w JOIN sym s ON s.src = w.node
+),
+canon AS (
+  SELECT w.surface, MIN(bn.norm) AS canon_id
+  FROM walk w JOIN base bn ON bn.surface = w.node
+  GROUP BY w.surface
+)"""
+
+
+def _canonicalize_oracle(
+    n_hashes: int = 12,
+    n_bands: int = 4,
+    thr: float = 0.6,
+    include_bindings: bool = False,
+) -> str:
+    """DuckDB replica of canonicalize_surfaces over the derived-transcript
+    mention surfaces (see _canon_cte); ``include_bindings`` additionally
+    replays the extra_edges path."""
+    return (
+        _canon_cte(n_hashes, n_bands, thr, include_bindings)
+        + "\nSELECT surface, canon_id FROM canon ORDER BY surface\n"
+    )
+
+
+def _nodes_oracle() -> str:
+    """FULL-PIPELINE node-table oracle: replays the entire flagship DAG in
+    DuckDB — ground-truth triple occurrences + standalone mentions +
+    alias bindings → the complete surface vocabulary → LSH/CC
+    canonicalization (recursive CTE) → canonical edge endpoints → out/in
+    degrees, with relation-free standalone entities joining as degree-0
+    nodes exactly like build_nodes(extra_entities=...)."""
+    return (
+        _canon_cte(include_bindings=True, include_standalone=True)
+        + f""",
+occ AS (
+  SELECT 'conv-' || (doc_id % 50) AS conv_id,
+         CAST(FLOOR(doc_id / 50.0) AS INT) AS turn_idx,
+         source || '_svc' AS subj, {_PRED_CASE} AS pred, lang || '_store' AS obj
+  FROM documents WHERE {_FORM_KEY} <= 3
+  UNION ALL
+  SELECT 'conv-' || (doc_id % 50), CAST(FLOOR(doc_id / 50.0) AS INT),
+         source || '_svc', {_PRED_CASE}, lang || '_cache'
+  FROM documents WHERE {_FORM_KEY} = 3
+),
+resolved AS (
+  SELECT cs.canon_id AS subj_id, co.canon_id AS obj_id
+  FROM occ
+  JOIN canon cs ON cs.surface = occ.subj
+  JOIN canon co ON co.surface = occ.obj
+),
+endpoints AS (
+  SELECT subj_id AS entity_id, 1 AS is_out FROM resolved
+  UNION ALL
+  SELECT obj_id, 0 FROM resolved
+),
+deg AS (
+  SELECT entity_id, CAST(SUM(is_out) AS BIGINT) AS out_degree,
+         CAST(SUM(1 - is_out) AS BIGINT) AS in_degree
+  FROM endpoints GROUP BY entity_id
+),
+standalone_ids AS (
+  SELECT DISTINCT c.canon_id AS entity_id
+  FROM standalone s JOIN canon c ON c.surface = s.mention
 )
-SELECT w.surface, MIN(bn.norm) AS canon_id
-FROM walk w JOIN base bn ON bn.surface = w.node
-GROUP BY w.surface ORDER BY w.surface
+SELECT entity_id, out_degree, in_degree FROM deg
+UNION ALL
+SELECT entity_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM standalone_ids
+WHERE entity_id NOT IN (SELECT entity_id FROM deg)
+ORDER BY entity_id
 """
+    )
 
 
 def q_multi_index_merge(spark, sf_dir):
@@ -2118,6 +2211,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_canonicalize": q_kg_canonicalize,
     "kg_alias_bindings": q_kg_alias_bindings,
     "kg_canonicalize_bindings": q_kg_canonicalize_bindings,
+    "kg_pipeline_nodes": q_kg_pipeline_nodes,
     "graph_reach": q_graph_reach,
     "multi_index_merge": q_multi_index_merge,
     "deps_enrichment": q_deps_enrichment,
@@ -2263,6 +2357,7 @@ ORACLES: dict[str, str] = {
     "kg_canonicalize": _canonicalize_oracle(),
     "kg_alias_bindings": ORACLE_ALIAS_BINDINGS,
     "kg_canonicalize_bindings": _canonicalize_oracle(include_bindings=True),
+    "kg_pipeline_nodes": _nodes_oracle(),
     "kg_link_mentions": _link_mentions_oracle(),
     "kg_link_topn": _link_mentions_oracle(top_n=3),
     "graph_reach": ORACLE_GRAPH,
