@@ -1276,6 +1276,32 @@ def q_kg_link_topn(spark, sf_dir):
     )
 
 
+def q_kg_link_defboost(spark, sf_dir):
+    """The definition boost (X3 consumer, hybrid.py:419-481) through the
+    driver gate: the catalog carries block_type, with every '%ache'-suffixed
+    alias marked as code-block (definition) evidence — those candidates get
+    the ×2 multiplier and the oracle replays the boost in its ranking."""
+    from coco_search_spark.operators.linking import link_surfaces
+
+    surf, catalog = _surfaces_and_catalog(spark, sf_dir)
+    catalog = catalog.withColumn(
+        "block_type",
+        F.when(F.col("alias").like("%ache"), "code").otherwise("prose"),
+    )
+    # mentions that exactly match NO alias ('<lang>_ref'): the definition
+    # boost alone decides among the token-shared candidates
+    mentions = (
+        surf.filter(F.col("surface").like("%\_store"))
+        .select(
+            F.concat(
+                F.split_part(F.col("surface"), F.lit("_"), F.lit(1)), F.lit("_ref")
+            ).alias("mention")
+        )
+        .distinct()
+    )
+    return link_surfaces(mentions, catalog, embedder="expr").orderBy("mention")
+
+
 def q_kg_canonicalize(spark, sf_dir):
     """MinHash/LSH + connected-components canonicalization over mention
     surfaces, oracle-checked value for value: the signatures/bands use the
@@ -1305,6 +1331,44 @@ def q_kg_pipeline_nodes(spark, sf_dir):
     res = run_pipeline(spark, t)
     return res.nodes.select("entity_id", "out_degree", "in_degree").orderBy(
         "entity_id"
+    )
+
+
+def q_kg_pipeline_edges(spark, sf_dir):
+    """resolve_edges through the driver gate: every edge row from the real
+    pipeline with canonical endpoint ids AND raw surfaces — the oracle
+    recomputes canonicalization and joins it onto the ground-truth
+    occurrences."""
+    from coco_search_spark.pipeline import run_pipeline
+
+    t = derived_transcripts(spark, sf_dir)
+    res = run_pipeline(spark, t)
+    return res.edges.select(
+        "conv_id", "turn_idx", "subj_id", "pred", "obj_id", "subj", "obj"
+    ).orderBy("conv_id", "turn_idx", "subj_id", "pred", "obj_id")
+
+
+def _edges_oracle() -> str:
+    return (
+        _canon_cte(include_bindings=True, include_standalone=True)
+        + f""",
+occ AS (
+  SELECT 'conv-' || (doc_id % 50) AS conv_id,
+         CAST(FLOOR(doc_id / 50.0) AS INT) AS turn_idx,
+         source || '_svc' AS subj, {_PRED_CASE} AS pred, lang || '_store' AS obj
+  FROM documents WHERE {_FORM_KEY} <= 3
+  UNION ALL
+  SELECT 'conv-' || (doc_id % 50), CAST(FLOOR(doc_id / 50.0) AS INT),
+         source || '_svc', {_PRED_CASE}, lang || '_cache'
+  FROM documents WHERE {_FORM_KEY} = 3
+)
+SELECT occ.conv_id, occ.turn_idx, cs.canon_id AS subj_id, occ.pred,
+       co.canon_id AS obj_id, occ.subj, occ.obj
+FROM occ
+JOIN canon cs ON cs.surface = occ.subj
+JOIN canon co ON co.surface = occ.obj
+ORDER BY conv_id, turn_idx, subj_id, pred, obj_id
+"""
     )
 
 
@@ -1358,7 +1422,9 @@ def q_kg_canonicalize_bindings(spark, sf_dir):
     return canonicalize_surfaces(surfaces, extra_edges=extra).orderBy("surface")
 
 
-def _link_mentions_oracle(dim: int = 64, rrf_k: int = 60, top_n: int = 1) -> str:
+def _link_mentions_oracle(
+    dim: int = 64, rrf_k: int = 60, top_n: int = 1, def_like: str | None = None
+) -> str:
     """DuckDB replica of the full hybrid-RRF linking pipeline in
     q_kg_link_mentions: shared-token candidate generation, double-precision
     sha256-byte embedding cosine (vector leg), token-set Jaccard (keyword
@@ -1379,6 +1445,21 @@ def _link_mentions_oracle(dim: int = 64, rrf_k: int = 60, top_n: int = 1) -> str
 
     rank_col = ", link_rank" if top_n > 1 else ""
     rank_order = ", link_rank" if top_n > 1 else ""
+    # definition-boost signal: aliases matching def_like are 'code'-block
+    # evidence (is_def); None keeps the plain exact-norm-only boost
+    a_def = (
+        f"CASE WHEN alias LIKE '{def_like}' THEN 1 ELSE 0 END" if def_like else "0"
+    )
+    # boost-mode mentions deliberately match NO catalog alias exactly
+    # (no exact-norm candidate), so the definition boost alone decides the
+    # winner among token-shared candidates — a real behavioral flip, not a
+    # no-op replay
+    mention_src = (
+        "SELECT DISTINCT split_part(surface, '_', 1) || '_ref' FROM surf "
+        "WHERE surface LIKE '%store'"
+        if def_like
+        else "SELECT surface FROM surf"
+    )
     return f"""
 WITH surf AS (
   SELECT DISTINCT source || '_svc' AS surface FROM documents WHERE {_FORM_KEY} <= 3
@@ -1394,24 +1475,25 @@ cat AS (
   UNION ALL
   SELECT surface, {cap("split_part(surface, '_', 1)")} || {cap("split_part(surface, '_', 2)")} FROM surf
 ),
-strs AS (SELECT surface AS s FROM surf UNION SELECT alias FROM cat),
+strs AS (SELECT surface AS s FROM ({mention_src}) q(surface) UNION SELECT surface FROM surf UNION SELECT alias FROM cat),
 emb AS (SELECT s, {emb_v} AS v FROM strs),
 m AS (
   SELECT surface AS mention, {norm.format(s='surface')} AS m_norm,
          list_distinct(string_split({norm.format(s='surface')}, '_')) AS m_tokens
-  FROM surf
+  FROM ({mention_src}) ms(surface)
 ),
 a AS (
   SELECT entity_id, alias, {norm.format(s='alias')} AS alias_norm,
-         list_distinct(string_split({norm.format(s='alias')}, '_')) AS a_tokens
+         list_distinct(string_split({norm.format(s='alias')}, '_')) AS a_tokens,
+         {a_def} AS a_def
   FROM cat
 ),
 cand AS (
-  SELECT DISTINCT mention, m_norm, m_tokens, entity_id, alias, alias_norm, a_tokens
+  SELECT DISTINCT mention, m_norm, m_tokens, entity_id, alias, alias_norm, a_tokens, a_def
   FROM m JOIN a ON len(list_intersect(m_tokens, a_tokens)) > 0
 ),
 pair AS (
-  SELECT c.mention, c.m_norm, c.entity_id, c.alias_norm,
+  SELECT c.mention, c.m_norm, c.entity_id, c.alias_norm, c.a_def,
          list_sum(list_transform(generate_series(1, {dim}), i -> em.v[i] * ea.v[i]))
            / (sqrt(list_sum(list_transform(em.v, x -> x * x)))
               * sqrt(list_sum(list_transform(ea.v, x -> x * x)))) AS vec_sim,
@@ -1423,11 +1505,12 @@ pair AS (
 ),
 scored AS (
   SELECT mention, m_norm, entity_id, MAX(vec_sim) AS vec_sim, MAX(kw_sim) AS kw_sim,
-         MAX(CASE WHEN alias_norm = m_norm THEN 1 ELSE 0 END) AS exact_norm
+         MAX(CASE WHEN alias_norm = m_norm THEN 1 ELSE 0 END) AS exact_norm,
+         MAX(a_def) AS is_def
   FROM pair GROUP BY 1, 2, 3
 ),
 vec_leg AS (
-  SELECT mention, entity_id, exact_norm,
+  SELECT mention, entity_id, exact_norm, is_def,
          row_number() OVER (PARTITION BY mention ORDER BY vec_sim DESC, entity_id ASC) AS v_rank
   FROM scored QUALIFY v_rank <= 100
 ),
@@ -1441,7 +1524,7 @@ kw_leg AS (
 fused AS (
   SELECT COALESCE(v.mention, k.mention) AS mention,
          COALESCE(v.entity_id, k.entity_id) AS entity_id,
-         v.v_rank, k.k_rank, v.exact_norm,
+         v.v_rank, k.k_rank, v.exact_norm, v.is_def,
          COALESCE(CAST(1.0 AS DOUBLE) / ({rrf_k} + v.v_rank), CAST(0 AS DOUBLE))
            + COALESCE(CAST(1.0 AS DOUBLE) / ({rrf_k} + k.k_rank), CAST(0 AS DOUBLE)) AS rrf
   FROM vec_leg v FULL OUTER JOIN kw_leg k
@@ -1449,11 +1532,11 @@ fused AS (
 ),
 ranked AS (
   SELECT mention, entity_id,
-         CASE WHEN exact_norm = 1 THEN rrf * CAST(2.0 AS DOUBLE) ELSE rrf END AS link_score,
+         CASE WHEN exact_norm = 1 OR is_def = 1 THEN rrf * CAST(2.0 AS DOUBLE) ELSE rrf END AS link_score,
          CASE WHEN v_rank IS NOT NULL AND k_rank IS NOT NULL THEN 'both'
               WHEN v_rank IS NOT NULL THEN 'semantic' ELSE 'keyword' END AS match_type,
          row_number() OVER (PARTITION BY mention ORDER BY
-           CASE WHEN exact_norm = 1 THEN rrf * CAST(2.0 AS DOUBLE) ELSE rrf END DESC,
+           CASE WHEN exact_norm = 1 OR is_def = 1 THEN rrf * CAST(2.0 AS DOUBLE) ELSE rrf END DESC,
            (k_rank IS NOT NULL) DESC, entity_id ASC) AS link_rank
   FROM fused
 )
@@ -2208,10 +2291,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "kg_link_mentions": q_kg_link_mentions,
     "kg_link_topn": q_kg_link_topn,
+    "kg_link_defboost": q_kg_link_defboost,
     "kg_canonicalize": q_kg_canonicalize,
     "kg_alias_bindings": q_kg_alias_bindings,
     "kg_canonicalize_bindings": q_kg_canonicalize_bindings,
     "kg_pipeline_nodes": q_kg_pipeline_nodes,
+    "kg_pipeline_edges": q_kg_pipeline_edges,
     "graph_reach": q_graph_reach,
     "multi_index_merge": q_multi_index_merge,
     "deps_enrichment": q_deps_enrichment,
@@ -2358,8 +2443,10 @@ ORACLES: dict[str, str] = {
     "kg_alias_bindings": ORACLE_ALIAS_BINDINGS,
     "kg_canonicalize_bindings": _canonicalize_oracle(include_bindings=True),
     "kg_pipeline_nodes": _nodes_oracle(),
+    "kg_pipeline_edges": _edges_oracle(),
     "kg_link_mentions": _link_mentions_oracle(),
     "kg_link_topn": _link_mentions_oracle(top_n=3),
+    "kg_link_defboost": _link_mentions_oracle(def_like="%ache"),
     "graph_reach": ORACLE_GRAPH,
     "multi_index_merge": ORACLE_MULTI_INDEX,
     "deps_enrichment": ORACLE_DEPS_ENRICH,
