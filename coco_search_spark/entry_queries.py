@@ -1725,6 +1725,57 @@ ORDER BY entity_id
     )
 
 
+def q_doc_hash_sample(spark, sf_dir):
+    """Deterministic Bernoulli sample (~25%) by portable hash bucket — the
+    reproducible-split primitive (train/eval carving, crawl down-weighting).
+    Pure filter, no shuffle; identical row set under any partitioning and
+    in DuckDB."""
+    from coco_search_spark.ops.sampling import hash_sample
+
+    load_views(spark, sf_dir)
+    d = spark.table("documents")
+    return (
+        hash_sample(d, "doc_id", numerator=2500)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_HASH_SAMPLE = """
+SELECT doc_id, lang FROM documents
+WHERE CAST(('0x' || substr(md5('|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 < 2500
+ORDER BY doc_id
+"""
+
+
+def q_doc_stratified_sample(spark, sf_dir):
+    """EXACT per-stratum cap (20 docs per language), smallest-hash-first —
+    deterministic uniform draw per stratum via the salted two-phase rank
+    (one hot language cannot pin a single task). The oracle is the plain
+    single-window form; the two-phase result must equal it exactly."""
+    from coco_search_spark.ops.sampling import stratified_cap
+
+    load_views(spark, sf_dir)
+    d = spark.table("documents")
+    return (
+        stratified_cap(d, "lang", "doc_id", n_per_stratum=20)
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id")
+    )
+
+
+ORACLE_STRATIFIED_SAMPLE = """
+SELECT lang, doc_id FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY CAST(('0x' || substr(md5('|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) ASC,
+                    doc_id ASC) AS rk
+  FROM documents) x
+WHERE rk <= 20 ORDER BY lang, doc_id
+"""
+
+
 def q_multi_index_merge(spark, sf_dir):
     """J7 analog (multi.py:27-204 cross-index merge): two per-'index' ranked
     lists (documents split by doc_id parity = two indexes), merged with
@@ -2285,6 +2336,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_groups": q_dedup_groups,
     "doc_quality_filter": q_doc_quality_filter,
     "pack_docs": q_pack_docs,
+    "doc_hash_sample": q_doc_hash_sample,
+    "doc_stratified_sample": q_doc_stratified_sample,
     "event_rate_windows": q_event_rate_windows,
     "ann_topk": q_ann_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -2424,6 +2477,8 @@ ORACLES: dict[str, str] = {
     "dedup_groups": ORACLE_DEDUP_GROUPS,
     "doc_quality_filter": _quality_filter_oracle(),
     "pack_docs": ORACLE_PACK,
+    "doc_hash_sample": ORACLE_HASH_SAMPLE,
+    "doc_stratified_sample": ORACLE_STRATIFIED_SAMPLE,
     "event_rate_windows": """
          SELECT CAST(FLOOR(epoch(ts) / 600) AS BIGINT) AS bucket, event_type,
                 COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value

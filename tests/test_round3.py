@@ -405,6 +405,55 @@ def test_query_arg_validation(spark):
         link_surfaces(m, cat, prefetch=0)
 
 
+# ------------------------------------------------------------- sampling
+
+def test_hash_sample_deterministic_and_seeded(spark):
+    from coco_search_spark.ops.sampling import hash_sample
+
+    df = spark.range(2000).select(F.col("id").alias("doc_id"))
+    a = {r["doc_id"] for r in hash_sample(df, "doc_id", 2500).collect()}
+    b = {r["doc_id"] for r in hash_sample(df.repartition(17), "doc_id", 2500).collect()}
+    assert a == b  # partitioning-invariant
+    assert 0.15 < len(a) / 2000 < 0.35  # ~25%
+    c = {r["doc_id"] for r in hash_sample(df, "doc_id", 2500, seed="eval").collect()}
+    assert c != a  # independent draw under a different seed
+    with pytest.raises(ValueError):
+        hash_sample(df, "doc_id", 20000, denominator=10000)
+
+
+def test_stratified_cap_exact_and_skew_safe(spark):
+    from coco_search_spark.ops.sampling import stratified_cap
+    from pyspark.sql import Window as W
+
+    from coco_search_spark.functions.text import portable_hash_col
+
+    # one gigantic stratum + tiny ones
+    df = spark.range(5000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 4900, "hot").otherwise(
+            F.concat(F.lit("s"), F.pmod(F.col("id"), F.lit(5)))
+        ).alias("stratum"),
+    )
+    got = stratified_cap(df, "stratum", "doc_id", n_per_stratum=7)
+    rows = got.collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["stratum"], set()).add(r["doc_id"])
+    assert all(len(v) <= 7 for v in per.values())
+    assert len(per["hot"]) == 7
+    # two-phase result must equal the plain single-window draw exactly
+    h = portable_hash_col(F.concat(F.lit("|"), F.col("doc_id").cast("string")))
+    w = W.partitionBy("stratum").orderBy(F.asc(h), F.asc("doc_id"))
+    plain = (
+        df.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= 7)
+        .select("stratum", "doc_id")
+    )
+    assert {tuple(r) for r in plain.collect()} == {
+        (r["stratum"], r["doc_id"]) for r in rows
+    }
+
+
 # ---------------------------------------------------- grammar/pytest parity
 
 def test_mention_grammar_python_twin(spark):
