@@ -1725,6 +1725,42 @@ ORDER BY entity_id
     )
 
 
+def q_doc_clean_boilerplate(spark, sf_dir):
+    """C4/RefinedWeb-style boilerplate line removal over the derived
+    transcripts (whose injected code-fence lines appear in ~9% of turns —
+    above the 5% threshold — while real content lines are unique): lines
+    in > max_doc_frac of documents are stripped, order preserved. The
+    corpus anti-joins against a BROADCAST drop list; the per-line
+    distinct-doc count uses the salted two-phase pattern because hot
+    boilerplate lines are exactly the skew case."""
+    from coco_search_spark.ops.clean import remove_boilerplate_lines
+
+    t = derived_transcripts(spark, sf_dir)
+    return remove_boilerplate_lines(
+        t, ["conv_id", "turn_idx"], "text", max_doc_frac=0.05, min_chars=3
+    ).orderBy("conv_id", "turn_idx")
+
+
+ORACLE_CLEAN_BOILERPLATE = """
+WITH t AS ({derived}),
+lines AS (
+  SELECT conv_id, turn_idx,
+         unnest(string_split(text, chr(10))) AS line,
+         generate_subscripts(string_split(text, chr(10)), 1) AS pos
+  FROM t),
+freq AS (
+  SELECT line, COUNT(DISTINCT conv_id || '|' || CAST(turn_idx AS VARCHAR)) AS n_docs
+  FROM lines WHERE length(line) >= 3 GROUP BY line),
+total AS (SELECT COUNT(*) AS n FROM t),
+dl AS (SELECT line FROM freq, total WHERE n_docs > n * 0.05),
+kept AS (
+  SELECT l.conv_id, l.turn_idx, l.pos, l.line
+  FROM lines l ANTI JOIN dl ON l.line = dl.line)
+SELECT conv_id, turn_idx, string_agg(line, chr(10) ORDER BY pos) AS clean_text
+FROM kept GROUP BY conv_id, turn_idx ORDER BY conv_id, turn_idx
+"""
+
+
 def q_doc_hash_sample(spark, sf_dir):
     """Deterministic Bernoulli sample (~25%) by portable hash bucket — the
     reproducible-split primitive (train/eval carving, crawl down-weighting).
@@ -2338,6 +2374,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_docs": q_pack_docs,
     "doc_hash_sample": q_doc_hash_sample,
     "doc_stratified_sample": q_doc_stratified_sample,
+    "doc_clean_boilerplate": q_doc_clean_boilerplate,
     "event_rate_windows": q_event_rate_windows,
     "ann_topk": q_ann_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -2479,6 +2516,9 @@ ORACLES: dict[str, str] = {
     "pack_docs": ORACLE_PACK,
     "doc_hash_sample": ORACLE_HASH_SAMPLE,
     "doc_stratified_sample": ORACLE_STRATIFIED_SAMPLE,
+    "doc_clean_boilerplate": ORACLE_CLEAN_BOILERPLATE.format(
+        derived=DERIVED_TRANSCRIPTS_SQL
+    ),
     "event_rate_windows": """
          SELECT CAST(FLOOR(epoch(ts) / 600) AS BIGINT) AS bucket, event_type,
                 COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value

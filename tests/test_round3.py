@@ -454,6 +454,33 @@ def test_stratified_cap_exact_and_skew_safe(spark):
     }
 
 
+# ----------------------------------------------------------- boilerplate
+
+def test_remove_boilerplate_lines(spark):
+    from coco_search_spark.ops.clean import (
+        boilerplate_lines,
+        remove_boilerplate_lines,
+    )
+
+    docs = [(i, f"unique line {i}\nBOILER PLATE\n\nok {i}") for i in range(20)]
+    docs.append((99, "solo document"))
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    drop = {r["line"] for r in boilerplate_lines(df, ["doc_id"], "text", 0.5).collect()}
+    assert drop == {"BOILER PLATE"}  # 20/21 docs > 50%; uniques stay
+    out = {
+        r["doc_id"]: r["clean_text"]
+        for r in remove_boilerplate_lines(df, ["doc_id"], "text", 0.5).collect()
+    }
+    # order preserved, empty line retained (below min_chars, never dropped)
+    assert out[3] == "unique line 3\n\nok 3"
+    assert out[99] == "solo document"
+    # short ubiquitous lines are exempt via min_chars
+    df2 = spark.createDataFrame(
+        [(i, f"x{i}\nok") for i in range(10)], "doc_id int, text string"
+    )
+    assert boilerplate_lines(df2, ["doc_id"], "text", 0.5, min_chars=3).count() == 0
+
+
 # ---------------------------------------------------- grammar/pytest parity
 
 def test_mention_grammar_python_twin(spark):
