@@ -1761,6 +1761,39 @@ FROM kept GROUP BY conv_id, turn_idx ORDER BY conv_id, turn_idx
 """
 
 
+# synthetic PII appended per doc IN THE QUERY (both engines build the same
+# string), so the redaction rule is value-checked without touching the
+# shared derived-transcript text
+_PII_TEXT = (
+    "text || ' contact user' || doc_id || '@example.com or 10.0.' "
+    "|| (doc_id % 256) || '.7 call 555-01' || (doc_id % 10) || '-4242'"
+)
+
+
+def q_doc_redact_pii(spark, sf_dir):
+    """Pre-training PII scrub: emails / IPv4 / phone-shaped numbers →
+    typed placeholders via a sequential global regexp_replace chain (pure
+    Catalyst). The oracle applies the SAME rule list (built from
+    PII_RULES, so the two engines cannot drift) to the same synthesized
+    text."""
+    from coco_search_spark.ops.clean import redact_pii_col
+
+    load_views(spark, sf_dir)
+    d = spark.sql(f"SELECT doc_id, {_PII_TEXT} AS text FROM documents")
+    return d.select(
+        "doc_id", redact_pii_col(F.col("text")).alias("clean_text")
+    ).orderBy("doc_id")
+
+
+def _redact_pii_oracle() -> str:
+    from coco_search_spark.ops.clean import pii_rules_duckdb_sql
+
+    return f"""
+SELECT doc_id, {pii_rules_duckdb_sql(f'({_PII_TEXT})')} AS clean_text
+FROM documents ORDER BY doc_id
+"""
+
+
 def q_doc_hash_sample(spark, sf_dir):
     """Deterministic Bernoulli sample (~25%) by portable hash bucket — the
     reproducible-split primitive (train/eval carving, crawl down-weighting).
@@ -2375,6 +2408,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_hash_sample": q_doc_hash_sample,
     "doc_stratified_sample": q_doc_stratified_sample,
     "doc_clean_boilerplate": q_doc_clean_boilerplate,
+    "doc_redact_pii": q_doc_redact_pii,
     "event_rate_windows": q_event_rate_windows,
     "ann_topk": q_ann_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -2519,6 +2553,7 @@ ORACLES: dict[str, str] = {
     "doc_clean_boilerplate": ORACLE_CLEAN_BOILERPLATE.format(
         derived=DERIVED_TRANSCRIPTS_SQL
     ),
+    "doc_redact_pii": _redact_pii_oracle(),
     "event_rate_windows": """
          SELECT CAST(FLOOR(epoch(ts) / 600) AS BIGINT) AS bucket, event_type,
                 COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value

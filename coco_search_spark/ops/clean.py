@@ -34,6 +34,38 @@ from coco_search_spark.operators.materialize import salted_distinct_count
 from coco_search_spark.ops.globs import require_fraction, require_positive
 
 
+# PII patterns — RE2-safe (no lookahead/backreferences) so the identical
+# pattern runs in Spark (Java regex) and the DuckDB oracle. Replacement
+# ORDER is part of the contract: emails first (their local part can contain
+# digits a later rule would mangle), then IPv4, then phone-shaped numbers.
+PII_RULES: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\b\d{3}[- ]\d{3,4}[- ]\d{4}\b", "<PHONE>"),
+]
+
+
+def redact_pii_col(text):
+    """Sequential global regexp_replace chain over PII_RULES — pure
+    Catalyst, whole-stage codegen; no Python in the path. The standard
+    pre-training scrub (emails / IPv4 / phone-shaped numbers → typed
+    placeholders)."""
+    out = text
+    for pat, rep in PII_RULES:
+        out = F.regexp_replace(out, pat, rep)
+    return out
+
+
+def pii_rules_duckdb_sql(text_expr: str) -> str:
+    """The same chain as DuckDB SQL (regexp_replace with the 'g' flag),
+    built from the SAME PII_RULES list so the two engines cannot drift."""
+    out = text_expr
+    for pat, rep in PII_RULES:
+        escaped = pat.replace("'", "''")
+        out = f"regexp_replace({out}, '{escaped}', '{rep}', 'g')"
+    return out
+
+
 def boilerplate_lines(
     df: DataFrame,
     id_cols: list[str],

@@ -481,6 +481,23 @@ def test_remove_boilerplate_lines(spark):
     assert boilerplate_lines(df2, ["doc_id"], "text", 0.5, min_chars=3).count() == 0
 
 
+def test_redact_pii(spark):
+    from coco_search_spark.ops.clean import redact_pii_col
+
+    df = spark.createDataFrame(
+        [
+            (0, "mail a.b+c@ex-amp.le.org then 192.168.0.1 or 555-012-3456 end"),
+            (1, "no pii here, just v1.2 and x@y (not an email)"),
+            (2, "two mails a@b.co b@c.io"),
+        ],
+        "i int, text string",
+    )
+    out = {r["i"]: r["c"] for r in df.select("i", redact_pii_col(F.col("text")).alias("c")).collect()}
+    assert out[0] == "mail <EMAIL> then <IP> or <PHONE> end"
+    assert out[1] == "no pii here, just v1.2 and x@y (not an email)"
+    assert out[2] == "two mails <EMAIL> <EMAIL>"
+
+
 # ---------------------------------------------------- grammar/pytest parity
 
 def test_mention_grammar_python_twin(spark):
