@@ -823,6 +823,55 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_doc_contamination(spark, sf_dir):
+    """Benchmark-contamination screen: eval set = every 10th document's
+    200-char prefix; per-doc fraction of winnowing fingerprints found in
+    the (broadcast) eval fingerprint pool. Docs that sourced the eval set
+    score high, the rest ~0."""
+    from coco_search_spark.ops.textstats import contamination_check
+
+    load_views(spark, sf_dir)
+    d = spark.table("documents")
+    eval_docs = d.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 0).select(
+        "doc_id", F.substring(F.col("text"), 1, 200).alias("text")
+    )
+    return contamination_check(d, eval_docs, "doc_id", "text", k=5, keep=8).orderBy(
+        "id"
+    )
+
+
+ORACLE_CONTAMINATION = """
+WITH grams AS (
+  SELECT doc_id,
+         list_sort(list_distinct(list_transform(
+           generate_series(1, greatest(1, len(string_split_regex(text,'\\s+')) - 4)),
+           i -> CAST(('0x' || substr(md5(
+                  array_to_string(string_split_regex(text,'\\s+')[i:i+4], ' ')
+                ), 1, 15)) AS BIGINT)))) AS hs
+  FROM documents
+),
+fps AS (SELECT doc_id, hs[1:8] AS fp8 FROM grams),
+ev AS (SELECT doc_id, substr(text, 1, 200) AS text FROM documents WHERE doc_id % 10 = 0),
+egrams AS (
+  SELECT doc_id,
+         list_sort(list_distinct(list_transform(
+           generate_series(1, greatest(1, len(string_split_regex(text,'\\s+')) - 4)),
+           i -> CAST(('0x' || substr(md5(
+                  array_to_string(string_split_regex(text,'\\s+')[i:i+4], ' ')
+                ), 1, 15)) AS BIGINT)))) AS hs
+  FROM ev
+),
+epool AS (SELECT DISTINCT unnest(hs[1:8]) AS fp FROM egrams),
+ex AS (SELECT doc_id, unnest(fp8) AS fp FROM fps),
+hits AS (SELECT doc_id, COUNT(*) AS n_hits FROM ex JOIN epool USING (fp) GROUP BY doc_id)
+SELECT f.doc_id AS id, len(f.fp8) AS n_fps,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       ROUND(COALESCE(h.n_hits, 0) / CAST(len(f.fp8) AS DOUBLE), 6) AS contamination
+FROM fps f LEFT JOIN hits h ON h.doc_id = f.doc_id
+ORDER BY id
+"""
+
+
 def q_dedup_near_pairs(spark, sf_dir):
     """Near-duplicate candidate pairs: block on the FIRST minhash value
     (single-band LSH — deterministic, oracle-checkable), verify with exact
@@ -2400,6 +2449,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_langid": q_doc_langid,
     "doc_simhash": q_doc_simhash,
     "doc_fp_overlap": q_doc_fp_overlap,
+    "doc_contamination": q_doc_contamination,
     "dedup_near_pairs": q_dedup_near_pairs,
     "dedup_embedding_pairs": q_dedup_embedding_pairs,
     "dedup_groups": q_dedup_groups,
@@ -2543,6 +2593,7 @@ ORACLES: dict[str, str] = {
     "doc_langid": _langid_oracle(),
     "doc_simhash": _simhash_oracle(),
     "doc_fp_overlap": ORACLE_FP_OVERLAP,
+    "doc_contamination": ORACLE_CONTAMINATION,
     "dedup_near_pairs": ORACLE_NEAR_PAIRS,
     "dedup_embedding_pairs": _embedding_pairs_oracle(),
     "dedup_groups": ORACLE_DEDUP_GROUPS,

@@ -181,3 +181,46 @@ def fingerprint_overlap_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def contamination_check(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    keep: int = 8,
+) -> DataFrame:
+    """Benchmark-contamination screen: per document, the fraction of its
+    winnowing fingerprints that also occur in the EVAL SET's fingerprint
+    pool — the standard pre-training hygiene check (did training text leak
+    from the benchmark?).
+
+    Scale shape: the eval pool is benchmark-sized (thousands of docs), so
+    its distinct fingerprint set BROADCASTS and the corpus-sized side does
+    a left-semi probe — no shuffle of the corpus by fingerprint. Returns
+    (id, n_fps, n_hits, contamination)."""
+    doc_fps = rolling_fingerprints(docs, id_col, text_col, k=k, keep=keep)
+    pool = (
+        rolling_fingerprints(eval_docs, id_col, text_col, k=k, keep=keep)
+        .select(F.explode("fingerprints").alias("fp"))
+        .distinct()
+    )
+    exploded = doc_fps.select("id", F.explode("fingerprints").alias("fp"))
+    hits = (
+        exploded.join(F.broadcast(pool), "fp", "left_semi")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        doc_fps.select("id", F.size("fingerprints").alias("n_fps"))
+        .join(hits, "id", "left")
+        .select(
+            "id",
+            "n_fps",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0)) / F.col("n_fps").cast("double"), 6
+            ).alias("contamination"),
+        )
+    )

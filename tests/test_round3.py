@@ -515,3 +515,23 @@ def test_mention_grammar_python_twin(spark):
         for rx, kind, _ in MENTION_GRAMMAR:
             got += [(m, kind) for m in re.findall(rx, text)]
         assert got == want, text
+
+
+def test_contamination_check(spark):
+    from coco_search_spark.ops.textstats import contamination_check
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (1, "totally different words here nothing shared at all ever once"),
+        ],
+        "doc_id int, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id int, text string",
+    )
+    out = {r["id"]: r for r in contamination_check(docs, ev, "doc_id", "text").collect()}
+    assert out[0]["contamination"] == 1.0  # identical text: full overlap
+    assert out[0]["n_hits"] == out[0]["n_fps"]
+    assert out[1]["contamination"] == 0.0 and out[1]["n_hits"] == 0
