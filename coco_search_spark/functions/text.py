@@ -121,9 +121,11 @@ def section_col(text: Column) -> Column:
     reference's handler hierarchy path (handlers/__init__.py ChunkMetadata
     ``hierarchy``). element_at(..., -1) takes the innermost heading."""
     heads = F.regexp_extract_all(text, F.lit(r"(?m)^#[ ]([A-Za-z0-9_]+)"), 1)
-    return F.when(F.size(heads) > 0, F.element_at(heads, -1)).otherwise(
-        F.lit(None).cast("string")
-    )
+    # cheap instr gate: text without '#' cannot contain a heading, so the
+    # regex scan is skipped for the (vast) heading-free majority
+    return F.when(
+        (F.instr(text, "#") > 0) & (F.size(heads) > 0), F.element_at(heads, -1)
+    ).otherwise(F.lit(None).cast("string"))
 
 
 def sha256_col(c: Column) -> Column:
