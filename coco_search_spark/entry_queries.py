@@ -872,6 +872,34 @@ ORDER BY id
 """
 
 
+def q_doc_repetition(spark, sf_dir):
+    """Gopher-style within-document repetition signals over the derived
+    transcripts (fenced turns carry a duplicate ``` line): duplicate-line
+    and duplicate-char fractions per turn."""
+    from coco_search_spark.ops.textstats import repetition_stats
+
+    t = derived_transcripts(spark, sf_dir).withColumn(
+        "tid", F.concat_ws("#", "conv_id", F.col("turn_idx").cast("string"))
+    )
+    return repetition_stats(t, "tid", "text").orderBy("id")
+
+
+ORACLE_REPETITION = """
+WITH t AS ({derived}),
+x AS (SELECT conv_id || '#' || CAST(turn_idx AS VARCHAR) AS id,
+             string_split(text, chr(10)) AS ls FROM t),
+y AS (SELECT id, ls,
+             list_sum(list_transform(ls, v -> length(v))) AS ca,
+             list_sum(list_transform(list_distinct(ls), v -> length(v))) AS cd
+      FROM x)
+SELECT id, len(ls) AS n_lines,
+       len(ls) - len(list_distinct(ls)) AS n_dup_lines,
+       ROUND((len(ls) - len(list_distinct(ls))) / CAST(len(ls) AS DOUBLE), 6) AS dup_line_frac,
+       ROUND(CASE WHEN ca = 0 THEN 0.0 ELSE (ca - cd) / CAST(ca AS DOUBLE) END, 6) AS dup_char_frac
+FROM y ORDER BY id
+"""
+
+
 def q_dedup_near_pairs(spark, sf_dir):
     """Near-duplicate candidate pairs: block on the FIRST minhash value
     (single-band LSH — deterministic, oracle-checkable), verify with exact
@@ -2450,6 +2478,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_simhash": q_doc_simhash,
     "doc_fp_overlap": q_doc_fp_overlap,
     "doc_contamination": q_doc_contamination,
+    "doc_repetition": q_doc_repetition,
     "dedup_near_pairs": q_dedup_near_pairs,
     "dedup_embedding_pairs": q_dedup_embedding_pairs,
     "dedup_groups": q_dedup_groups,
@@ -2594,6 +2623,7 @@ ORACLES: dict[str, str] = {
     "doc_simhash": _simhash_oracle(),
     "doc_fp_overlap": ORACLE_FP_OVERLAP,
     "doc_contamination": ORACLE_CONTAMINATION,
+    "doc_repetition": ORACLE_REPETITION.format(derived=DERIVED_TRANSCRIPTS_SQL),
     "dedup_near_pairs": ORACLE_NEAR_PAIRS,
     "dedup_embedding_pairs": _embedding_pairs_oracle(),
     "dedup_groups": ORACLE_DEDUP_GROUPS,

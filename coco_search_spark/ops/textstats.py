@@ -224,3 +224,36 @@ def contamination_check(
             ).alias("contamination"),
         )
     )
+
+
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style within-document repetition signals: the fraction of
+    duplicate LINES and the fraction of characters living in those
+    duplicate lines — high values mark templated/degenerate documents
+    (chat-log spam, generation loops). Pure Catalyst array ops per row;
+    no shuffle, no Python."""
+    lines = F.split(F.col(text_col), "\n")
+    n_lines = F.size(lines)
+    n_distinct = F.size(F.array_distinct(lines))
+    # characters in duplicate lines = total chars of lines minus chars of
+    # one copy of each distinct line (counting separators with neither)
+    chars_all = F.aggregate(
+        lines, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    chars_distinct = F.aggregate(
+        F.array_distinct(lines), F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_lines.alias("n_lines"),
+        (n_lines - n_distinct).alias("n_dup_lines"),
+        F.round((n_lines - n_distinct) / n_lines.cast("double"), 6).alias(
+            "dup_line_frac"
+        ),
+        F.round(
+            F.when(chars_all == 0, F.lit(0.0)).otherwise(
+                (chars_all - chars_distinct) / chars_all.cast("double")
+            ),
+            6,
+        ).alias("dup_char_frac"),
+    )

@@ -535,3 +535,22 @@ def test_contamination_check(spark):
     assert out[0]["contamination"] == 1.0  # identical text: full overlap
     assert out[0]["n_hits"] == out[0]["n_fps"]
     assert out[1]["contamination"] == 0.0 and out[1]["n_hits"] == 0
+
+
+def test_repetition_stats(spark):
+    from coco_search_spark.ops.textstats import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (0, "a\nb\na\na"),         # 4 lines, 2 dup copies of 'a'
+            (1, "unique\nlines\nonly"),
+            (2, ""),                    # one empty line, zero chars
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["id"]: r for r in repetition_stats(df, "doc_id", "text").collect()}
+    assert out[0]["n_lines"] == 4 and out[0]["n_dup_lines"] == 2
+    assert out[0]["dup_line_frac"] == 0.5
+    assert out[0]["dup_char_frac"] == 0.5  # 4 chars total, 2 in dup copies
+    assert out[1]["n_dup_lines"] == 0 and out[1]["dup_char_frac"] == 0.0
+    assert out[2]["dup_char_frac"] == 0.0  # zero-char guard
