@@ -62,11 +62,14 @@ _PHRASE_ALT = _ws_alt([ph for _, ph in RELATIONS])
 _PASSIVE_ALT = _ws_alt(list(PASSIVE_OF.values()))
 
 # form → (regex, swap): swap=True means group 3 is the subject (passive).
-ACTIVE_RE = rf"\b({IDENT_RE})\s+({_PHRASE_ALT})\s+({IDENT_RE})\b"
+# ACTIVE carries an OPTIONAL conjunction tail — "A <phrase> B and C" emits
+# (A,p,B) + (A,p,C) from ONE scan (group 4 empty for the plain form), so
+# the conjunction form costs no extra regex pass over the corpus.
+ACTIVE_RE = (
+    rf"\b({IDENT_RE})\s+({_PHRASE_ALT})\s+({IDENT_RE})\b(?:\s+and\s+({IDENT_RE})\b)?"
+)
 PASSIVE_RE = rf"\b({IDENT_RE})\s+is\s+({_PASSIVE_ALT})\s+by\s+({IDENT_RE})\b"
 APPOS_RE = rf"\b({IDENT_RE})\s*,\s*which\s+({_PHRASE_ALT})\s+({IDENT_RE})\b"
-# conjunction: "A <phrase> B and C" → (A,p,B) + (A,p,C); group 4 = 2nd obj
-CONJ_RE = rf"\b({IDENT_RE})\s+({_PHRASE_ALT})\s+({IDENT_RE})\s+and\s+({IDENT_RE})\b"
 
 PRED_OF_PHRASE = {phrase: pred for pred, phrase in RELATIONS}
 PRED_OF_PASSIVE = {phrase: pred for pred, phrase in PASSIVE_OF.items()}
@@ -88,7 +91,6 @@ GRAMMAR: list[tuple[str, bool, dict[str, str], list[str]]] = [
     (ACTIVE_RE, False, PRED_OF_PHRASE, []),
     (PASSIVE_RE, True, PRED_OF_PASSIVE, ["is", "by"]),
     (APPOS_RE, False, PRED_OF_PHRASE, ["which"]),
-    (CONJ_RE, False, PRED_OF_PHRASE, ["and"]),
 ]
 
 
@@ -159,8 +161,14 @@ def _form_triples(
         return F.struct(*fields)
 
     out = F.transform(matches, lambda m: triple(m, 3))
-    if re.compile(regex).groups >= 4:  # conjunction: second object → second triple
-        out = F.concat(out, F.transform(matches, lambda m: triple(m, 4)))
+    if re.compile(regex).groups >= 4:  # conjunction tail: 2nd object → 2nd triple
+        out = F.concat(
+            out,
+            F.filter(
+                F.transform(matches, lambda m: triple(m, 4)),
+                lambda t: t["obj"] != "",
+            ),
+        )
     return out
 
 
@@ -213,7 +221,7 @@ def extract_triples_arrow(segments: DataFrame) -> DataFrame:
                     for m in pattern.finditer(text or ""):
                         pred = mapping[re.sub(r"\s+", " ", m.group(2))]
                         objs = [m.group(3)]
-                        if pattern.groups >= 4:  # conjunction second object
+                        if pattern.groups >= 4 and m.group(4):  # conjunction tail
                             objs.append(m.group(4))
                         for o in objs:
                             subj, obj = (o, m.group(1)) if swap else (m.group(1), o)
@@ -423,7 +431,12 @@ def extract_all(segments: DataFrame) -> DataFrame:
         matches = _guarded_matches(seg, rx, mp, gd)
         arrays.append(F.transform(matches, triple_builder(rx, sw, pred_map, 3)))
         if re.compile(rx).groups >= 4:
-            arrays.append(F.transform(matches, triple_builder(rx, sw, pred_map, 4)))
+            arrays.append(
+                F.filter(
+                    F.transform(matches, triple_builder(rx, sw, pred_map, 4)),
+                    lambda t: t["obj"] != "",
+                )
+            )
 
     def mention_builder(kind: str):
         def build(x):
