@@ -6,15 +6,19 @@ extractor.py:206-261) and symbol extraction (indexer/symbols.py:423-483):
 per-segment text → (subj, pred, obj) rows with a closed predicate
 vocabulary (models.py:13-18 analog) plus mention rows for linking.
 
-Grammar: three sentence forms over the closed predicate vocabulary, all
-whitespace-tolerant (``\\s+`` between words — real transcripts have
-newlines and double spaces), mirroring how the reference ships one
-extractor per syntactic form (python.py handles plain import / from-import
-/ aliased import etc., each a separate rule):
+Grammar: five sentence forms over the closed predicate vocabulary (three
+regex passes — conjunction rides the active pattern's optional tail,
+negation is the stop-word suppression rule), all whitespace-tolerant
+(``\\s+`` between words — real transcripts have newlines and double
+spaces), mirroring how the reference ships one extractor per syntactic
+form (python.py handles plain import / from-import / aliased import etc.,
+each a separate rule):
 
-- ACTIVE      ``subj <phrase> obj``             → (subj, pred, obj)
+- ACTIVE      ``subj <phrase> obj``               → (subj, pred, obj)
+- CONJUNCTION ``subj <phrase> obj and obj2``      → two triples (active tail)
 - PASSIVE     ``obj is <passive-phrase> by subj`` → (subj, pred, obj)
-- APPOSITIVE  ``subj , which <phrase> obj``     → (subj, pred, obj)
+- APPOSITIVE  ``subj , which <phrase> obj``       → (subj, pred, obj)
+- NEGATION    ``subj never/not <phrase> obj``     → NOTHING (stop rule)
 
 Function words (``which``/``is``/``by``) are excluded as subjects/objects —
 the appositive tail "which <phrase> obj" would otherwise also match the
