@@ -1368,7 +1368,7 @@ def q_kg_link_defboost(spark, sf_dir):
     # mentions that exactly match NO alias ('<lang>_ref'): the definition
     # boost alone decides among the token-shared candidates
     mentions = (
-        surf.filter(F.col("surface").like("%\_store"))
+        surf.filter(F.col("surface").like("%store"))
         .select(
             F.concat(
                 F.split_part(F.col("surface"), F.lit("_"), F.lit(1)), F.lit("_ref")
@@ -1592,8 +1592,8 @@ vec_leg AS (
   FROM scored QUALIFY v_rank <= 100
 ),
 kw_leg AS (
-  SELECT mention, entity_id, k_rank FROM (
-    SELECT mention, entity_id, kw_sim,
+  SELECT mention, entity_id, k_rank, exact_norm AS k_exact, is_def AS k_def FROM (
+    SELECT mention, entity_id, kw_sim, exact_norm, is_def,
            row_number() OVER (PARTITION BY mention ORDER BY kw_sim DESC, entity_id ASC) AS k_rank
     FROM scored) x
   WHERE k_rank <= 100 AND kw_sim > 0
@@ -1601,7 +1601,9 @@ kw_leg AS (
 fused AS (
   SELECT COALESCE(v.mention, k.mention) AS mention,
          COALESCE(v.entity_id, k.entity_id) AS entity_id,
-         v.v_rank, k.k_rank, v.exact_norm, v.is_def,
+         v.v_rank, k.k_rank,
+         COALESCE(v.exact_norm, k.k_exact) AS exact_norm,
+         COALESCE(v.is_def, k.k_def) AS is_def,
          COALESCE(CAST(1.0 AS DOUBLE) / ({rrf_k} + v.v_rank), CAST(0 AS DOUBLE))
            + COALESCE(CAST(1.0 AS DOUBLE) / ({rrf_k} + k.k_rank), CAST(0 AS DOUBLE)) AS rrf
   FROM vec_leg v FULL OUTER JOIN kw_leg k
@@ -1822,8 +1824,8 @@ ORACLE_CLEAN_BOILERPLATE = """
 WITH t AS ({derived}),
 lines AS (
   SELECT conv_id, turn_idx,
-         unnest(string_split(text, chr(10))) AS line,
-         generate_subscripts(string_split(text, chr(10)), 1) AS pos
+         unnest(string_split(COALESCE(text, ''), chr(10))) AS line,
+         generate_subscripts(string_split(COALESCE(text, ''), chr(10)), 1) AS pos
   FROM t),
 freq AS (
   SELECT line, COUNT(DISTINCT conv_id || '|' || CAST(turn_idx AS VARCHAR)) AS n_docs

@@ -6,16 +6,20 @@ extractor.py:206-261) and symbol extraction (indexer/symbols.py:423-483):
 per-segment text → (subj, pred, obj) rows with a closed predicate
 vocabulary (models.py:13-18 analog) plus mention rows for linking.
 
-Grammar: five sentence forms over the closed predicate vocabulary (three
-regex passes — conjunction rides the active pattern's optional tail,
-negation is the stop-word suppression rule), all whitespace-tolerant
+Grammar: five sentence forms over the closed predicate vocabulary (four
+guarded regex passes; negation is the stop-word suppression rule, not a
+pattern). The conjunction form is a SEPARATE scan on purpose: folding it
+into the active pattern as a greedy optional tail consumes the next
+sentence's subject, losing triples on chained relations
+("A uses B and C uses D" must yield (C,uses,D) too) — pinned by
+test_chained_conjunction_parity. All forms are whitespace-tolerant
 (``\\s+`` between words — real transcripts have newlines and double
 spaces), mirroring how the reference ships one extractor per syntactic
 form (python.py handles plain import / from-import / aliased import etc.,
 each a separate rule):
 
 - ACTIVE      ``subj <phrase> obj``               → (subj, pred, obj)
-- CONJUNCTION ``subj <phrase> obj and obj2``      → two triples (active tail)
+- CONJUNCTION ``subj <phrase> obj and obj2``      → two triples
 - PASSIVE     ``obj is <passive-phrase> by subj`` → (subj, pred, obj)
 - APPOSITIVE  ``subj , which <phrase> obj``       → (subj, pred, obj)
 - NEGATION    ``subj never/not <phrase> obj``     → NOTHING (stop rule)
@@ -66,14 +70,11 @@ _PHRASE_ALT = _ws_alt([ph for _, ph in RELATIONS])
 _PASSIVE_ALT = _ws_alt(list(PASSIVE_OF.values()))
 
 # form → (regex, swap): swap=True means group 3 is the subject (passive).
-# ACTIVE carries an OPTIONAL conjunction tail — "A <phrase> B and C" emits
-# (A,p,B) + (A,p,C) from ONE scan (group 4 empty for the plain form), so
-# the conjunction form costs no extra regex pass over the corpus.
-ACTIVE_RE = (
-    rf"\b({IDENT_RE})\s+({_PHRASE_ALT})\s+({IDENT_RE})\b(?:\s+and\s+({IDENT_RE})\b)?"
-)
+ACTIVE_RE = rf"\b({IDENT_RE})\s+({_PHRASE_ALT})\s+({IDENT_RE})\b"
 PASSIVE_RE = rf"\b({IDENT_RE})\s+is\s+({_PASSIVE_ALT})\s+by\s+({IDENT_RE})\b"
 APPOS_RE = rf"\b({IDENT_RE})\s*,\s*which\s+({_PHRASE_ALT})\s+({IDENT_RE})\b"
+# conjunction: "A <phrase> B and C" → (A,p,B) + (A,p,C); group 4 = 2nd obj
+CONJ_RE = rf"\b({IDENT_RE})\s+({_PHRASE_ALT})\s+({IDENT_RE})\s+and\s+({IDENT_RE})\b"
 
 PRED_OF_PHRASE = {phrase: pred for pred, phrase in RELATIONS}
 PRED_OF_PASSIVE = {phrase: pred for pred, phrase in PASSIVE_OF.items()}
@@ -95,6 +96,7 @@ GRAMMAR: list[tuple[str, bool, dict[str, str], list[str]]] = [
     (ACTIVE_RE, False, PRED_OF_PHRASE, []),
     (PASSIVE_RE, True, PRED_OF_PASSIVE, ["is", "by"]),
     (APPOS_RE, False, PRED_OF_PHRASE, ["which"]),
+    (CONJ_RE, False, PRED_OF_PHRASE, ["and"]),
 ]
 
 
@@ -105,24 +107,31 @@ def _map_expr(mapping: dict[str, str]) -> Column:
     return F.create_map(*pairs)
 
 
-def _guarded_matches(seg: Column, regex: str, mapping: dict[str, str], guards: list[str]) -> Column:
-    """regexp_extract_all gated behind cheap instr() literal checks:
+def _guarded_matches(
+    seg: Column,
+    regex: str,
+    or_words: list[str] | tuple[str, ...],
+    guards: list[str],
+    group: int = 0,
+) -> Column:
+    """regexp_extract_all(group) gated behind cheap instr() literal checks
+    — THE single guard implementation every extraction family uses:
 
-    - OR-guard: a match REQUIRES one of the form's phrase words, so a
-      segment containing none of them (most filler-heavy segments) skips
-      the regex scan entirely — N instr substring probes are far cheaper
-      than one alternation-heavy regex pass over the segment;
+    - OR-guard (``or_words``): a match REQUIRES one of these literals
+      (phrase words / marker words), so a segment containing none of them
+      (most filler-heavy segments) skips the regex scan entirely — N instr
+      substring probes are far cheaper than one alternation-heavy regex
+      pass over the segment;
     - AND-guards (``guards``): form-scaffolding literals (is/by/which/and)
       that every match must contain.
 
     False positives in either guard are fine (the regex still decides);
     false negatives are impossible for literal substrings of any match."""
-    or_words = sorted({phrase.split(" ")[0] for phrase in mapping})
     phrase_cond = None
     for w in or_words:
         c = F.instr(seg, w) > 0
         phrase_cond = c if phrase_cond is None else (phrase_cond | c)
-    matches = F.regexp_extract_all(seg, F.lit(regex), 0)
+    matches = F.regexp_extract_all(seg, F.lit(regex), group)
     if phrase_cond is not None:
         matches = F.when(phrase_cond, matches).otherwise(
             F.array().cast("array<string>")
@@ -132,6 +141,12 @@ def _guarded_matches(seg: Column, regex: str, mapping: dict[str, str], guards: l
             F.array().cast("array<string>")
         )
     return matches
+
+
+def _phrase_words(mapping: dict[str, str]) -> list[str]:
+    """The OR-guard literal set for a phrase vocabulary: each phrase's
+    first word (contiguous in any match regardless of ``\\s+`` variance)."""
+    return sorted({phrase.split(" ")[0] for phrase in mapping})
 
 
 def _form_triples(
@@ -151,7 +166,7 @@ def _form_triples(
     grammar. ``with_match`` additionally carries the raw group-0 match
     string (for provenance offsets)."""
     pred_map = _map_expr(mapping)
-    matches = _guarded_matches(seg, regex, mapping, guards)
+    matches = _guarded_matches(seg, regex, _phrase_words(mapping), guards)
     g = lambda m, i: F.regexp_extract(m, regex, i)  # noqa: E731
 
     def triple(m, obj_group: int):
@@ -165,14 +180,8 @@ def _form_triples(
         return F.struct(*fields)
 
     out = F.transform(matches, lambda m: triple(m, 3))
-    if re.compile(regex).groups >= 4:  # conjunction tail: 2nd object → 2nd triple
-        out = F.concat(
-            out,
-            F.filter(
-                F.transform(matches, lambda m: triple(m, 4)),
-                lambda t: t["obj"] != "",
-            ),
-        )
+    if re.compile(regex).groups >= 4:  # conjunction: second object → second triple
+        out = F.concat(out, F.transform(matches, lambda m: triple(m, 4)))
     return out
 
 
@@ -225,7 +234,7 @@ def extract_triples_arrow(segments: DataFrame) -> DataFrame:
                     for m in pattern.finditer(text or ""):
                         pred = mapping[re.sub(r"\s+", " ", m.group(2))]
                         objs = [m.group(3)]
-                        if pattern.groups >= 4 and m.group(4):  # conjunction tail
+                        if pattern.groups >= 4:  # conjunction second object
                             objs.append(m.group(4))
                         for o in objs:
                             subj, obj = (o, m.group(1)) if swap else (m.group(1), o)
@@ -254,7 +263,7 @@ def extract_alias_bindings(segments: DataFrame) -> DataFrame:
     extra_edges) — the only evidence when the alias shares no tokens or
     shingles with the target."""
     guarded = _guarded_matches(
-        F.col("seg_text"), ALIAS_BINDING_RE, PRED_OF_PHRASE, ["as"]
+        F.col("seg_text"), ALIAS_BINDING_RE, _phrase_words(PRED_OF_PHRASE), ["as"]
     )
     return (
         segments.select("conv_id", "turn_idx", F.explode(guarded).alias("m"))
@@ -274,11 +283,16 @@ def extract_triples_prov(segments: DataFrame) -> DataFrame:
     the reference's per-edge JSONB metadata (module / line / alias,
     reference: src/cocosearch/deps/db.py:46, extractors/python.py:96-106):
 
-    - ``src_offset``: 1-based char position of the FIRST occurrence of the
-      evidencing match in the reassembled turn text (strpos semantics —
-      min over segments of segment start_char + instr within the segment;
-      the overlap-containment guarantee makes that exactly the global first
-      occurrence).
+    - ``src_offset``: 1-based char position of the evidencing match in the
+      reassembled turn text — precisely: the minimum over MATCHING segments
+      of (segment start_char + first occurrence of the match string within
+      that segment). This equals global strpos(turn_text, match) whenever
+      the earliest substring occurrence lies in a segment that also
+      contains a regex match (always true when the matched string appears
+      only at match sites, e.g. the oracle-gated derived data); a string
+      that also occurs unmatched strictly earlier in a match-free segment
+      would anchor provenance at the first MATCHED site instead — the more
+      useful answer for "why does this edge exist".
     - ``src_seg_idx``: the segment index of that earliest occurrence.
 
     Requires ``segment_turns(..., with_offsets=True)`` input (start_char
@@ -362,13 +376,7 @@ def extract_standalone_mentions(segments: DataFrame) -> DataFrame:
     seg = F.col("seg_text")
     arrays = []
     for rx, kind, guards in MENTION_GRAMMAR:
-        m = F.regexp_extract_all(seg, F.lit(rx), 1)
-        guard_cond = None
-        for g in guards:
-            c = F.instr(seg, g) > 0
-            guard_cond = c if guard_cond is None else (guard_cond | c)
-        if guard_cond is not None:
-            m = F.when(guard_cond, m).otherwise(F.array().cast("array<string>"))
+        m = _guarded_matches(seg, rx, guards, [], group=1)
         arrays.append(F.transform(m, _tag_mention(kind)))
     return (
         segments.select("conv_id", "turn_idx", F.explode(F.concat(*arrays)).alias("t"))
@@ -432,15 +440,10 @@ def extract_all(segments: DataFrame) -> DataFrame:
 
     for rx, sw, mp, gd in GRAMMAR:
         pred_map = _map_expr(mp)
-        matches = _guarded_matches(seg, rx, mp, gd)
+        matches = _guarded_matches(seg, rx, _phrase_words(mp), gd)
         arrays.append(F.transform(matches, triple_builder(rx, sw, pred_map, 3)))
         if re.compile(rx).groups >= 4:
-            arrays.append(
-                F.filter(
-                    F.transform(matches, triple_builder(rx, sw, pred_map, 4)),
-                    lambda t: t["obj"] != "",
-                )
-            )
+            arrays.append(F.transform(matches, triple_builder(rx, sw, pred_map, 4)))
 
     def mention_builder(kind: str):
         def build(x):
@@ -459,13 +462,7 @@ def extract_all(segments: DataFrame) -> DataFrame:
         return build
 
     for rx, kind, guards in MENTION_GRAMMAR:
-        m_arr = F.regexp_extract_all(seg, F.lit(rx), 1)
-        cond = None
-        for g in guards:
-            c = F.instr(seg, g) > 0
-            cond = c if cond is None else (cond | c)
-        if cond is not None:
-            m_arr = F.when(cond, m_arr).otherwise(F.array().cast("array<string>"))
+        m_arr = _guarded_matches(seg, rx, guards, [], group=1)
         arrays.append(F.transform(m_arr, mention_builder(kind)))
 
     def binding_builder(x):
@@ -481,7 +478,7 @@ def extract_all(segments: DataFrame) -> DataFrame:
             F.regexp_extract(x, ALIAS_BINDING_RE, 2).alias("alias"),
         )
 
-    b_arr = _guarded_matches(seg, ALIAS_BINDING_RE, PRED_OF_PHRASE, ["as"])
+    b_arr = _guarded_matches(seg, ALIAS_BINDING_RE, _phrase_words(PRED_OF_PHRASE), ["as"])
     arrays.append(F.transform(b_arr, binding_builder))
 
     stop = list(STOP_IDENTS)

@@ -160,7 +160,17 @@ def link_surfaces(
     kw_leg = (
         scored.withColumn("k_rank", F.row_number().over(w_kw))
         .filter((F.col("k_rank") <= prefetch) & (F.col("kw_sim") > 0))
-        .select("mention", "entity_id", "kw_sim", "k_rank")
+        .select(
+            "mention",
+            "entity_id",
+            "kw_sim",
+            "k_rank",
+            # boost evidence must survive EITHER leg: a candidate outside
+            # the vector prefetch but inside the keyword leg still carries
+            # its exact-norm / definition flags into fusion
+            F.col("exact_norm").alias("k_exact"),
+            F.col("is_def").alias("k_def"),
+        )
     )
 
     # ---- RRF fusion: full-outer join of the two ranked lists (rrf_fusion
@@ -183,9 +193,11 @@ def link_surfaces(
             # DEFINITION_BOOST_MULTIPLIER semantics (hybrid.py:33, 419-481):
             # one ×2 boost if the candidate is definition-evidence — either
             # an exact normalized-name match or an alias observed in a
-            # definition-typed (code) block; the boosts do not stack
+            # definition-typed (code) block; the boosts do not stack, and
+            # the flags are taken from whichever leg carried the candidate
             F.when(
-                (F.col("exact_norm") == 1) | (F.col("is_def") == 1),
+                (F.coalesce(F.col("exact_norm"), F.col("k_exact")) == 1)
+                | (F.coalesce(F.col("is_def"), F.col("k_def")) == 1),
                 F.col("rrf") * EXACT_MATCH_BOOST,
             ).otherwise(F.col("rrf")),
         )

@@ -102,12 +102,19 @@ def remove_boilerplate_lines(
     min_chars: int = 3,
 ) -> DataFrame:
     """df → (id_cols..., clean_text) with boilerplate lines stripped and
-    the remaining lines rejoined in original order. Documents whose every
-    line was boilerplate disappear from the output (nothing left)."""
+    the remaining lines rejoined in original order. NULL text is treated
+    as one empty line, so the document survives with clean_text = '';
+    documents whose EVERY line was boilerplate (nothing kept at all) do
+    disappear from the output — callers needing tombstones should
+    anti-join the output ids against the input."""
     drop = boilerplate_lines(df, id_cols, text_col, max_doc_frac, min_chars)
+    # coalesce: a NULL text must yield one empty line (split(NULL) explodes
+    # to NOTHING, which would silently drop the document from the output)
     lines = df.select(
         *id_cols,
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")).alias(
+            "pos", "line"
+        ),
     )
     kept = lines.join(F.broadcast(drop.select("line")), "line", "left_anti")
     return (

@@ -82,7 +82,7 @@ def run_pipeline(
     # staleness metric (stats.py:642 analog): age of the state we resume
     # from, surfaced BEFORE this run commits a fresh snapshot
     snapshot_age = store.staleness_seconds() if store else None
-    prev_triples: DataFrame | None = None
+    prev_facts: DataFrame | None = None
     dirty = transcripts
     n_unchanged = 0
     cur_hashes = None
@@ -95,18 +95,27 @@ def run_pipeline(
         dirty = transcripts.join(dirty_ids, "conv_id", "left_semi")
         snap = store.last_snapshot()
         if n_unchanged > 0:
-            if snap and snap.get("triples_path") and os.path.exists(snap["triples_path"]):
+            if (
+                extractor == "native"
+                and snap
+                and snap.get("facts_path")
+                and os.path.exists(snap["facts_path"])
+            ):
+                # restore EVERY fact family of unchanged conversations —
+                # triples alone would silently drop their standalone
+                # mentions (degree-0 nodes) and alias bindings (cluster
+                # merges) from this run's output
                 unchanged_ids = diff.filter(F.col("status") == "unchanged").select("conv_id")
-                prev_triples = (
-                    spark.read.parquet(snap["triples_path"]).join(unchanged_ids, "conv_id", "left_semi")
+                prev_facts = (
+                    spark.read.parquet(snap["facts_path"]).join(unchanged_ids, "conv_id", "left_semi")
                 )
             else:
-                # unchanged conversations exist but their previous triples are
+                # unchanged conversations exist but their previous facts are
                 # not reloadable (prior run committed state without an
-                # out_dir, or the snapshot file was deleted): proceeding with
-                # the pruned set would silently drop their triples from the
-                # output — fall back to a full re-extract (correct, just not
-                # incremental this run)
+                # out_dir, a pre-facts snapshot, or a deleted path):
+                # proceeding with the pruned set would silently drop their
+                # facts from the output — fall back to a full re-extract
+                # (correct, just not incremental this run)
                 dirty = transcripts
                 n_unchanged = 0
 
@@ -159,21 +168,31 @@ def run_pipeline(
     # with provenance, standalone mentions, alias bindings) — at 10^12
     # turns the scan dominates, so the pipeline must not pay it per family.
     # The Arrow escape hatch (grammar-in-Python) keeps the per-family scans.
+    combined: DataFrame | None = None
     if extractor == "native":
-        combined = extract_all(segments).cache()
+        if prev_facts is not None:
+            # allowMissingColumns: snapshots written before newer fact
+            # columns existed reload with NULLs instead of failing (the
+            # schema-evolution rule — see state.ensure_columns)
+            combined = extract_all(segments).unionByName(
+                prev_facts, allowMissingColumns=True
+            )
+        else:
+            combined = extract_all(segments)
+        # ONE materialization: localCheckpoint stores the deduped fact
+        # table once; the family splits below are cheap filters over it
+        # (cache()-ing combined AND the splits would hold the same rows
+        # in executor memory twice)
+        combined = combined.localCheckpoint(eager=True)
         triples, standalone, bindings = split_extracted(combined)
     else:
-        triples = extract_triples_arrow(segments)
-        standalone = extract_standalone_mentions(segments)
+        # Arrow escape hatch: per-family scans, no facts snapshot — an
+        # incremental resume under this extractor falls back to full
+        # re-extract (facts_path is never written)
+        triples = extract_triples_arrow(segments).cache()
+        standalone = extract_standalone_mentions(segments).cache()
         bindings = None
-    if prev_triples is not None:
-        # allowMissingColumns: snapshots written before provenance columns
-        # existed reload with null provenance instead of failing (the
-        # schema-evolution rule — see state.ensure_columns)
-        triples = triples.unionByName(prev_triples, allowMissingColumns=True)
-    triples = triples.cache()
     n_triples = triples.count()
-    standalone = standalone.cache()
     n_standalone = standalone.count()
     _stamp("extract")
 
@@ -262,18 +281,22 @@ def run_pipeline(
     nodes.count()
     _stamp("resolve_nodes")
 
-    triples_path = None
+    facts_path = None
     if out_dir:
         if chunks is not None:
             chunks.write.mode("overwrite").parquet(f"{out_dir}/chunks")
         _stamp("write_chunks")
         write_graph(nodes, edges, out_dir)
-        # versioned path: never overwrite the snapshot a lazy prev_triples
+        # versioned path: never overwrite the snapshot a lazy prev_facts
         # plan may still be reading (Iceberg snapshots give this for free)
         prev = store.last_snapshot() if store else None
         version = (prev["version"] + 1) if prev else 1
-        triples_path = f"{out_dir}/triples_v{version:06d}"
-        triples.write.mode("overwrite").parquet(triples_path)
+        if combined is not None:
+            # the COMBINED fact table (triples + standalone mentions +
+            # bindings, kind-tagged) is the resume unit — restoring triples
+            # alone would drop the other families for unchanged convs
+            facts_path = f"{out_dir}/facts_v{version:06d}"
+            combined.write.mode("overwrite").parquet(facts_path)
         _stamp("write_graph_triples")
 
     n_quarantined = quarantined.count()
@@ -313,10 +336,10 @@ def run_pipeline(
             )
         )
         snapshot_id = store.commit(state_rows, stage="materialize")
-        # record where triples live so the next run can reuse them
+        # record where the fact snapshot lives so the next run can reuse it
         snap = store.last_snapshot()
-        if triples_path:
-            snap["triples_path"] = triples_path
+        if facts_path:
+            snap["facts_path"] = facts_path
             import json
 
             with open(os.path.join(store.path, "manifest.json"), "w") as f:

@@ -554,3 +554,65 @@ def test_repetition_stats(spark):
     assert out[0]["dup_char_frac"] == 0.5  # 4 chars total, 2 in dup copies
     assert out[1]["n_dup_lines"] == 0 and out[1]["dup_char_frac"] == 0.0
     assert out[2]["dup_char_frac"] == 0.0  # zero-char guard
+
+
+def test_chained_conjunction_parity(spark):
+    """Regression (round-3 code review): chained relations where the word
+    after 'and' starts a NEW sentence must keep every triple — a greedy
+    optional conjunction tail on the active pattern would consume the next
+    subject and lose (gamma, uses, delta)."""
+    from coco_search_spark.reference_extractor import extract_triples_from_text
+
+    text = "alpha uses beta and gamma uses delta ."
+    ref = set(extract_triples_from_text(text))
+    assert ("gamma", "uses", "delta") in ref
+    t = _tdf(spark, [("ch0", 0, text)])
+    got = {
+        (r["subj"], r["pred"], r["obj"])
+        for r in extract_triples(segment_turns(t)).collect()
+    }
+    assert got == ref
+
+
+def test_incremental_resume_keeps_all_fact_families(spark, tmp_path):
+    """Regression (round-3 code review): an incremental run must restore
+    standalone mentions and alias bindings of UNCHANGED conversations, not
+    just their triples — otherwise degree-0 nodes vanish and binding-driven
+    cluster merges are lost on resume."""
+    from coco_search_spark.pipeline import run_pipeline
+
+    rows_a = [
+        ("convA", 0, "core_svc uses payment_gateway as zz9 ."),
+        ("convA", 1, "side note . see orphan_service ."),
+    ]
+    rows_b1 = [("convB", 0, "billing_engine calls ledger_store .")]
+    rows_b2 = [("convB", 0, "billing_engine calls audit_store .")]  # changed
+
+    out = str(tmp_path / "out")
+    state = str(tmp_path / "state")
+    r1 = run_pipeline(spark, _tdf(spark, rows_a + rows_b1), out_dir=out, state_dir=state)
+    nodes1 = {r["entity_id"] for r in r1.nodes.collect()}
+    canon1 = {r["surface"]: r["canon_id"] for r in r1.canon.collect()}
+    assert "orphan_service" in nodes1
+    assert canon1["zz9"] == canon1["payment_gateway"]
+
+    r2 = run_pipeline(spark, _tdf(spark, rows_a + rows_b2), out_dir=out, state_dir=state)
+    assert r2.metrics["n_unchanged_convs"] == 1  # convA restored, not re-extracted
+    nodes2 = {r["entity_id"] for r in r2.nodes.collect()}
+    canon2 = {r["surface"]: r["canon_id"] for r in r2.canon.collect()}
+    # convA's relation-free node and binding-driven merge both survive
+    assert "orphan_service" in nodes2
+    assert canon2["zz9"] == canon2["payment_gateway"]
+    # convB's change is reflected
+    assert any("audit" in n for n in nodes2)
+
+
+def test_boilerplate_null_text_survives(spark):
+    from coco_search_spark.ops.clean import remove_boilerplate_lines
+
+    df = spark.createDataFrame(
+        [(0, "real content here"), (1, None)], "doc_id int, text string"
+    )
+    out = {r["doc_id"]: r["clean_text"] for r in remove_boilerplate_lines(df, ["doc_id"], "text", 0.9).collect()}
+    assert out[1] == ""  # null text survives as empty, not dropped
+    assert out[0] == "real content here"
