@@ -2312,6 +2312,57 @@ FROM edges GROUP BY obj_id ORDER BY in_degree DESC, entity_id ASC LIMIT 10
 """
 
 
+def q_graph_pagerank(spark, sf_dir):
+    """Deterministic PageRank (3 unrolled power iterations, d=0.85,
+    dangling mass dropped) over the containment graph — region nodes
+    accumulate rank from their nations and suppliers. The oracle unrolls
+    the identical iterations in SQL; output rounded to 6 dp on both sides
+    (float addition order differs at ~1e-15 between engines)."""
+    from coco_search_spark.operators.graph import pagerank
+
+    load_views(spark, sf_dir)
+    edges = _containment_edges(spark)
+    return pagerank(edges, n_iters=3, damping=0.85).orderBy("node")
+
+
+def _pagerank_oracle(n_iters: int = 3, damping: float = 0.85) -> str:
+    d = f"CAST({damping} AS DOUBLE)"
+    parts = [
+        """
+WITH edges AS (
+  SELECT 's-' || s_suppkey AS subj_id, 'n-' || s_nationkey AS obj_id FROM supplier
+  UNION ALL
+  SELECT 'n-' || n_nationkey, 'r-' || n_regionkey FROM nation
+),
+nodes AS (
+  SELECT DISTINCT subj_id AS node FROM edges
+  UNION SELECT DISTINCT obj_id FROM edges
+),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM nodes),
+od AS (SELECT subj_id, CAST(COUNT(*) AS DOUBLE) AS deg FROM edges GROUP BY subj_id),
+r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.c AS r FROM nodes, nn)"""
+    ]
+    for i in range(n_iters):
+        parts.append(
+            f""",
+c{i} AS (
+  SELECT e.obj_id AS node, SUM(r{i}.r / od.deg) AS inflow
+  FROM edges e JOIN r{i} ON r{i}.node = e.subj_id JOIN od ON od.subj_id = e.subj_id
+  GROUP BY e.obj_id
+),
+r{i + 1} AS (
+  SELECT nd.node,
+         (CAST(1.0 AS DOUBLE) - {d}) / nn.c
+           + {d} * COALESCE(c{i}.inflow, CAST(0 AS DOUBLE)) AS r
+  FROM nodes nd CROSS JOIN nn LEFT JOIN c{i} ON c{i}.node = nd.node
+)"""
+        )
+    parts.append(
+        f"\nSELECT node, ROUND(r, 6) AS rank FROM r{n_iters} ORDER BY node\n"
+    )
+    return "".join(parts)
+
+
 def q_graph_stats(spark, sf_dir):
     """Management-stats analog (reference: src/cocosearch/management/stats.py
     — its most heavily tested surface, tests/unit/management/test_stats.py
@@ -2514,6 +2565,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "blast_radius": q_blast_radius,
     "graph_tree": q_graph_tree,
     "graph_stats": q_graph_stats,
+    "graph_pagerank": q_graph_pagerank,
     "kg_incremental_diff": q_kg_incremental_diff,
 }
 
@@ -2675,5 +2727,6 @@ ORACLES: dict[str, str] = {
     "graph_hubs": ORACLE_HUBS,
     "blast_radius": ORACLE_BLAST,
     "graph_stats": ORACLE_GRAPH_STATS,
+    "graph_pagerank": _pagerank_oracle(),
     "kg_incremental_diff": ORACLE_INCR_DIFF.format(derived=DERIVED_TRANSCRIPTS_SQL),
 }

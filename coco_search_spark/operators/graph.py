@@ -166,3 +166,60 @@ def blast_radius(edges: DataFrame, roots: DataFrame, max_depth: int = MAX_DEPTH)
     reverse direction — the reference's impact/blast-radius metric."""
     reach = transitive_closure_per_root(edges, roots, "reverse", max_depth)
     return reach.groupBy("root").agg((F.count(F.lit(1)) - 1).alias("radius"))
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iters: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Deterministic PageRank over edges(subj_id, obj_id): a fixed number
+    of unrolled power iterations, rank = (1-d)/N + d·Σ incoming rank/deg.
+    Dangling mass is dropped (the simplified variant) so each iteration is
+    exactly one contribution join + one map-side-combining sum — the same
+    formula the DuckDB oracle unrolls, making every value checkable.
+
+    Scale: nodes/contributions shuffle on node id per iteration (the
+    classic PR shape); the per-iteration result is localCheckpointed so
+    the plan stays flat across iterations (same rule as the CC loop).
+    Returns (node, rank) with rank rounded to 6 dp — float addition order
+    differs between engines/partitionings at ~1e-15, and rounding only at
+    the END keeps intermediate precision while pinning the output."""
+    e = edges.select("subj_id", "obj_id").filter(
+        F.col("subj_id").isNotNull() & F.col("obj_id").isNotNull()
+    )
+    nodes = (
+        e.select(F.col("subj_id").alias("node"))
+        .unionByName(e.select(F.col("obj_id").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_total = nodes.agg(F.count(F.lit(1)).alias("_n"))
+    out_deg = e.groupBy("subj_id").agg(F.count(F.lit(1)).alias("deg"))
+    ranks = nodes.crossJoin(F.broadcast(n_total)).select(
+        "node", (F.lit(1.0) / F.col("_n")).alias("rank")
+    ).localCheckpoint(eager=True)
+    for _ in range(n_iters):
+        contrib = (
+            e.join(ranks, e.subj_id == ranks.node)
+            .join(out_deg, "subj_id")
+            .select(
+                F.col("obj_id").alias("node"),
+                (F.col("rank") / F.col("deg")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(n_total))
+            .select(
+                "node",
+                (
+                    (1.0 - damping) / F.col("_n")
+                    + damping * F.coalesce(F.col("inflow"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", F.round("rank", 6).alias("rank"))

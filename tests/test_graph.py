@@ -57,3 +57,32 @@ def test_external_nulls_are_leaves(spark):
     roots = spark.createDataFrame([("a",)], "node string")
     got = {(r["node"], r["depth"]) for r in transitive_closure(e, roots).collect()}
     assert got == {("a", 0), ("b", 1)}
+
+
+def test_pagerank_matches_numpy(spark):
+    """3-iteration PR on a 3-node chain a→b→c checked against an explicit
+    numpy power iteration with the same simplified (dangling-dropped)
+    update rule, plus partition invariance."""
+    import numpy as np
+
+    from coco_search_spark.operators.graph import pagerank
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c")], "subj_id string, obj_id string"
+    )
+    got = {r["node"]: r["rank"] for r in pagerank(e, n_iters=3).collect()}
+
+    nodes = ["a", "b", "c"]
+    deg = {"a": 2, "b": 1}
+    r = {n: 1 / 3 for n in nodes}
+    for _ in range(3):
+        inflow = {n: 0.0 for n in nodes}
+        for s, o in [("a", "b"), ("b", "c"), ("a", "c")]:
+            inflow[o] += r[s] / deg[s]
+        r = {n: 0.15 / 3 + 0.85 * inflow[n] for n in nodes}
+    for n in nodes:
+        # got is rounded to 6 dp (Spark HALF_UP; Python round() banks) —
+        # compare against the unrounded value within half an ulp of 1e-6
+        assert abs(got[n] - r[n]) <= 5.000001e-7, (n, got[n], r[n])
+    got2 = {r2["node"]: r2["rank"] for r2 in pagerank(e.repartition(7), n_iters=3).collect()}
+    assert got2 == got
