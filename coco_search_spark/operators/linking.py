@@ -19,8 +19,13 @@ The Spark re-expression of the reference's two retrieval legs and fusion:
 Scale design: linking runs over **distinct mention surfaces**, not mention
 occurrences — at 10^12 turns the distinct-surface table is orders of
 magnitude smaller, and occurrences get their link back via a cheap join.
-The alias-token index is a dimension table → ``F.broadcast``; no shuffle on
-the big side until the final occurrence join (which AQE can also broadcast).
+The alias-token index is a dimension table (bounded by the *entity catalog*,
+a controlled input — not the unbounded surface vocabulary) → ``F.broadcast``.
+Vocabulary-sized tables (distinct surfaces, their vectors, the per-surface
+link map) are deliberately NOT hint-forced: AQE broadcasts them when the
+runtime size fits and falls back to a shuffle join at the 10^9-distinct-
+surface contingency SCALE.md plans for, where a forced broadcast would OOM
+the driver.
 """
 
 from __future__ import annotations
@@ -129,9 +134,13 @@ def link_surfaces(
             "alias", embed(F.col("alias")).alias("a_vec")
         )
 
+    # no forced broadcast on the vector tables: m_vecs is one row per
+    # distinct surface WITH an embed_dim-float vector — at SCALE.md's
+    # 10^9-surface contingency that is hundreds of GB and must be allowed
+    # to sort-merge; AQE broadcasts it whenever the runtime size fits
     scored_pair = (
-        cand.join(F.broadcast(m_vecs), "mention")
-        .join(F.broadcast(a_vecs), "alias")
+        cand.join(m_vecs, "mention")
+        .join(a_vecs, "alias")
         .withColumn("vec_sim", vec_sim)
         .drop("m_vec", "a_vec")
         .withColumn(
@@ -248,9 +257,11 @@ def link_mentions(
 
     Output adds: entity_id (null = unlinked, the reference's
     target_file=None external semantics, models.py:33-35), link_score,
-    match_type ∈ {both, semantic, keyword}. The per-surface link table is
-    broadcast back onto the (big) occurrence table — no shuffle on the big
-    side.
+    match_type ∈ {both, semantic, keyword}. The per-surface link table
+    joins back onto the (big) occurrence table with the strategy left to
+    AQE: vocabulary-sized link tables broadcast when they fit (no shuffle
+    on the big side), and fall back to a shuffle join at the 10^9-surface
+    contingency where a forced broadcast would OOM the driver.
     """
     best = link_surfaces(
         mentions.select("mention").distinct(),
@@ -260,4 +271,4 @@ def link_mentions(
         rrf_k=rrf_k,
         min_score=min_score,
     )
-    return mentions.join(F.broadcast(best), "mention", "left")
+    return mentions.join(best, "mention", "left")

@@ -38,6 +38,14 @@ def resolve_edges(
 
     links: (mention, canon_id). Unmatched surfaces keep null ids — the
     reference's unresolved-external semantics (models.py:33-35).
+
+    Join strategy is left to AQE on purpose: the link map is
+    vocabulary-sized, which is *usually* broadcastable, but SCALE.md's own
+    contingency plans for 10^9 distinct surfaces — a table that size cannot
+    broadcast, and a forced hint would remove Catalyst's ability to fall
+    back to a shuffle join. AQE broadcasts when the runtime size is under
+    the threshold and sort-merges otherwise; results are
+    join-strategy-invariant either way.
     """
     subj_link = links.select(
         F.col("mention").alias("subj"), F.col("canon_id").alias("subj_id")
@@ -51,8 +59,8 @@ def resolve_edges(
     # type to materialize)
     prov = [c for c in ("src_offset", "src_seg_idx") if c in triples.columns]
     return (
-        triples.join(F.broadcast(subj_link), "subj", "left")
-        .join(F.broadcast(obj_link), "obj", "left")
+        triples.join(subj_link, "subj", "left")
+        .join(obj_link, "obj", "left")
         .select("subj_id", "pred", "obj_id", "subj", "obj", "conv_id", "turn_idx", *prov)
     )
 

@@ -269,11 +269,14 @@ def run_pipeline(
 
     edges = resolve_edges(triples, link_map).cache()
     # relation-free entities (X2): canonical ids of standalone mentions
-    # become degree-0 nodes unless they also appear as edge endpoints
+    # become degree-0 nodes unless they also appear as edge endpoints.
+    # No forced broadcast: link_map is vocabulary-sized, which AQE will
+    # broadcast when it fits — but at the 10^9-surface contingency in
+    # SCALE.md it cannot, and the hint must not take the fallback away.
     standalone_ids = (
         standalone.select(F.col("mention"))
         .distinct()
-        .join(F.broadcast(link_map), "mention")
+        .join(link_map, "mention")
         .select(F.col("canon_id").alias("entity_id"))
         .distinct()
     )

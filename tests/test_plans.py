@@ -21,6 +21,18 @@ def _formatted(df):
     )
 
 
+def _final_plan(df):
+    """Execute, then return the AQE *final* physical plan. Joins on
+    vocabulary-sized tables carry no forced broadcast hint (SCALE.md's
+    10^9-surface contingency), so the static plan may show SortMergeJoin —
+    the contract is that AQE picks broadcast at runtime when the table
+    fits, which only the executed plan shows."""
+    df.collect()
+    plan = _formatted(df)
+    assert "isFinalPlan=true" in plan, plan
+    return plan
+
+
 def test_filter_pushdown_reaches_scan(spark):
     from coco_search_spark.entry_queries import q_pricing_summary
 
@@ -65,9 +77,35 @@ def test_linking_occurrence_join_is_broadcast(spark, fx):
         "conv_id string, turn_idx int, mention string, mention_role string",
     )
     catalog = spark.createDataFrame(fixtures.entity_catalog_pdf(fx.entities))
-    plan = _formatted(link_mentions(mentions, catalog))
-    # the final occurrence attach-back must be a broadcast join
-    assert "BroadcastHashJoin" in plan
+    # the occurrence attach-back carries no forced hint (the link table is
+    # vocabulary-sized and must be allowed to sort-merge at 10^9 surfaces);
+    # at fixture scale AQE must still pick a broadcast join at runtime
+    plan = _final_plan(link_mentions(mentions, catalog))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_resolve_edges_link_map_broadcasts_via_aqe(spark, fx):
+    """resolve_edges joins triples to the (vocabulary-sized) link map with
+    no forced hint; AQE must broadcast it at fixture scale — and keeps the
+    sort-merge fallback for the 10^9-surface contingency (VERDICT r3 #1)."""
+    from coco_search_spark.operators.materialize import resolve_edges
+
+    triples = spark.createDataFrame(
+        [("c", 0, "a", "uses", "b")],
+        "conv_id string, turn_idx int, subj string, pred string, obj string",
+    )
+    links = spark.createDataFrame(
+        [("a", "A"), ("b", "B")], "mention string, canon_id string"
+    )
+    plan = _final_plan(resolve_edges(triples, links))
+    assert "BroadcastHashJoin" in plan, plan
+    # the hint itself must be gone: a forced broadcast would plan
+    # BroadcastHashJoin even in the static plan with AQE disabled
+    import inspect
+
+    from coco_search_spark.operators import materialize
+
+    assert "F.broadcast" not in inspect.getsource(materialize.resolve_edges)
 
 
 def test_no_python_udf_in_native_extraction(spark):
