@@ -174,10 +174,16 @@ def pagerank(
     damping: float = 0.85,
 ) -> DataFrame:
     """Deterministic PageRank over edges(subj_id, obj_id): a fixed number
-    of unrolled power iterations, rank = (1-d)/N + d·Σ incoming rank/deg.
-    Dangling mass is dropped (the simplified variant) so each iteration is
-    exactly one contribution join + one map-side-combining sum — the same
-    formula the DuckDB oracle unrolls, making every value checkable.
+    of unrolled power iterations,
+    rank = (1-d)/N + d·(Σ incoming rank/deg + dangling_mass/N).
+
+    Dangling mass (rank held by nodes with no out-edges) is redistributed
+    uniformly each iteration — the standard formulation — so ranks sum to
+    1.0 every iteration and dangling-heavy graphs do not skew low (the
+    round-3 simplified variant dropped it). The redistribution costs one
+    scalar aggregate per iteration: a 1-row DataFrame cross-joined in, no
+    driver collect. The DuckDB oracle unrolls the identical formula, so
+    every value stays checkable.
 
     Scale: nodes/contributions shuffle on node id per iteration (the
     classic PR shape); the per-iteration result is localCheckpointed so
@@ -196,6 +202,10 @@ def pagerank(
     )
     n_total = nodes.agg(F.count(F.lit(1)).alias("_n"))
     out_deg = e.groupBy("subj_id").agg(F.count(F.lit(1)).alias("deg"))
+    # dangling node set is iteration-invariant — compute once
+    dangling = nodes.join(
+        out_deg.select(F.col("subj_id").alias("node")), "node", "left_anti"
+    ).localCheckpoint(eager=True)
     ranks = nodes.crossJoin(F.broadcast(n_total)).select(
         "node", (F.lit(1.0) / F.col("_n")).alias("rank")
     ).localCheckpoint(eager=True)
@@ -210,14 +220,23 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("inflow"))
         )
+        # scalar: rank mass sitting on dangling nodes this iteration
+        dang = ranks.join(dangling, "node", "left_semi").agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm")
+        )
         ranks = (
             nodes.join(contrib, "node", "left")
             .crossJoin(F.broadcast(n_total))
+            .crossJoin(F.broadcast(dang))
             .select(
                 "node",
                 (
                     (1.0 - damping) / F.col("_n")
-                    + damping * F.coalesce(F.col("inflow"), F.lit(0.0))
+                    + damping
+                    * (
+                        F.coalesce(F.col("inflow"), F.lit(0.0))
+                        + F.col("_dm") / F.col("_n")
+                    )
                 ).alias("rank"),
             )
             .localCheckpoint(eager=True)

@@ -292,8 +292,7 @@ def run_pipeline(
         write_graph(nodes, edges, out_dir)
         # versioned path: never overwrite the snapshot a lazy prev_facts
         # plan may still be reading (Iceberg snapshots give this for free)
-        prev = store.last_snapshot() if store else None
-        version = (prev["version"] + 1) if prev else 1
+        version = store.next_version() if store else 1
         if combined is not None:
             # the COMBINED fact table (triples + standalone mentions +
             # bindings, kind-tagged) is the resume unit — restoring triples
@@ -338,15 +337,13 @@ def run_pipeline(
                 F.coalesce(F.col("errors"), F.lit(0)).cast("bigint").alias("errors"),
             )
         )
-        snapshot_id = store.commit(state_rows, stage="materialize")
-        # record where the fact snapshot lives so the next run can reuse it
-        snap = store.last_snapshot()
-        if facts_path:
-            snap["facts_path"] = facts_path
-            import json
-
-            with open(os.path.join(store.path, "manifest.json"), "w") as f:
-                json.dump(snap, f)
+        # facts_path rides the SAME atomic manifest write as the snapshot —
+        # a separate post-commit patch would reopen the torn-write window
+        snapshot_id = store.commit(
+            state_rows,
+            stage="materialize",
+            extra={"facts_path": facts_path} if facts_path else None,
+        )
         metrics["snapshot_id"] = snapshot_id
 
     return PipelineResult(

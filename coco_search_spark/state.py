@@ -135,8 +135,22 @@ class StateStore:
         mp = self._manifest_path()
         if not os.path.exists(mp):
             return None
-        with open(mp) as f:
-            return json.load(f)
+        try:
+            with open(mp) as f:
+                return json.load(f)
+        except (json.JSONDecodeError, OSError) as exc:
+            # a corrupt/truncated manifest must degrade to "no snapshot"
+            # (full re-extract — correct, just not incremental), never to a
+            # permanently-wedged store that raises on every subsequent run.
+            # commit() writes via tempfile+os.replace so this only occurs on
+            # external damage (disk fault, manual edit).
+            import warnings
+
+            warnings.warn(
+                f"state manifest {mp} unreadable ({exc}); "
+                "treating as no snapshot — this run will fully re-extract"
+            )
+            return None
 
     def read(self, spark: SparkSession) -> DataFrame:
         snap = self.last_snapshot()
@@ -156,24 +170,37 @@ class StateStore:
             return None
         return max(0.0, time.time() - float(snap["committed_at"]))
 
-    def commit(self, state_rows: DataFrame, stage: str) -> str:
+    def next_version(self) -> int:
+        snap = self.last_snapshot()
+        return (snap["version"] + 1) if snap else 1
+
+    def commit(
+        self, state_rows: DataFrame, stage: str, extra: dict | None = None
+    ) -> str:
         """Write a new state snapshot; returns snapshot id. Atomic via
         tempfile + os.replace (the single-writer analog of an Iceberg
-        snapshot commit)."""
-        snap = self.last_snapshot()
-        version = (snap["version"] + 1) if snap else 1
+        snapshot commit).
+
+        ``extra``: additional manifest fields (e.g. ``facts_path``, config
+        provenance) folded into the SAME atomic write — a post-commit patch
+        of the manifest would reopen the torn-write window the tempfile
+        rename exists to close (round-3 verdict #2)."""
+        version = self.next_version()
         snapshot_id = f"v{version:06d}"
         data_path = os.path.join(self.path, f"state_{snapshot_id}")
         state_rows.withColumn("snapshot_id", F.lit(snapshot_id)).write.mode(
             "overwrite"
         ).parquet(data_path)
-        manifest = {
-            "version": version,
-            "snapshot_id": snapshot_id,
-            "stage": stage,
-            "data_path": data_path,
-            "committed_at": time.time(),
-        }
+        manifest = dict(extra or {})
+        manifest.update(
+            {
+                "version": version,
+                "snapshot_id": snapshot_id,
+                "stage": stage,
+                "data_path": data_path,
+                "committed_at": time.time(),
+            }
+        )
         fd, tmp = tempfile.mkstemp(dir=self.path, suffix=".json")
         with os.fdopen(fd, "w") as f:
             json.dump(manifest, f)
