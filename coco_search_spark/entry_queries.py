@@ -2314,10 +2314,12 @@ FROM edges GROUP BY obj_id ORDER BY in_degree DESC, entity_id ASC LIMIT 10
 
 def q_graph_pagerank(spark, sf_dir):
     """Deterministic PageRank (3 unrolled power iterations, d=0.85,
-    dangling mass dropped) over the containment graph — region nodes
-    accumulate rank from their nations and suppliers. The oracle unrolls
-    the identical iterations in SQL; output rounded to 6 dp on both sides
-    (float addition order differs at ~1e-15 between engines)."""
+    dangling mass redistributed uniformly so ranks sum to 1.0) over the
+    containment graph — region nodes accumulate rank from their nations
+    and suppliers, and being sinks they are exactly where dangling mass
+    arises. The oracle unrolls the identical iterations in SQL; output
+    rounded to 6 dp on both sides (float addition order differs at ~1e-15
+    between engines)."""
     from coco_search_spark.operators.graph import pagerank
 
     load_views(spark, sf_dir)
@@ -2350,11 +2352,15 @@ c{i} AS (
   FROM edges e JOIN r{i} ON r{i}.node = e.subj_id JOIN od ON od.subj_id = e.subj_id
   GROUP BY e.obj_id
 ),
+d{i} AS (
+  SELECT COALESCE(SUM(r), CAST(0 AS DOUBLE)) AS dm
+  FROM r{i} WHERE node NOT IN (SELECT subj_id FROM od)
+),
 r{i + 1} AS (
   SELECT nd.node,
          (CAST(1.0 AS DOUBLE) - {d}) / nn.c
-           + {d} * COALESCE(c{i}.inflow, CAST(0 AS DOUBLE)) AS r
-  FROM nodes nd CROSS JOIN nn LEFT JOIN c{i} ON c{i}.node = nd.node
+           + {d} * (COALESCE(c{i}.inflow, CAST(0 AS DOUBLE)) + d{i}.dm / nn.c) AS r
+  FROM nodes nd CROSS JOIN nn CROSS JOIN d{i} LEFT JOIN c{i} ON c{i}.node = nd.node
 )"""
         )
     parts.append(

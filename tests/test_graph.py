@@ -61,10 +61,9 @@ def test_external_nulls_are_leaves(spark):
 
 def test_pagerank_matches_numpy(spark):
     """3-iteration PR on a 3-node chain a→b→c checked against an explicit
-    numpy power iteration with the same simplified (dangling-dropped)
-    update rule, plus partition invariance."""
-    import numpy as np
-
+    numpy power iteration with the same dangling-redistributing update
+    rule, plus partition invariance and the Σrank = 1 invariant (node c is
+    a sink, so its mass must be recycled, not dropped)."""
     from coco_search_spark.operators.graph import pagerank
 
     e = spark.createDataFrame(
@@ -79,10 +78,13 @@ def test_pagerank_matches_numpy(spark):
         inflow = {n: 0.0 for n in nodes}
         for s, o in [("a", "b"), ("b", "c"), ("a", "c")]:
             inflow[o] += r[s] / deg[s]
-        r = {n: 0.15 / 3 + 0.85 * inflow[n] for n in nodes}
+        dm = sum(r[n] for n in nodes if n not in deg)
+        r = {n: 0.15 / 3 + 0.85 * (inflow[n] + dm / 3) for n in nodes}
     for n in nodes:
         # got is rounded to 6 dp (Spark HALF_UP; Python round() banks) —
         # compare against the unrounded value within half an ulp of 1e-6
         assert abs(got[n] - r[n]) <= 5.000001e-7, (n, got[n], r[n])
+    # dangling mass redistributed → total rank is conserved at 1.0
+    assert abs(sum(got.values()) - 1.0) <= 3e-6
     got2 = {r2["node"]: r2["rank"] for r2 in pagerank(e.repartition(7), n_iters=3).collect()}
     assert got2 == got
