@@ -232,7 +232,10 @@ def connected_components(
 
 
 def canonicalize_surfaces(
-    surfaces: DataFrame, extra_edges: DataFrame | None = None, **kwargs
+    surfaces: DataFrame,
+    extra_edges: DataFrame | None = None,
+    max_cc_iterations: int = MAX_CC_ITERATIONS,
+    **kwargs,
 ) -> DataFrame:
     """surfaces(surface) → (surface, canon_id): canonical id = min normalized
     form within the component.
@@ -261,13 +264,20 @@ def canonicalize_surfaces(
     n = distinct_surfaces.count()
     parts = max(2, min(int(spark.conf.get("spark.sql.shuffle.partitions")), n // 10000 + 1))
 
-    iso = spark.newSession()
+    iso = _isolated_session(spark)
     iso.conf.set("spark.sql.shuffle.partitions", str(parts))
     gt_db = spark.conf.get("spark.sql.globalTempDatabase", "global_temp")
     global _CANON_RUN_SEQ
     with _CANON_SEQ_LOCK:
         _CANON_RUN_SEQ += 1
         seq = _CANON_RUN_SEQ
+        # drop OUTPUT views kept alive by previous invocations (they had to
+        # outlive their call so the returned DataFrame never depends on a
+        # dropped catalog entry — ADVICE r3: eager-analysis-only lifetimes
+        # break under lazy analysis)
+        stale, _PENDING_OUT_VIEWS[:] = _PENDING_OUT_VIEWS[:], []
+    for t in stale:
+        spark.catalog.dropGlobalTempView(t)
     tags = [f"_canon_{seq}_{s}" for s in ("in", "ee", "out")]
     try:
         distinct_surfaces.createOrReplaceGlobalTempView(tags[0])
@@ -289,7 +299,7 @@ def canonicalize_surfaces(
                 )
             )
             pairs = pairs.unionByName(ee).distinct()
-        comp = connected_components(surf_iso, pairs)
+        comp = connected_components(surf_iso, pairs, max_iterations=max_cc_iterations)
         canon = (
             comp.withColumn("norm", normalize_name_col(F.col("surface")))
             .groupBy("component")
@@ -297,12 +307,15 @@ def canonicalize_surfaces(
         )
         out = comp.join(canon, "component").select("surface", "canon_id")
         out.localCheckpoint(eager=True).createOrReplaceGlobalTempView(tags[2])
-        # hand the materialized result back to the CALLER's session —
-        # spark.table analyzes eagerly, so the returned plan is bound to the
-        # checkpointed RDD and survives the view drop below
+        # hand the materialized result back to the CALLER's session; the
+        # OUTPUT view stays registered until the next invocation so the
+        # returned DataFrame never references a dropped catalog entry
+        with _CANON_SEQ_LOCK:
+            _PENDING_OUT_VIEWS.append(tags[2])
         return spark.table(f"{gt_db}.{tags[2]}")
     finally:
-        for t in tags:
+        # input views are fully consumed by the eager checkpoint above
+        for t in tags[:2]:
             spark.catalog.dropGlobalTempView(t)
 
 
@@ -310,3 +323,29 @@ import threading as _threading  # noqa: E402  (module tail: counter + lock)
 
 _CANON_RUN_SEQ = 0
 _CANON_SEQ_LOCK = _threading.Lock()
+_PENDING_OUT_VIEWS: list[str] = []
+_ISO_SESSIONS: dict[str, object] = {}
+
+# runtime SQLConf keys copied from the caller's session into the isolated
+# one on every call (spark.newSession() starts from SparkConf defaults, so
+# runtime overrides would otherwise silently not apply inside — ADVICE r3).
+# "SET" lists every explicitly-set runtime conf; immutable/static entries
+# are skipped via try/except.
+def _isolated_session(spark):
+    key = spark.sparkContext.applicationId
+    with _CANON_SEQ_LOCK:
+        iso = _ISO_SESSIONS.get(key)
+        if iso is None:
+            # a new applicationId means prior contexts are gone — drop refs
+            _ISO_SESSIONS.clear()
+            iso = spark.newSession()
+            _ISO_SESSIONS[key] = iso
+    for row in spark.sql("SET").collect():
+        k, v = row["key"], row["value"]
+        if k == "spark.sql.shuffle.partitions" or v == "<undefined>":
+            continue
+        try:
+            iso.conf.set(k, v)
+        except Exception:
+            pass  # static conf (warehouse dir, extensions) — not settable
+    return iso

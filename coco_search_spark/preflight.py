@@ -29,6 +29,35 @@ import uuid
 from pyspark.sql import SparkSession
 
 
+def _input_readable(spark: SparkSession, p: str) -> tuple[bool, str]:
+    """Scheme-aware existence probe (ADVICE r3: os.path only understands
+    driver-local paths — an hdfs:// or s3a:// input would always 'fail'
+    preflight even when perfectly readable by Spark). Local/file: paths use
+    os checks; any other scheme is probed through the same Hadoop
+    FileSystem Spark's readers will use."""
+    from urllib.parse import urlparse
+
+    scheme = urlparse(p).scheme
+    if scheme in ("", "file"):
+        local = p
+        if p.startswith("file://"):
+            local = p[len("file://"):]
+        elif p.startswith("file:"):
+            local = p[len("file:"):]
+        ok = os.path.exists(local) and os.access(local, os.R_OK)
+        return ok, "readable" if ok else "missing or unreadable"
+    try:
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(p)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        ok = bool(fs.exists(jpath))
+        return ok, f"readable via {scheme}" if ok else f"missing on {scheme}"
+    except Exception as e:
+        # unknown scheme / connector not on the classpath — an actionable
+        # preflight failure, not a crash
+        return False, f"filesystem probe failed for scheme {scheme!r}: {e}"
+
+
 def run_preflight(
     spark: SparkSession,
     input_paths: tuple[str, ...] | list[str] = (),
@@ -64,8 +93,8 @@ def run_preflight(
         add("shuffle_partitions", False, str(e))
 
     for p in input_paths:
-        ok = os.path.exists(p) and os.access(p, os.R_OK)
-        add(f"input:{p}", ok, "readable" if ok else "missing or unreadable")
+        ok, detail = _input_readable(spark, p)
+        add(f"input:{p}", ok, detail)
 
     for d in out_dirs:
         try:

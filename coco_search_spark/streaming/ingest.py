@@ -60,7 +60,7 @@ def run_streaming_pipeline(
         combined = extract_all(
             segment_turns(batch_df, with_offsets=True)
         ).cache()
-        triples, mentions, _ = split_extracted(combined)
+        triples, mentions, bindings = split_extracted(combined)
         # idempotent replay: each batch owns a batch-id-keyed directory and
         # OVERWRITES it, so a batch re-run after a failure (foreachBatch is
         # at-least-once) replaces its own output instead of appending
@@ -74,6 +74,13 @@ def run_streaming_pipeline(
         (
             mentions.write.mode("overwrite")
             .parquet(f"{out_dir}/mentions_stream/batch_id={batch_id}")
+        )
+        # full batch-parity: alias-binding evidence must survive streaming
+        # too (ADVICE r3 — dropping it silently weakened downstream
+        # canonicalization merges for streamed conversations)
+        (
+            bindings.write.mode("overwrite")
+            .parquet(f"{out_dir}/bindings_stream/batch_id={batch_id}")
         )
         combined.unpersist()
 

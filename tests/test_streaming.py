@@ -39,6 +39,19 @@ def test_streaming_extract_matches_batch(spark, fx, tmp_path):
     # (fixture text has none, but the sink must exist with the schema)
     mentions = spark.read.parquet(f"{out}/mentions_stream")
     assert set(mentions.columns) >= {"conv_id", "turn_idx", "mention", "mention_kind"}
+    # batch-parity for the third fact family (ADVICE r3): alias-binding
+    # evidence extracted in streaming must be persisted, not discarded
+    from coco_search_spark.operators.extract import extract_all, split_extracted
+    from coco_search_spark.operators.segments import segment_turns
+
+    bindings = spark.read.parquet(f"{out}/bindings_stream")
+    assert set(bindings.columns) >= {"conv_id", "turn_idx", "target", "alias"}
+    _, _, batch_bindings = split_extracted(
+        extract_all(segment_turns(fixtures.transcripts_sdf(spark, fx), with_offsets=True))
+    )
+    got_b = {tuple(r) for r in bindings.select("conv_id", "turn_idx", "target", "alias").collect()}
+    want_b = {tuple(r) for r in batch_bindings.collect()}
+    assert got_b == want_b
 
 
 def test_streaming_resume_no_duplicates(spark, fx, tmp_path):
