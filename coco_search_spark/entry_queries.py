@@ -1353,6 +1353,26 @@ def q_kg_link_topn(spark, sf_dir):
     )
 
 
+def q_kg_link_analyze(spark, sf_dir):
+    """Per-stage linking diagnostics (reference search/analyze.py:175-596
+    `analyze`/`multi_analyze`: capture mode selection, both legs, fusion,
+    boost decisions per query): EVERY candidate per mention with per-leg
+    sims+ranks, raw RRF, boost_applied, final score/rank, and the chosen /
+    passed_min_score decision bits. min_score=0.02 is deliberately above
+    the single-leg maximum (1/(60+1) ≈ 0.0164), so the decision columns
+    split real populations: single-leg candidates fail the floor, fused or
+    boosted ones pass. The DuckDB oracle replays the identical pipeline and
+    exposes the identical diagnostic columns."""
+    from coco_search_spark.operators.linking import link_surfaces_analyze
+
+    surf, catalog = _surfaces_and_catalog(spark, sf_dir)
+    mentions = surf.select(F.col("surface").alias("mention"))
+    return (
+        link_surfaces_analyze(mentions, catalog, embedder="expr", min_score=0.02)
+        .orderBy("mention", "link_rank")
+    )
+
+
 def q_kg_link_defboost(spark, sf_dir):
     """The definition boost (X3 consumer, hybrid.py:419-481) through the
     driver gate: the catalog carries block_type, with every '%ache'-suffixed
@@ -1500,7 +1520,12 @@ def q_kg_canonicalize_bindings(spark, sf_dir):
 
 
 def _link_mentions_oracle(
-    dim: int = 64, rrf_k: int = 60, top_n: int = 1, def_like: str | None = None
+    dim: int = 64,
+    rrf_k: int = 60,
+    top_n: int = 1,
+    def_like: str | None = None,
+    analyze: bool = False,
+    min_score: float = 0.0,
 ) -> str:
     """DuckDB replica of the full hybrid-RRF linking pipeline in
     q_kg_link_mentions: shared-token candidate generation, double-precision
@@ -1522,6 +1547,21 @@ def _link_mentions_oracle(
 
     rank_col = ", link_rank" if top_n > 1 else ""
     rank_order = ", link_rank" if top_n > 1 else ""
+    if analyze:
+        # per-candidate diagnostic form (link_surfaces_analyze twin): every
+        # candidate with per-leg evidence, fusion, boost + final decision
+        ms = f"CAST({min_score} AS DOUBLE)"
+        final_select = f"""SELECT mention, entity_id, ROUND(vec_sim, 6) AS vec_sim, v_rank,
+       ROUND(kw_sim, 6) AS kw_sim, k_rank, ROUND(rrf, 6) AS rrf, boost_applied,
+       link_score, match_type, link_rank,
+       (link_score >= {ms}) AS passed_min_score,
+       (link_rank = 1 AND link_score >= {ms}) AS chosen
+FROM ranked
+ORDER BY mention, link_rank"""
+    else:
+        final_select = f"""SELECT mention, entity_id, link_score, match_type{rank_col}
+FROM ranked WHERE link_rank <= {top_n}
+ORDER BY mention{rank_order}"""
     # definition-boost signal: aliases matching def_like are 'code'-block
     # evidence (is_def); None keeps the plain exact-norm-only boost
     a_def = (
@@ -1587,12 +1627,12 @@ scored AS (
   FROM pair GROUP BY 1, 2, 3
 ),
 vec_leg AS (
-  SELECT mention, entity_id, exact_norm, is_def,
+  SELECT mention, entity_id, exact_norm, is_def, vec_sim,
          row_number() OVER (PARTITION BY mention ORDER BY vec_sim DESC, entity_id ASC) AS v_rank
   FROM scored QUALIFY v_rank <= 100
 ),
 kw_leg AS (
-  SELECT mention, entity_id, k_rank, exact_norm AS k_exact, is_def AS k_def FROM (
+  SELECT mention, entity_id, k_rank, kw_sim, exact_norm AS k_exact, is_def AS k_def FROM (
     SELECT mention, entity_id, kw_sim, exact_norm, is_def,
            row_number() OVER (PARTITION BY mention ORDER BY kw_sim DESC, entity_id ASC) AS k_rank
     FROM scored) x
@@ -1601,7 +1641,7 @@ kw_leg AS (
 fused AS (
   SELECT COALESCE(v.mention, k.mention) AS mention,
          COALESCE(v.entity_id, k.entity_id) AS entity_id,
-         v.v_rank, k.k_rank,
+         v.v_rank, k.k_rank, v.vec_sim, k.kw_sim,
          COALESCE(v.exact_norm, k.k_exact) AS exact_norm,
          COALESCE(v.is_def, k.k_def) AS is_def,
          COALESCE(CAST(1.0 AS DOUBLE) / ({rrf_k} + v.v_rank), CAST(0 AS DOUBLE))
@@ -1610,7 +1650,8 @@ fused AS (
     ON v.mention = k.mention AND v.entity_id = k.entity_id
 ),
 ranked AS (
-  SELECT mention, entity_id,
+  SELECT mention, entity_id, v_rank, k_rank, vec_sim, kw_sim, rrf,
+         (exact_norm = 1 OR is_def = 1) AS boost_applied,
          CASE WHEN exact_norm = 1 OR is_def = 1 THEN rrf * CAST(2.0 AS DOUBLE) ELSE rrf END AS link_score,
          CASE WHEN v_rank IS NOT NULL AND k_rank IS NOT NULL THEN 'both'
               WHEN v_rank IS NOT NULL THEN 'semantic' ELSE 'keyword' END AS match_type,
@@ -1619,9 +1660,7 @@ ranked AS (
            (k_rank IS NOT NULL) DESC, entity_id ASC) AS link_rank
   FROM fused
 )
-SELECT mention, entity_id, link_score, match_type{rank_col}
-FROM ranked WHERE link_rank <= {top_n}
-ORDER BY mention{rank_order}
+{final_select}
 """
 
 
@@ -2553,6 +2592,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "kg_link_mentions": q_kg_link_mentions,
     "kg_link_topn": q_kg_link_topn,
+    "kg_link_analyze": q_kg_link_analyze,
     "kg_link_defboost": q_kg_link_defboost,
     "kg_canonicalize": q_kg_canonicalize,
     "kg_alias_bindings": q_kg_alias_bindings,
@@ -2717,6 +2757,7 @@ ORACLES: dict[str, str] = {
     "kg_pipeline_edges": _edges_oracle(),
     "kg_link_mentions": _link_mentions_oracle(),
     "kg_link_topn": _link_mentions_oracle(top_n=3),
+    "kg_link_analyze": _link_mentions_oracle(analyze=True, min_score=0.02),
     "kg_link_defboost": _link_mentions_oracle(def_like="%ache"),
     "graph_reach": ORACLE_GRAPH,
     "multi_index_merge": ORACLE_MULTI_INDEX,

@@ -79,6 +79,12 @@ CONJ_RE = rf"\b({IDENT_RE})\s+({_PHRASE_ALT})\s+({IDENT_RE})\s+and\s+({IDENT_RE}
 PRED_OF_PHRASE = {phrase: pred for pred, phrase in RELATIONS}
 PRED_OF_PASSIVE = {phrase: pred for pred, phrase in PASSIVE_OF.items()}
 
+# Bump whenever the extraction grammar's OUTPUT changes (new forms, changed
+# stop rules): the config identity hash folds this in, so a resume against
+# facts produced by an older grammar full-re-extracts instead of silently
+# mixing grammars in one snapshot. Round 3 shipped the 5-form grammar.
+GRAMMAR_VERSION = 3
+
 # Function words that may syntactically occupy an identifier slot in one
 # form while being part of another form's scaffolding — plus negation
 # markers: "A never uses B" must yield NOTHING, and the only way the active

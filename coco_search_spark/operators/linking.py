@@ -68,31 +68,20 @@ def build_alias_index(catalog: DataFrame) -> DataFrame:
     )
 
 
-def link_surfaces(
+def _ranked_candidates(
     surfaces: DataFrame,
     catalog: DataFrame,
-    embed_dim: int = 64,
-    prefetch: int = MAX_PREFETCH,
-    rrf_k: int = RRF_K,
-    min_score: float = 0.0,
-    embedder: str = "udf",
-    top_n: int = 1,
+    embed_dim: int,
+    prefetch: int,
+    rrf_k: int,
+    embedder: str,
+    boost: float,
 ) -> DataFrame:
-    """surfaces(mention) [distinct] × catalog(entity_id, alias) → one row per
-    surface with its best entity link (mention, entity_id, link_score,
-    match_type). Linking is surface-level by design: the same surface always
-    links identically, and the distinct-surface table is vocabulary-sized —
-    occurrences get their link via a broadcast join (link_mentions).
-
-    embedder: "udf" (default) scores the vector leg with the Arrow-batched
-    float32 pipeline embedder; "expr" uses the pure-Catalyst double-precision
-    ``embed_expr``/``cosine_expr`` form, whose scores a DuckDB oracle can
-    reproduce value for value. Each distinct mention/alias string is
-    embedded exactly once (not once per candidate pair) and joined onto the
-    pair table."""
-    from coco_search_spark.ops.globs import require_positive
-
-    require_positive(embed_dim=embed_dim, prefetch=prefetch, rrf_k=rrf_k, top_n=top_n)
+    """Shared core of link_surfaces / link_surfaces_analyze: every candidate
+    (mention, entity_id) with its full scoring evidence — per-leg sims and
+    ranks, fusion score, boost decision, final rank. link_surfaces keeps the
+    winners; the analyze form exposes the whole table (the reference's
+    per-stage diagnostic capture, search/analyze.py:175-596)."""
     surfaces = surfaces.select("mention").withColumn(
         "m_norm", normalize_name_col(F.col("mention"))
     ).withColumn("m_tokens", norm_tokens_col(F.col("mention")))
@@ -198,17 +187,20 @@ def link_surfaces(
             .otherwise("keyword"),
         )
         .withColumn(
-            "link_score",
             # DEFINITION_BOOST_MULTIPLIER semantics (hybrid.py:33, 419-481):
             # one ×2 boost if the candidate is definition-evidence — either
             # an exact normalized-name match or an alias observed in a
             # definition-typed (code) block; the boosts do not stack, and
             # the flags are taken from whichever leg carried the candidate
-            F.when(
-                (F.coalesce(F.col("exact_norm"), F.col("k_exact")) == 1)
-                | (F.coalesce(F.col("is_def"), F.col("k_def")) == 1),
-                F.col("rrf") * EXACT_MATCH_BOOST,
-            ).otherwise(F.col("rrf")),
+            "boost_applied",
+            (F.coalesce(F.col("exact_norm"), F.col("k_exact")) == 1)
+            | (F.coalesce(F.col("is_def"), F.col("k_def")) == 1),
+        )
+        .withColumn(
+            "link_score",
+            F.when(F.col("boost_applied"), F.col("rrf") * F.lit(boost)).otherwise(
+                F.col("rrf")
+            ),
         )
     )
 
@@ -219,15 +211,93 @@ def link_surfaces(
         F.desc(F.col("k_rank").isNotNull().cast("int")),
         F.asc("entity_id"),
     )
-    ranked = fused.withColumn("link_rank", F.row_number().over(w_best)).filter(
-        F.col("link_score") >= min_score
-    )
+    return fused.withColumn("link_rank", F.row_number().over(w_best))
+
+
+def link_surfaces(
+    surfaces: DataFrame,
+    catalog: DataFrame,
+    embed_dim: int = 64,
+    prefetch: int = MAX_PREFETCH,
+    rrf_k: int = RRF_K,
+    min_score: float = 0.0,
+    embedder: str = "udf",
+    top_n: int = 1,
+    boost: float = EXACT_MATCH_BOOST,
+) -> DataFrame:
+    """surfaces(mention) [distinct] × catalog(entity_id, alias) → one row per
+    surface with its best entity link (mention, entity_id, link_score,
+    match_type). Linking is surface-level by design: the same surface always
+    links identically, and the distinct-surface table is vocabulary-sized —
+    occurrences get their link via a broadcast join (link_mentions).
+
+    embedder: "udf" (default) scores the vector leg with the Arrow-batched
+    float32 pipeline embedder; "expr" uses the pure-Catalyst double-precision
+    ``embed_expr``/``cosine_expr`` form, whose scores a DuckDB oracle can
+    reproduce value for value. Each distinct mention/alias string is
+    embedded exactly once (not once per candidate pair) and joined onto the
+    pair table."""
+    from coco_search_spark.ops.globs import require_positive
+
+    require_positive(embed_dim=embed_dim, prefetch=prefetch, rrf_k=rrf_k, top_n=top_n)
+    ranked = _ranked_candidates(
+        surfaces, catalog, embed_dim, prefetch, rrf_k, embedder, boost
+    ).filter(F.col("link_score") >= min_score)
     if top_n == 1:
         return ranked.filter(F.col("link_rank") == 1).select(
             "mention", "entity_id", "link_score", "match_type"
         )
     return ranked.filter(F.col("link_rank") <= top_n).select(
         "mention", "entity_id", "link_score", "match_type", "link_rank"
+    )
+
+
+def link_surfaces_analyze(
+    surfaces: DataFrame,
+    catalog: DataFrame,
+    embed_dim: int = 64,
+    prefetch: int = MAX_PREFETCH,
+    rrf_k: int = RRF_K,
+    min_score: float = 0.0,
+    embedder: str = "udf",
+    boost: float = EXACT_MATCH_BOOST,
+) -> DataFrame:
+    """Per-stage linking diagnostics — the analog of the reference's
+    ``analyze``/``multi_analyze`` capture (search/analyze.py:175-596: mode
+    selection, both retrieval legs, fusion deltas, boost decisions) as ONE
+    DataFrame: every surviving candidate per mention with
+
+    - per-leg evidence: ``vec_sim``/``v_rank`` (vector leg),
+      ``kw_sim``/``k_rank`` (keyword leg; NULL rank = not in that leg);
+    - fusion: raw ``rrf`` score, ``boost_applied``, final ``link_score``;
+    - decision: ``match_type``, ``link_rank``, ``passed_min_score``, and
+      ``chosen`` (the row link_surfaces would return as the best link).
+
+    The first thing to reach for when a link looks wrong: filter to the
+    mention and read off which leg ranked the losing candidate above the
+    expected one. Wall-clock stage timings are a driver-side concern
+    (pipeline stage_timings); a declarative plan has no per-stage clock."""
+    from coco_search_spark.ops.globs import require_positive
+
+    require_positive(embed_dim=embed_dim, prefetch=prefetch, rrf_k=rrf_k)
+    ranked = _ranked_candidates(
+        surfaces, catalog, embed_dim, prefetch, rrf_k, embedder, boost
+    )
+    passed = F.col("link_score") >= min_score
+    return ranked.select(
+        "mention",
+        "entity_id",
+        F.round("vec_sim", 6).alias("vec_sim"),
+        "v_rank",
+        F.round("kw_sim", 6).alias("kw_sim"),
+        "k_rank",
+        F.round("rrf", 6).alias("rrf"),
+        "boost_applied",
+        "link_score",
+        "match_type",
+        "link_rank",
+        passed.alias("passed_min_score"),
+        ((F.col("link_rank") == 1) & passed).alias("chosen"),
     )
 
 

@@ -53,13 +53,30 @@ def run_pipeline(
     state_dir: str | None = None,
     extractor: str = "native",
     embed_dim: int = 64,
+    config: "EngineConfig | None" = None,
 ) -> PipelineResult:
     """Full batch run. When ``state_dir`` is given, unchanged conversations
     (same content hash as the stored state) skip extraction; triples for
     them are reloaded from the previous materialized output, while linking /
     canonicalization always re-run globally over the merged triple set.
+
+    ``config``: an EngineConfig carrying every tunable (load one with
+    ``EngineConfig.from_file``); when given it wins over the ``embed_dim``
+    argument. Each state commit stamps the config identity hash (plus
+    engine/grammar versions) into the manifest, and a resume whose stored
+    facts were produced under a DIFFERENT config identity warns and falls
+    back to a full re-extract — mixing facts from two configs in one
+    snapshot would be silently wrong (provenance rule; reference:
+    management/metadata.py:29-50, management/git.py).
     """
     import time as _time
+
+    from coco_search_spark.config import EngineConfig
+
+    cfg = config if config is not None else EngineConfig(embed_dim=embed_dim)
+    cfg.validate()
+    cfg_hash = cfg.config_hash()
+    embed_dim = cfg.embed_dim
 
     timings: dict[str, float] = {}
     _t0 = _time.perf_counter()
@@ -94,9 +111,22 @@ def run_pipeline(
         dirty_ids = diff.filter(F.col("status").isin("new", "changed")).select("conv_id")
         dirty = transcripts.join(dirty_ids, "conv_id", "left_semi")
         snap = store.last_snapshot()
+        # provenance gate: stored facts produced under a different config /
+        # grammar identity must not be mixed into this run's output.
+        # Snapshots from before the stamp existed (no config_hash) are
+        # treated as compatible — unknown is not known-different.
+        config_compatible = snap is None or snap.get("config_hash") in (None, cfg_hash)
+        if not config_compatible and n_unchanged > 0:
+            import warnings
+
+            warnings.warn(
+                f"state snapshot was produced under config {snap.get('config_hash')}"
+                f" != current {cfg_hash}; falling back to full re-extract"
+            )
         if n_unchanged > 0:
             if (
                 extractor == "native"
+                and config_compatible
                 and snap
                 and snap.get("facts_path")
                 and os.path.exists(snap["facts_path"])
@@ -230,6 +260,10 @@ def run_pipeline(
                 surfaces.select(F.col("surface").alias("mention")),
                 catalog,
                 embed_dim=embed_dim,
+                prefetch=cfg.max_prefetch,
+                rrf_k=cfg.rrf_k,
+                min_score=cfg.min_link_score,
+                boost=cfg.exact_match_boost,
             )
             return links.localCheckpoint(eager=True)
         return surfaces.select(
@@ -248,7 +282,14 @@ def run_pipeline(
             if bindings is not None
             else None
         )
-        c = canonicalize_surfaces(surfaces, extra_edges=extra).cache()
+        c = canonicalize_surfaces(
+            surfaces,
+            extra_edges=extra,
+            max_cc_iterations=cfg.max_cc_iterations,
+            n_hashes=cfg.n_hashes,
+            n_bands=cfg.n_bands,
+            jaccard_threshold=cfg.jaccard_threshold,
+        ).cache()
         c.count()
         return c
 
@@ -337,13 +378,21 @@ def run_pipeline(
                 F.coalesce(F.col("errors"), F.lit(0)).cast("bigint").alias("errors"),
             )
         )
-        # facts_path rides the SAME atomic manifest write as the snapshot —
-        # a separate post-commit patch would reopen the torn-write window
-        snapshot_id = store.commit(
-            state_rows,
-            stage="materialize",
-            extra={"facts_path": facts_path} if facts_path else None,
-        )
+        # facts_path + producing-config provenance ride the SAME atomic
+        # manifest write as the snapshot — a separate post-commit patch
+        # would reopen the torn-write window
+        from coco_search_spark import __version__
+        from coco_search_spark.operators.extract import GRAMMAR_VERSION
+
+        extra = {
+            "config_hash": cfg_hash,
+            "engine_version": __version__,
+            "grammar_version": GRAMMAR_VERSION,
+            "config": cfg.to_dict(),
+        }
+        if facts_path:
+            extra["facts_path"] = facts_path
+        snapshot_id = store.commit(state_rows, stage="materialize", extra=extra)
         metrics["snapshot_id"] = snapshot_id
 
     return PipelineResult(

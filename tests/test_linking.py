@@ -80,3 +80,36 @@ def test_keyword_leg_links_across_spelling(spark, fx):
     catalog = spark.createDataFrame(fixtures.entity_catalog_pdf(fx.entities))
     out = link_mentions(mentions, catalog).collect()
     assert out[0]["entity_id"] == ent.canonical
+
+
+def test_analyze_decisions_match_link_surfaces(spark, fx):
+    """link_surfaces_analyze's `chosen` rows must be EXACTLY the rows
+    link_surfaces returns (same mention→entity, same score, same
+    match_type) — the diagnostic view and the production path share one
+    scoring core, so a divergence means the analyze output lies."""
+    from coco_search_spark.operators.linking import (
+        link_surfaces,
+        link_surfaces_analyze,
+    )
+
+    catalog = spark.createDataFrame(fixtures.entity_catalog_pdf(fx.entities))
+    surfaces = catalog.select(F.col("alias").alias("mention")).distinct()
+    best = {
+        r["mention"]: (r["entity_id"], r["link_score"], r["match_type"])
+        for r in link_surfaces(surfaces, catalog, min_score=0.02).collect()
+    }
+    diag = link_surfaces_analyze(surfaces, catalog, min_score=0.02).collect()
+    chosen = {
+        r["mention"]: (r["entity_id"], r["link_score"], r["match_type"])
+        for r in diag
+        if r["chosen"]
+    }
+    assert chosen == best
+    # structural invariants of the diagnostic table
+    for r in diag:
+        assert r["v_rank"] is not None or r["k_rank"] is not None
+        if r["boost_applied"]:
+            assert r["link_score"] > r["rrf"] - 1e-12
+        if r["match_type"] == "both":
+            assert r["v_rank"] is not None and r["k_rank"] is not None
+        assert r["passed_min_score"] == (r["link_score"] >= 0.02)
