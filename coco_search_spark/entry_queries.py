@@ -95,6 +95,19 @@ _FENCE = (
     "CASE WHEN CAST(doc_id % 11 AS INT) = 0"
     " THEN ' ```' || chr(10) || 'let handler = init()' || chr(10) || '```' ELSE '' END"
 )
+# inert carriers for the finer block taxonomy (X3, round 4): a log-level
+# line every 17th row, an unfenced inline call every 19th row. Both are
+# chosen to be invisible to every other grammar: no relation phrase, no
+# mention context ("see"/"module"), no "as" binding keyword, appended at
+# the very END of the turn so earlier match offsets never shift.
+_LOG_SUFFIX = (
+    "CASE WHEN CAST(doc_id % 17 AS INT) = 0"
+    " THEN chr(10) || '[INFO] request done' ELSE '' END"
+)
+_CALL_SUFFIX = (
+    "CASE WHEN CAST(doc_id % 19 AS INT) = 0"
+    " THEN ' run_probe() ok' ELSE '' END"
+)
 
 DERIVED_TRANSCRIPTS_SQL = f"""
 SELECT
@@ -102,7 +115,7 @@ SELECT
   CAST(FLOOR(doc_id / 50.0) AS INT)                AS turn_idx,
   CASE CAST(doc_id % 4 AS INT)
     WHEN 0 THEN 'user' WHEN 2 THEN 'tool' ELSE 'assistant' END AS role,
-  {_HEADING} || text || ' ' || {_REL_SENTENCE} || ' . ' || {_MENTION_SENTENCE} || ' .' || {_FENCE} AS text,
+  {_HEADING} || text || ' ' || {_REL_SENTENCE} || ' . ' || {_MENTION_SENTENCE} || ' .' || {_FENCE} || {_CALL_SUFFIX} || {_LOG_SUFFIX} AS text,
   CASE WHEN CAST(doc_id % 4 AS INT) = 2 THEN 'grep' ELSE NULL END AS tool
 FROM documents
 """
@@ -301,7 +314,9 @@ ORACLE_BLOCK_TYPES = """
 WITH t AS ({derived}),
 h AS (
   SELECT CASE WHEN tool IS NOT NULL THEN 'tool_output'
-              WHEN strpos(text, '``' || '`') > 0 THEN 'code'
+              WHEN strpos(text, '``' || '`') > 0 THEN 'fenced_code'
+              WHEN regexp_matches(text, '(?m)^\\[(ERROR|WARN|INFO|DEBUG)\\]') THEN 'log_dump'
+              WHEN regexp_matches(text, '[A-Za-z_][A-Za-z0-9_]*\\(') THEN 'inline_tool_call'
               ELSE 'prose' END AS block_type,
          regexp_extract_all(text, '(?m)^#[ ]([A-Za-z0-9_]+)', 1) AS heads
   FROM t
@@ -1374,16 +1389,21 @@ def q_kg_link_analyze(spark, sf_dir):
 
 
 def q_kg_link_defboost(spark, sf_dir):
-    """The definition boost (X3 consumer, hybrid.py:419-481) through the
-    driver gate: the catalog carries block_type, with every '%ache'-suffixed
-    alias marked as code-block (definition) evidence — those candidates get
-    the ×2 multiplier and the oracle replays the boost in its ranking."""
+    """The block-WEIGHTED definition boost (X3 consumer, hybrid.py:419-481
+    one notch further — the reference's handler registry distinguishes
+    block kinds) through the driver gate: the catalog carries block_type,
+    '%ache' aliases marked as fenced_code (weight 1.0 → the full ×2
+    multiplier) and '%store' aliases as inline_tool_call (weight 0.5 →
+    ×1.5), so the ranking must separate the two weight tiers — the oracle
+    replays the identical weighted formula."""
     from coco_search_spark.operators.linking import link_surfaces
 
     surf, catalog = _surfaces_and_catalog(spark, sf_dir)
     catalog = catalog.withColumn(
         "block_type",
-        F.when(F.col("alias").like("%ache"), "code").otherwise("prose"),
+        F.when(F.col("alias").like("%ache"), "fenced_code")
+        .when(F.col("alias").like("%store"), "inline_tool_call")
+        .otherwise("prose"),
     )
     # mentions that exactly match NO alias ('<lang>_ref'): the definition
     # boost alone decides among the token-shared candidates
@@ -1523,7 +1543,7 @@ def _link_mentions_oracle(
     dim: int = 64,
     rrf_k: int = 60,
     top_n: int = 1,
-    def_like: str | None = None,
+    def_cases: tuple = (),
     analyze: bool = False,
     min_score: float = 0.0,
 ) -> str:
@@ -1562,11 +1582,21 @@ ORDER BY mention, link_rank"""
         final_select = f"""SELECT mention, entity_id, link_score, match_type{rank_col}
 FROM ranked WHERE link_rank <= {top_n}
 ORDER BY mention{rank_order}"""
-    # definition-boost signal: aliases matching def_like are 'code'-block
-    # evidence (is_def); None keeps the plain exact-norm-only boost
-    a_def = (
-        f"CASE WHEN alias LIKE '{def_like}' THEN 1 ELSE 0 END" if def_like else "0"
-    )
+    # definition-boost signal, block-WEIGHTED (round 4): def_cases is a
+    # tuple of (alias LIKE pattern, weight) — weight 1.0 is fenced-code
+    # evidence (full x2 boost), 0.5 inline-tool-call evidence (x1.5);
+    # empty keeps the plain exact-norm-only boost
+    if def_cases:
+        a_defw = (
+            "CASE "
+            + " ".join(
+                f"WHEN alias LIKE '{pat}' THEN CAST({w} AS DOUBLE)"
+                for pat, w in def_cases
+            )
+            + " ELSE CAST(0 AS DOUBLE) END"
+        )
+    else:
+        a_defw = "CAST(0 AS DOUBLE)"
     # boost-mode mentions deliberately match NO catalog alias exactly
     # (no exact-norm candidate), so the definition boost alone decides the
     # winner among token-shared candidates — a real behavioral flip, not a
@@ -1574,7 +1604,7 @@ ORDER BY mention{rank_order}"""
     mention_src = (
         "SELECT DISTINCT split_part(surface, '_', 1) || '_ref' FROM surf "
         "WHERE surface LIKE '%store'"
-        if def_like
+        if def_cases
         else "SELECT surface FROM surf"
     )
     return f"""
@@ -1602,15 +1632,15 @@ m AS (
 a AS (
   SELECT entity_id, alias, {norm.format(s='alias')} AS alias_norm,
          list_distinct(string_split({norm.format(s='alias')}, '_')) AS a_tokens,
-         {a_def} AS a_def
+         {a_defw} AS a_defw
   FROM cat
 ),
 cand AS (
-  SELECT DISTINCT mention, m_norm, m_tokens, entity_id, alias, alias_norm, a_tokens, a_def
+  SELECT DISTINCT mention, m_norm, m_tokens, entity_id, alias, alias_norm, a_tokens, a_defw
   FROM m JOIN a ON len(list_intersect(m_tokens, a_tokens)) > 0
 ),
 pair AS (
-  SELECT c.mention, c.m_norm, c.entity_id, c.alias_norm, c.a_def,
+  SELECT c.mention, c.m_norm, c.entity_id, c.alias_norm, c.a_defw,
          list_sum(list_transform(generate_series(1, {dim}), i -> em.v[i] * ea.v[i]))
            / (sqrt(list_sum(list_transform(em.v, x -> x * x)))
               * sqrt(list_sum(list_transform(ea.v, x -> x * x)))) AS vec_sim,
@@ -1623,17 +1653,17 @@ pair AS (
 scored AS (
   SELECT mention, m_norm, entity_id, MAX(vec_sim) AS vec_sim, MAX(kw_sim) AS kw_sim,
          MAX(CASE WHEN alias_norm = m_norm THEN 1 ELSE 0 END) AS exact_norm,
-         MAX(a_def) AS is_def
+         MAX(a_defw) AS def_w
   FROM pair GROUP BY 1, 2, 3
 ),
 vec_leg AS (
-  SELECT mention, entity_id, exact_norm, is_def, vec_sim,
+  SELECT mention, entity_id, exact_norm, def_w, vec_sim,
          row_number() OVER (PARTITION BY mention ORDER BY vec_sim DESC, entity_id ASC) AS v_rank
   FROM scored QUALIFY v_rank <= 100
 ),
 kw_leg AS (
-  SELECT mention, entity_id, k_rank, kw_sim, exact_norm AS k_exact, is_def AS k_def FROM (
-    SELECT mention, entity_id, kw_sim, exact_norm, is_def,
+  SELECT mention, entity_id, k_rank, kw_sim, exact_norm AS k_exact, def_w AS k_defw FROM (
+    SELECT mention, entity_id, kw_sim, exact_norm, def_w,
            row_number() OVER (PARTITION BY mention ORDER BY kw_sim DESC, entity_id ASC) AS k_rank
     FROM scored) x
   WHERE k_rank <= 100 AND kw_sim > 0
@@ -1643,7 +1673,7 @@ fused AS (
          COALESCE(v.entity_id, k.entity_id) AS entity_id,
          v.v_rank, k.k_rank, v.vec_sim, k.kw_sim,
          COALESCE(v.exact_norm, k.k_exact) AS exact_norm,
-         COALESCE(v.is_def, k.k_def) AS is_def,
+         COALESCE(v.def_w, k.k_defw) AS def_w,
          COALESCE(CAST(1.0 AS DOUBLE) / ({rrf_k} + v.v_rank), CAST(0 AS DOUBLE))
            + COALESCE(CAST(1.0 AS DOUBLE) / ({rrf_k} + k.k_rank), CAST(0 AS DOUBLE)) AS rrf
   FROM vec_leg v FULL OUTER JOIN kw_leg k
@@ -1651,12 +1681,16 @@ fused AS (
 ),
 ranked AS (
   SELECT mention, entity_id, v_rank, k_rank, vec_sim, kw_sim, rrf,
-         (exact_norm = 1 OR is_def = 1) AS boost_applied,
-         CASE WHEN exact_norm = 1 OR is_def = 1 THEN rrf * CAST(2.0 AS DOUBLE) ELSE rrf END AS link_score,
+         (exact_norm = 1 OR def_w > 0) AS boost_applied,
+         CASE WHEN exact_norm = 1 THEN rrf * CAST(2.0 AS DOUBLE)
+              WHEN def_w > 0 THEN rrf * (CAST(1.0 AS DOUBLE) + (CAST(2.0 AS DOUBLE) - CAST(1.0 AS DOUBLE)) * def_w)
+              ELSE rrf END AS link_score,
          CASE WHEN v_rank IS NOT NULL AND k_rank IS NOT NULL THEN 'both'
               WHEN v_rank IS NOT NULL THEN 'semantic' ELSE 'keyword' END AS match_type,
          row_number() OVER (PARTITION BY mention ORDER BY
-           CASE WHEN exact_norm = 1 OR is_def = 1 THEN rrf * CAST(2.0 AS DOUBLE) ELSE rrf END DESC,
+           CASE WHEN exact_norm = 1 THEN rrf * CAST(2.0 AS DOUBLE)
+                WHEN def_w > 0 THEN rrf * (CAST(1.0 AS DOUBLE) + (CAST(2.0 AS DOUBLE) - CAST(1.0 AS DOUBLE)) * def_w)
+                ELSE rrf END DESC,
            (k_rank IS NOT NULL) DESC, entity_id ASC) AS link_rank
   FROM fused
 )
@@ -2550,6 +2584,21 @@ FROM walk GROUP BY root ORDER BY root
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # ---- ORDER POLICY (round 4): the driver's correctness gate checks the
+    # FIRST 50 entries, so the registry is ordered by proof-need —
+    # (1) everything whose semantics changed this round (derived-transcript
+    #     carriers, weighted def boost, dangling-mass PageRank, new analyze
+    #     operator) and everything the r03 driver window missed;
+    # (2) stalwarts that are driver-green but younger;
+    # (3) tail (outside the window): queries with THREE consecutive green
+    #     driver rows (r01-r03) and zero changes this round.
+    # --- (1) changed this round / never driver-checked -------------------
+    "kg_link_analyze": q_kg_link_analyze,
+    "graph_pagerank": q_graph_pagerank,
+    "kg_block_types": q_kg_block_types,
+    "kg_link_defboost": q_kg_link_defboost,
+    "kg_link_mentions": q_kg_link_mentions,
+    "kg_link_topn": q_kg_link_topn,
     "kg_extract_triples": q_kg_extract_triples,
     "kg_top_predicates": q_kg_top_predicates,
     "kg_mentions": q_kg_mentions,
@@ -2558,23 +2607,25 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_context_expand": q_kg_context_expand,
     "kg_qualified_mentions": q_kg_qualified_mentions,
     "kg_standalone_mentions": q_kg_standalone_mentions,
-    "kg_block_types": q_kg_block_types,
     "kg_edge_provenance": q_kg_edge_provenance,
     "transcript_quarantine": q_transcript_quarantine,
-    "rrf_fusion_docs": q_rrf_fusion_docs,
-    "pricing_summary": q_pricing_summary,
-    "top_orders_per_customer": q_top_orders_per_customer,
-    "customers_without_orders": q_customers_without_orders,
-    "revenue_per_nation": q_revenue_per_nation,
-    "event_neighbors": q_event_neighbors,
-    "doc_language_stats": q_doc_language_stats,
-    "doc_token_stats": q_doc_token_stats,
-    "doc_quality": q_doc_quality,
-    "doc_fingerprint": q_doc_fingerprint,
-    "doc_minhash": q_doc_minhash,
-    "doc_langid": q_doc_langid,
-    "doc_simhash": q_doc_simhash,
-    "doc_fp_overlap": q_doc_fp_overlap,
+    "kg_canonicalize": q_kg_canonicalize,
+    "kg_alias_bindings": q_kg_alias_bindings,
+    "kg_canonicalize_bindings": q_kg_canonicalize_bindings,
+    "kg_pipeline_nodes": q_kg_pipeline_nodes,
+    "kg_pipeline_edges": q_kg_pipeline_edges,
+    "kg_incremental_diff": q_kg_incremental_diff,
+    "blast_radius": q_blast_radius,
+    "deps_enrichment": q_deps_enrichment,
+    "event_type_pivot": q_event_type_pivot,
+    "glob_filter": q_glob_filter,
+    "graph_hubs": q_graph_hubs,
+    "graph_stats": q_graph_stats,
+    "graph_tree": q_graph_tree,
+    "price_percentiles": q_price_percentiles,
+    "rollup_revenue": q_rollup_revenue,
+    "sessionize_events": q_sessionize_events,
+    # --- (2) unchanged, driver-green, younger ----------------------------
     "doc_contamination": q_doc_contamination,
     "doc_repetition": q_doc_repetition,
     "dedup_near_pairs": q_dedup_near_pairs,
@@ -2590,29 +2641,23 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk": q_ann_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
-    "kg_link_mentions": q_kg_link_mentions,
-    "kg_link_topn": q_kg_link_topn,
-    "kg_link_analyze": q_kg_link_analyze,
-    "kg_link_defboost": q_kg_link_defboost,
-    "kg_canonicalize": q_kg_canonicalize,
-    "kg_alias_bindings": q_kg_alias_bindings,
-    "kg_canonicalize_bindings": q_kg_canonicalize_bindings,
-    "kg_pipeline_nodes": q_kg_pipeline_nodes,
-    "kg_pipeline_edges": q_kg_pipeline_edges,
+    "rrf_fusion_docs": q_rrf_fusion_docs,
     "graph_reach": q_graph_reach,
     "multi_index_merge": q_multi_index_merge,
-    "deps_enrichment": q_deps_enrichment,
-    "glob_filter": q_glob_filter,
-    "rollup_revenue": q_rollup_revenue,
-    "price_percentiles": q_price_percentiles,
-    "event_type_pivot": q_event_type_pivot,
-    "sessionize_events": q_sessionize_events,
-    "graph_hubs": q_graph_hubs,
-    "blast_radius": q_blast_radius,
-    "graph_tree": q_graph_tree,
-    "graph_stats": q_graph_stats,
-    "graph_pagerank": q_graph_pagerank,
-    "kg_incremental_diff": q_kg_incremental_diff,
+    # --- (3) tail: 3x consecutive driver-green (r01-r03), untouched ------
+    "pricing_summary": q_pricing_summary,
+    "top_orders_per_customer": q_top_orders_per_customer,
+    "customers_without_orders": q_customers_without_orders,
+    "revenue_per_nation": q_revenue_per_nation,
+    "event_neighbors": q_event_neighbors,
+    "doc_language_stats": q_doc_language_stats,
+    "doc_token_stats": q_doc_token_stats,
+    "doc_quality": q_doc_quality,
+    "doc_fingerprint": q_doc_fingerprint,
+    "doc_minhash": q_doc_minhash,
+    "doc_langid": q_doc_langid,
+    "doc_simhash": q_doc_simhash,
+    "doc_fp_overlap": q_doc_fp_overlap,
 }
 
 _PORTABLE_HASH = "CAST(('0x' || substr(md5({e}), 1, 15)) AS BIGINT)"
@@ -2758,7 +2803,7 @@ ORACLES: dict[str, str] = {
     "kg_link_mentions": _link_mentions_oracle(),
     "kg_link_topn": _link_mentions_oracle(top_n=3),
     "kg_link_analyze": _link_mentions_oracle(analyze=True, min_score=0.02),
-    "kg_link_defboost": _link_mentions_oracle(def_like="%ache"),
+    "kg_link_defboost": _link_mentions_oracle(def_cases=(("%ache", 1.0), ("%store", 0.5))),
     "graph_reach": ORACLE_GRAPH,
     "multi_index_merge": ORACLE_MULTI_INDEX,
     "deps_enrichment": ORACLE_DEPS_ENRICH,

@@ -101,16 +101,26 @@ def classify_block_col(text: Column, tool: Column) -> Column:
     per-format handlers): cheap structural predicates typing each turn's
     text. Transcript-shaped taxonomy:
 
-    - ``tool_output``  — the turn came from a tool invocation;
-    - ``code``         — contains a fenced code block (``````` marker);
-    - ``prose``        — everything else.
+    - ``tool_output``       — the turn came from a tool invocation;
+    - ``fenced_code``       — contains a fenced code block (``````` marker);
+    - ``log_dump``          — a line starts with a log-level tag
+      (``[ERROR]``/``[WARN]``/``[INFO]``/``[DEBUG]``);
+    - ``inline_tool_call``  — contains an unfenced ``ident(...)`` call;
+    - ``prose``             — everything else.
 
-    Pure Catalyst and portable: the identical CASE/LIKE form runs in the
-    DuckDB oracle. Downstream, linking boosts definition-typed blocks
-    (hybrid.py:419-481 analog)."""
+    The finer split mirrors the reference's per-format handler dispatch one
+    notch (handlers/__init__.py:130-224 registers ~15 language families);
+    precedence is fixed (tool > fence > log > call > prose) so every text
+    gets exactly one class deterministically. Pure Catalyst and portable:
+    the identical CASE/regex forms run in the DuckDB oracle (RE2 — no
+    lookahead used). Downstream, linking weights definition-typed blocks
+    differently (DEF_BLOCK_WEIGHTS: fenced evidence full boost, inline-call
+    evidence half — hybrid.py:419-481 analog)."""
     return (
         F.when(tool.isNotNull(), "tool_output")
-        .when(F.instr(text, "```") > 0, "code")
+        .when(F.instr(text, "```") > 0, "fenced_code")
+        .when(text.rlike(r"(?m)^\[(ERROR|WARN|INFO|DEBUG)\]"), "log_dump")
+        .when(text.rlike(r"[A-Za-z_][A-Za-z0-9_]*\("), "inline_tool_call")
         .otherwise("prose")
     )
 

@@ -51,7 +51,12 @@ def norm_tokens_col(name_col):
     return F.array_distinct(F.split(normalize_name_col(name_col), "_"))
 
 
-DEFINITION_BLOCK = "code"  # block_type that marks an alias as definition-like
+# Definition-evidence weight per block_type the alias was observed in
+# (hybrid.py:419-481 one notch further: the reference's handler registry
+# distinguishes block kinds, so fenced-code evidence outweighs an inline
+# tool call; "code" kept as the legacy alias of fenced_code). Weight w maps
+# to multiplier 1 + (boost-1)·w — w=1 is the full ×2 boost, w=0.5 → ×1.5.
+DEF_BLOCK_WEIGHTS = {"fenced_code": 1.0, "code": 1.0, "inline_tool_call": 0.5}
 
 
 def build_alias_index(catalog: DataFrame) -> DataFrame:
@@ -88,11 +93,13 @@ def _ranked_candidates(
 
     alias_idx = build_alias_index(catalog)
     has_blocks = "block_type" in alias_idx.columns
-    block_col = (
-        [(F.col("block_type") == DEFINITION_BLOCK).cast("int").alias("is_def")]
-        if has_blocks
-        else [F.lit(0).alias("is_def")]
-    )
+    if has_blocks:
+        w_expr = F.lit(0.0)
+        for bt, w in DEF_BLOCK_WEIGHTS.items():
+            w_expr = F.when(F.col("block_type") == bt, F.lit(w)).otherwise(w_expr)
+        block_col = [w_expr.alias("def_w")]
+    else:
+        block_col = [F.lit(0.0).alias("def_w")]
 
     # candidate pairs: any shared normalized token (resolver probe analog)
     cand = (
@@ -142,7 +149,7 @@ def _ranked_candidates(
         F.max("vec_sim").alias("vec_sim"),
         F.max("kw_sim").alias("kw_sim"),
         F.max((F.col("alias_norm") == F.col("m_norm")).cast("int")).alias("exact_norm"),
-        F.max("is_def").alias("is_def"),
+        F.max("def_w").alias("def_w"),
     )
 
     # ---- per-leg prefetch rank (deterministic tie-break on entity_id)
@@ -152,7 +159,7 @@ def _ranked_candidates(
         scored.withColumn("v_rank", F.row_number().over(w_vec))
         .filter(F.col("v_rank") <= prefetch)
         .select(
-            "mention", "m_norm", "entity_id", "exact_norm", "is_def", "vec_sim", "v_rank"
+            "mention", "m_norm", "entity_id", "exact_norm", "def_w", "vec_sim", "v_rank"
         )
     )
     kw_leg = (
@@ -167,7 +174,7 @@ def _ranked_candidates(
             # the vector prefetch but inside the keyword leg still carries
             # its exact-norm / definition flags into fusion
             F.col("exact_norm").alias("k_exact"),
-            F.col("is_def").alias("k_def"),
+            F.col("def_w").alias("k_defw"),
         )
     )
 
@@ -187,20 +194,32 @@ def _ranked_candidates(
             .otherwise("keyword"),
         )
         .withColumn(
-            # DEFINITION_BOOST_MULTIPLIER semantics (hybrid.py:33, 419-481):
-            # one ×2 boost if the candidate is definition-evidence — either
-            # an exact normalized-name match or an alias observed in a
-            # definition-typed (code) block; the boosts do not stack, and
-            # the flags are taken from whichever leg carried the candidate
+            # DEFINITION_BOOST_MULTIPLIER semantics (hybrid.py:33, 419-481),
+            # block-weighted: an exact normalized-name match gets the full
+            # ×boost; definition-typed block evidence gets 1+(boost-1)·w
+            # (full for fenced code, half for inline tool calls). Boosts do
+            # not stack — exact wins — and the flags are taken from
+            # whichever leg carried the candidate
             "boost_applied",
             (F.coalesce(F.col("exact_norm"), F.col("k_exact")) == 1)
-            | (F.coalesce(F.col("is_def"), F.col("k_def")) == 1),
+            | (F.coalesce(F.col("def_w"), F.col("k_defw")) > 0),
         )
         .withColumn(
             "link_score",
-            F.when(F.col("boost_applied"), F.col("rrf") * F.lit(boost)).otherwise(
+            F.when(
+                F.coalesce(F.col("exact_norm"), F.col("k_exact")) == 1,
+                F.col("rrf") * F.lit(boost),
+            )
+            .when(
+                F.col("boost_applied"),
                 F.col("rrf")
-            ),
+                * (
+                    1.0
+                    + (F.lit(boost) - 1.0)
+                    * F.coalesce(F.col("def_w"), F.col("k_defw"))
+                ),
+            )
+            .otherwise(F.col("rrf")),
         )
     )
 

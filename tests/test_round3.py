@@ -107,7 +107,7 @@ def test_classify_block_and_section(spark):
         ).collect()
     }
     assert out[0] == ("prose", None)
-    assert out[1] == ("code", None)
+    assert out[1] == ("fenced_code", None)  # round-4 taxonomy name
     assert out[2] == ("tool_output", None)
     assert out[3] == ("prose", "section_beta")  # innermost (last) heading
 
@@ -120,7 +120,7 @@ def test_chunks_carry_block_metadata(spark, tmp_path):
     run_pipeline(spark, t, out_dir=out)
     chunks = spark.read.parquet(f"{out}/chunks")
     assert "block_type" in chunks.columns and "section" in chunks.columns
-    assert chunks.filter(F.col("block_type") == "code").count() >= 1
+    assert chunks.filter(F.col("block_type") == "fenced_code").count() >= 1
 
 
 # -------------------------------------------------------- definition boost

@@ -154,3 +154,63 @@ def test_commit_extra_fields_roundtrip(spark, tmp_path):
     # reserved fields always win over extra
     store.commit(rows, stage="t2", extra={"version": 999})
     assert store.last_snapshot()["version"] == 2
+
+
+def test_block_taxonomy_classes(spark):
+    """X3 round-4 taxonomy: tool > fence > log > inline-call > prose
+    precedence, one class per text, deterministic."""
+    from coco_search_spark.functions.text import classify_block_col
+
+    rows = [
+        ("plain words here", None, "prose"),
+        ("x ```\ncode\n```", None, "fenced_code"),
+        ("start\n[INFO] something happened", None, "log_dump"),
+        ("then run_probe() ok", None, "inline_tool_call"),
+        # precedence: fence beats the log line AND the call
+        ("```\nf()\n```\n[ERROR] x", None, "fenced_code"),
+        # tool turn wins over everything
+        ("```\nf()\n```", "grep", "tool_output"),
+        # [INFO] mid-line is NOT a log dump (line-start anchored)
+        ("see [INFO] inline", None, "prose"),
+    ]
+    df = spark.createDataFrame(
+        [(t, tool) for t, tool, _ in rows], "text string, tool string"
+    ).select(classify_block_col(F.col("text"), F.col("tool")).alias("bt"))
+    assert [r["bt"] for r in df.collect()] == [want for _, _, want in rows]
+
+
+def test_weighted_definition_boost_tiers(spark):
+    """Fenced-code evidence (w=1 → ×2) must outrank inline-tool-call
+    evidence (w=0.5 → ×1.5), which must outrank plain prose, on otherwise
+    tied candidates; an exact-norm match still wins outright."""
+    from coco_search_spark.operators.linking import link_surfaces_analyze
+
+    mentions = spark.createDataFrame([("shared_name",)], "mention string")
+    catalog = spark.createDataFrame(
+        [
+            ("ent_prose", "shared_alpha", "prose"),
+            ("ent_inline", "shared_beta", "inline_tool_call"),
+            ("ent_fenced", "shared_gamma", "fenced_code"),
+        ],
+        "entity_id string, alias string, block_type string",
+    )
+    diag = {
+        r["entity_id"]: r
+        for r in link_surfaces_analyze(mentions, catalog, embedder="expr").collect()
+    }
+    assert diag["ent_fenced"]["boost_applied"] and diag["ent_inline"]["boost_applied"]
+    assert not diag["ent_prose"]["boost_applied"]
+    # same raw rrf base (symmetric candidates) — the weight tier decides
+    assert (
+        diag["ent_fenced"]["link_score"]
+        > diag["ent_inline"]["link_score"]
+        > diag["ent_prose"]["link_score"]
+    )
+    # ratios pin the weight semantics: x2 vs x1.5 over the same rrf
+    # (rrf in the diagnostic is rounded to 6 dp → ~1e-5 ratio slack)
+    assert abs(
+        diag["ent_fenced"]["link_score"] / diag["ent_fenced"]["rrf"] - 2.0
+    ) < 1e-4
+    assert abs(
+        diag["ent_inline"]["link_score"] / diag["ent_inline"]["rrf"] - 1.5
+    ) < 1e-4
