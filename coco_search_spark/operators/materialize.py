@@ -31,7 +31,7 @@ DEFAULT_SALT_BUCKETS = 16
 
 
 def resolve_edges(
-    triples: DataFrame, links: DataFrame
+    triples: DataFrame, links: DataFrame, links_small: bool | None = None
 ) -> DataFrame:
     """triples(conv_id, turn_idx, subj, pred, obj) × links(mention →
     entity/canon id) → edges with canonical endpoint ids + provenance.
@@ -39,14 +39,17 @@ def resolve_edges(
     links: (mention, canon_id). Unmatched surfaces keep null ids — the
     reference's unresolved-external semantics (models.py:33-35).
 
-    Join strategy is left to AQE on purpose: the link map is
-    vocabulary-sized, which is *usually* broadcastable, but SCALE.md's own
-    contingency plans for 10^9 distinct surfaces — a table that size cannot
-    broadcast, and a forced hint would remove Catalyst's ability to fall
-    back to a shuffle join. AQE broadcasts when the runtime size is under
-    the threshold and sort-merges otherwise; results are
-    join-strategy-invariant either way.
+    Join strategy: the link map is vocabulary-sized, which is *usually*
+    broadcastable, but SCALE.md's own contingency plans for 10^9 distinct
+    surfaces — a table that size cannot broadcast, and an unconditionally
+    forced hint would remove Catalyst's ability to fall back to a shuffle
+    join. ``links_small=True`` (the pipeline passes it when the surface
+    count it already computed for metrics is under the broadcast budget)
+    applies the explicit hint and skips AQE's conversion overhead; left
+    None, AQE decides from runtime sizes. Results are join-strategy-
+    invariant either way.
     """
+    hint = F.broadcast if links_small else (lambda df: df)
     subj_link = links.select(
         F.col("mention").alias("subj"), F.col("canon_id").alias("subj_id")
     ).distinct()
@@ -59,8 +62,8 @@ def resolve_edges(
     # type to materialize)
     prov = [c for c in ("src_offset", "src_seg_idx") if c in triples.columns]
     return (
-        triples.join(subj_link, "subj", "left")
-        .join(obj_link, "obj", "left")
+        triples.join(hint(subj_link), "subj", "left")
+        .join(hint(obj_link), "obj", "left")
         .select("subj_id", "pred", "obj_id", "subj", "obj", "conv_id", "turn_idx", *prov)
     )
 

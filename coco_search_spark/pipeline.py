@@ -34,6 +34,14 @@ from coco_search_spark.operators.segments import segment_turns
 from coco_search_spark.operators.validate import split_quarantine
 from coco_search_spark.state import StateStore, conversation_hashes, diff_against_state
 
+# Vocabulary size under which the link/vector tables get an explicit
+# broadcast hint in the pipeline (they certainly fit: ≤ a few hundred MB).
+# Above it — the 10^9-distinct-surface contingency in SCALE.md — no hint
+# is forced and every join keeps its sort-merge fallback (AQE may still
+# broadcast if runtime sizes allow). The count used for the gate is the
+# n_surfaces metric the pipeline computes anyway.
+BROADCAST_SURFACE_LIMIT = 5_000_000
+
 
 @dataclass
 class PipelineResult:
@@ -245,6 +253,12 @@ def run_pipeline(
     for p in surface_parts[1:]:
         surfaces = surfaces.unionByName(p)
     surfaces = surfaces.distinct().localCheckpoint(eager=True)
+    # counted once (reused in metrics): gates the count-based broadcast
+    # hints below — under the budget the vocabulary tables get an explicit
+    # broadcast (no AQE conversion overhead); over it (the 10^9-surface
+    # contingency) every join keeps its sort-merge fallback
+    n_surfaces = surfaces.count()
+    links_small = n_surfaces <= BROADCAST_SURFACE_LIMIT
 
     # linking and canonicalization are INDEPENDENT consumers of the same
     # checkpointed surface table — submit both from separate threads so
@@ -308,16 +322,16 @@ def run_pipeline(
         .select("mention", F.coalesce("entity_id", "canon_id").alias("canon_id"))
     )
 
-    edges = resolve_edges(triples, link_map).cache()
+    edges = resolve_edges(triples, link_map, links_small=links_small).cache()
     # relation-free entities (X2): canonical ids of standalone mentions
     # become degree-0 nodes unless they also appear as edge endpoints.
-    # No forced broadcast: link_map is vocabulary-sized, which AQE will
-    # broadcast when it fits — but at the 10^9-surface contingency in
-    # SCALE.md it cannot, and the hint must not take the fallback away.
+    # Broadcast is count-gated (links_small), never unconditionally forced:
+    # at the 10^9-surface contingency in SCALE.md the link map cannot
+    # broadcast and the join must keep its sort-merge fallback.
     standalone_ids = (
         standalone.select(F.col("mention"))
         .distinct()
-        .join(link_map, "mention")
+        .join(F.broadcast(link_map) if links_small else link_map, "mention")
         .select(F.col("canon_id").alias("entity_id"))
         .distinct()
     )
@@ -355,7 +369,7 @@ def run_pipeline(
         "snapshot_age_sec": snapshot_age,
         "n_unchanged_convs": n_unchanged,
         "n_quarantined_turns": n_quarantined,
-        "n_surfaces": surfaces.count(),
+        "n_surfaces": n_surfaces,
         "n_nodes": nodes.count(),
         "stage_timings": timings,
     }
