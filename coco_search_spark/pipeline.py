@@ -108,6 +108,8 @@ def run_pipeline(
     # from, surfaced BEFORE this run commits a fresh snapshot
     snapshot_age = store.staleness_seconds() if store else None
     prev_facts: DataFrame | None = None
+    prev_links: DataFrame | None = None
+    catalog_fp: str | None = None
     dirty = transcripts
     n_unchanged = 0
     cur_hashes = None
@@ -124,6 +126,24 @@ def run_pipeline(
         # Snapshots from before the stamp existed (no config_hash) are
         # treated as compatible — unknown is not known-different.
         config_compatible = snap is None or snap.get("config_hash") in (None, cfg_hash)
+        # incremental LINK reuse (one level up from the extraction diff):
+        # link(surface) is pure in (surface, catalog, config), so when both
+        # identities match the previous snapshot, per-surface links are
+        # exactly reusable and only the vocabulary delta needs scoring.
+        # Any mismatch (or a pre-links snapshot) falls back to a full
+        # re-link — unknown is not known-different here either.
+        if catalog is not None:
+            from coco_search_spark.operators.link_state import catalog_fingerprint
+
+            catalog_fp = catalog_fingerprint(catalog)
+            if (
+                config_compatible
+                and snap
+                and snap.get("links_path")
+                and os.path.exists(snap["links_path"])
+                and snap.get("catalog_fp") == catalog_fp
+            ):
+                prev_links = spark.read.parquet(snap["links_path"])
         if not config_compatible and n_unchanged > 0:
             import warnings
 
@@ -269,23 +289,49 @@ def run_pipeline(
     from concurrent.futures import ThreadPoolExecutor
 
     def _compute_links():
-        if catalog is not None:
-            links = link_surfaces(
-                surfaces.select(F.col("surface").alias("mention")),
-                catalog,
-                embed_dim=embed_dim,
-                prefetch=cfg.max_prefetch,
-                rrf_k=cfg.rrf_k,
-                min_score=cfg.min_link_score,
-                boost=cfg.exact_match_boost,
+        """→ (links, n_fresh, n_reused). With a reusable previous link
+        table (catalog fp + config identity both matched), only the
+        vocabulary delta is scored; reused rows are value-identical to a
+        re-score by per-surface purity, so the merged output equals a full
+        re-link row for row (test_link_state asserts it)."""
+        if catalog is None:
+            return (
+                surfaces.select(
+                    F.col("surface").alias("mention"),
+                    F.lit(None).cast("string").alias("entity_id"),
+                    F.lit(None).cast("double").alias("link_score"),
+                    F.lit(None).cast("string").alias("match_type"),
+                ),
+                0,
+                0,
             )
-            return links.localCheckpoint(eager=True)
-        return surfaces.select(
-            F.col("surface").alias("mention"),
-            F.lit(None).cast("string").alias("entity_id"),
-            F.lit(None).cast("double").alias("link_score"),
-            F.lit(None).cast("string").alias("match_type"),
+        mentions = surfaces.select(F.col("surface").alias("mention"))
+        reusable = None
+        if prev_links is not None:
+            from coco_search_spark.operators.link_state import split_link_work
+
+            mentions, reusable = split_link_work(mentions, prev_links)
+            # delta-sized checkpoint: consumed twice (count + scoring)
+            mentions = mentions.localCheckpoint(eager=True)
+        n_fresh = mentions.count() if reusable is not None else n_surfaces
+        links = link_surfaces(
+            mentions,
+            catalog,
+            embed_dim=embed_dim,
+            prefetch=cfg.max_prefetch,
+            rrf_k=cfg.rrf_k,
+            min_score=cfg.min_link_score,
+            boost=cfg.exact_match_boost,
         )
+        if reusable is not None:
+            from coco_search_spark.operators.link_state import merge_links
+
+            # the persisted table carries one row per previous surface
+            # including the no-link ones (entity_id NULL) so the delta
+            # anti-join is exact; a full re-link emits no row for those,
+            # so drop them from the merged output for value parity
+            links = merge_links(links, reusable.filter(F.col("entity_id").isNotNull()))
+        return links.localCheckpoint(eager=True), n_fresh, n_surfaces - n_fresh
 
     def _compute_canon():
         # in-text alias bindings ("TARGET as ALIAS") are explicit
@@ -310,7 +356,7 @@ def run_pipeline(
     with ThreadPoolExecutor(max_workers=2) as pool:
         f_links = pool.submit(_compute_links)
         f_canon = pool.submit(_compute_canon)
-        surface_links = f_links.result()
+        surface_links, n_links_fresh, n_links_reused = f_links.result()
         canon = f_canon.result()
     links_raw = surface_links
     _stamp("link_canonicalize")
@@ -340,6 +386,7 @@ def run_pipeline(
     _stamp("resolve_nodes")
 
     facts_path = None
+    links_path = None
     if out_dir:
         if chunks is not None:
             chunks.write.mode("overwrite").parquet(f"{out_dir}/chunks")
@@ -354,6 +401,16 @@ def run_pipeline(
             # alone would drop the other families for unchanged convs
             facts_path = f"{out_dir}/facts_v{version:06d}"
             combined.write.mode("overwrite").parquet(facts_path)
+        if catalog is not None:
+            # per-surface link table for next-run reuse: one row per
+            # CURRENT vocabulary surface, entity_id NULL where linking
+            # produced no row — the completeness makes the next run's
+            # delta anti-join exact. Vocabulary-sized; versioned like
+            # facts so a lazy reader of the previous snapshot survives.
+            links_path = f"{out_dir}/links_v{version:06d}"
+            surfaces.select(F.col("surface").alias("mention")).join(
+                surface_links, "mention", "left"
+            ).write.mode("overwrite").parquet(links_path)
         _stamp("write_graph_triples")
 
     n_quarantined = quarantined.count()
@@ -370,6 +427,8 @@ def run_pipeline(
         "n_unchanged_convs": n_unchanged,
         "n_quarantined_turns": n_quarantined,
         "n_surfaces": n_surfaces,
+        "n_links_fresh": n_links_fresh,
+        "n_links_reused": n_links_reused,
         "n_nodes": nodes.count(),
         "stage_timings": timings,
     }
@@ -406,6 +465,10 @@ def run_pipeline(
         }
         if facts_path:
             extra["facts_path"] = facts_path
+        if links_path:
+            extra["links_path"] = links_path
+        if catalog_fp:
+            extra["catalog_fp"] = catalog_fp
         snapshot_id = store.commit(state_rows, stage="materialize", extra=extra)
         metrics["snapshot_id"] = snapshot_id
 
