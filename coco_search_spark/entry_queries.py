@@ -1388,6 +1388,64 @@ def q_kg_link_analyze(spark, sf_dir):
     )
 
 
+def q_kg_link_delta(spark, sf_dir):
+    """Incremental link reuse (operators/link_state, round 4) through the
+    driver gate: a deterministic hash-subset of the vocabulary plays the
+    "previous run" (its per-surface link table persisted INCLUDING no-link
+    rows, exactly as the pipeline writes it), the full vocabulary is the
+    current run. ``split_link_work`` anti-joins out exactly the unseen
+    surfaces, only those are scored, ``merge_links`` unions the reused rows
+    back. Each output row carries its origin from the ACTUAL split result
+    (not the hash rule), so the oracle — full linking plus the hash rule —
+    value-checks both reuse claims at once: merged links equal a full
+    re-link (per-surface purity) and the fresh/reused partition equals
+    previous-vocabulary membership."""
+    from coco_search_spark.operators.link_state import merge_links, split_link_work
+    from coco_search_spark.operators.linking import link_surfaces
+
+    surf, catalog = _surfaces_and_catalog(spark, sf_dir)
+    mentions = surf.select(F.col("surface").alias("mention"))
+    prev_vocab = mentions.filter(
+        F.pmod(portable_hash_col(F.col("mention")), F.lit(3)) != 0
+    )
+    prev_links = prev_vocab.join(
+        link_surfaces(prev_vocab, catalog, embedder="expr"), "mention", "left"
+    )
+    to_link, reusable = split_link_work(mentions, prev_links)
+    fresh = link_surfaces(to_link, catalog, embedder="expr")
+    merged = merge_links(fresh, reusable.filter(F.col("entity_id").isNotNull()))
+    return (
+        merged.join(
+            to_link.select("mention", F.lit("fresh").alias("origin")),
+            "mention",
+            "left",
+        )
+        .select(
+            "mention",
+            "entity_id",
+            "link_score",
+            "match_type",
+            F.coalesce("origin", F.lit("reused")).alias("origin"),
+        )
+        .orderBy("mention")
+    )
+
+
+def _link_delta_oracle() -> str:
+    """Full-re-link oracle + the membership rule: by per-surface purity the
+    merged Spark output must equal plain full linking, with origin decided
+    by the same portable hash that selected the previous vocabulary."""
+    from coco_search_spark.functions.text import PORTABLE_HASH_DUCKDB
+
+    h = PORTABLE_HASH_DUCKDB.format(expr="mention")
+    return f"""
+SELECT mention, entity_id, link_score, match_type,
+       CASE WHEN {h} % 3 = 0 THEN 'fresh' ELSE 'reused' END AS origin
+FROM ({_link_mentions_oracle()}) t
+ORDER BY mention
+"""
+
+
 def q_kg_link_defboost(spark, sf_dir):
     """The block-WEIGHTED definition boost (X3 consumer, hybrid.py:419-481
     one notch further — the reference's handler registry distinguishes
@@ -2594,6 +2652,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #     driver rows (r01-r03) and zero changes this round.
     # --- (1) changed this round / never driver-checked -------------------
     "kg_link_analyze": q_kg_link_analyze,
+    "kg_link_delta": q_kg_link_delta,
     "graph_pagerank": q_graph_pagerank,
     "kg_block_types": q_kg_block_types,
     "kg_link_defboost": q_kg_link_defboost,
@@ -2803,6 +2862,7 @@ ORACLES: dict[str, str] = {
     "kg_link_mentions": _link_mentions_oracle(),
     "kg_link_topn": _link_mentions_oracle(top_n=3),
     "kg_link_analyze": _link_mentions_oracle(analyze=True, min_score=0.02),
+    "kg_link_delta": _link_delta_oracle(),
     "kg_link_defboost": _link_mentions_oracle(def_cases=(("%ache", 1.0), ("%store", 0.5))),
     "graph_reach": ORACLE_GRAPH,
     "multi_index_merge": ORACLE_MULTI_INDEX,

@@ -108,6 +108,7 @@ def run_pipeline(
     # from, surfaced BEFORE this run commits a fresh snapshot
     snapshot_age = store.staleness_seconds() if store else None
     prev_facts: DataFrame | None = None
+    prev_chunks: DataFrame | None = None
     prev_links: DataFrame | None = None
     catalog_fp: str | None = None
     dirty = transcripts
@@ -152,9 +153,22 @@ def run_pipeline(
                 f" != current {cfg_hash}; falling back to full re-extract"
             )
         if n_unchanged > 0:
+            # chunk-sink incrementality: the chunks relation must stay
+            # COMPLETE across incremental runs, so unchanged conversations'
+            # chunk rows (embeddings included — the expensive stage) are
+            # re-read from the previous snapshot instead of recomputed.
+            # When out_dir is set but the previous chunks are not
+            # reloadable, fall back to a full run — a chunks table missing
+            # the unchanged conversations would be silently wrong.
+            chunks_reloadable = out_dir is None or bool(
+                snap
+                and snap.get("chunks_path")
+                and os.path.exists(snap["chunks_path"])
+            )
             if (
                 extractor == "native"
                 and config_compatible
+                and chunks_reloadable
                 and snap
                 and snap.get("facts_path")
                 and os.path.exists(snap["facts_path"])
@@ -167,6 +181,10 @@ def run_pipeline(
                 prev_facts = (
                     spark.read.parquet(snap["facts_path"]).join(unchanged_ids, "conv_id", "left_semi")
                 )
+                if out_dir is not None:
+                    prev_chunks = spark.read.parquet(snap["chunks_path"]).join(
+                        unchanged_ids, "conv_id", "left_semi"
+                    )
             else:
                 # unchanged conversations exist but their previous facts are
                 # not reloadable (prior run committed state without an
@@ -387,14 +405,23 @@ def run_pipeline(
 
     facts_path = None
     links_path = None
+    chunks_path = None
     if out_dir:
+        # versioned paths: never overwrite the snapshot a lazy prev_* plan
+        # may still be reading (Iceberg snapshots give this for free)
+        version = store.next_version() if store else 1
         if chunks is not None:
-            chunks.write.mode("overwrite").parquet(f"{out_dir}/chunks")
+            if prev_chunks is not None:
+                # merge-on-write (Iceberg MERGE INTO analog): fresh chunks
+                # for dirty conversations + reloaded rows for unchanged
+                # ones — embeddings for unchanged text are never recomputed.
+                # allowMissingColumns: chunk columns added since the prior
+                # snapshot reload as NULLs (same evolution rule as facts).
+                chunks = chunks.unionByName(prev_chunks, allowMissingColumns=True)
+            chunks_path = f"{out_dir}/chunks_v{version:06d}"
+            chunks.write.mode("overwrite").parquet(chunks_path)
         _stamp("write_chunks")
         write_graph(nodes, edges, out_dir)
-        # versioned path: never overwrite the snapshot a lazy prev_facts
-        # plan may still be reading (Iceberg snapshots give this for free)
-        version = store.next_version() if store else 1
         if combined is not None:
             # the COMBINED fact table (triples + standalone mentions +
             # bindings, kind-tagged) is the resume unit — restoring triples
@@ -467,6 +494,8 @@ def run_pipeline(
             extra["facts_path"] = facts_path
         if links_path:
             extra["links_path"] = links_path
+        if chunks_path:
+            extra["chunks_path"] = chunks_path
         if catalog_fp:
             extra["catalog_fp"] = catalog_fp
         snapshot_id = store.commit(state_rows, stage="materialize", extra=extra)

@@ -99,13 +99,18 @@ def test_resolve_edges_link_map_broadcasts_via_aqe(spark, fx):
     )
     plan = _final_plan(resolve_edges(triples, links))
     assert "BroadcastHashJoin" in plan, plan
-    # the hint itself must be gone: a forced broadcast would plan
-    # BroadcastHashJoin even in the static plan with AQE disabled
-    import inspect
-
-    from coco_search_spark.operators import materialize
-
-    assert "F.broadcast" not in inspect.getsource(materialize.resolve_edges)
+    # the hint is COUNT-GATED, never unconditional: with size-based
+    # auto-broadcast disabled (what the 10^9-surface contingency looks
+    # like to the planner), links_small=False must keep the shuffle-join
+    # fallback, and only links_small=True may force broadcast
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        static = _formatted(resolve_edges(triples, links, links_small=False))
+        assert "BroadcastHashJoin" not in static, static
+        hinted = _formatted(resolve_edges(triples, links, links_small=True))
+        assert "BroadcastHashJoin" in hinted, hinted
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
 
 
 def test_no_python_udf_in_native_extraction(spark):

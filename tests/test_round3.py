@@ -118,7 +118,7 @@ def test_chunks_carry_block_metadata(spark, tmp_path):
     t = _tdf(spark, [("c3", 0, "alpha_service calls beta_store . ```\ncode\n```")])
     out = str(tmp_path / "out")
     run_pipeline(spark, t, out_dir=out)
-    chunks = spark.read.parquet(f"{out}/chunks")
+    chunks = spark.read.parquet(f"{out}/chunks_v000001")
     assert "block_type" in chunks.columns and "section" in chunks.columns
     assert chunks.filter(F.col("block_type") == "fenced_code").count() >= 1
 

@@ -214,3 +214,74 @@ def test_weighted_definition_boost_tiers(spark):
     assert abs(
         diag["ent_inline"]["link_score"] / diag["ent_inline"]["rrf"] - 1.5
     ) < 1e-4
+
+
+# ------------------------------------------------- chunk-sink incrementality
+
+
+def _chunk_rows(df):
+    return sorted(
+        (
+            r["conv_id"],
+            r["turn_idx"],
+            r["seg_idx"],
+            r["seg_text"],
+            r["block_type"],
+            tuple(r["embedding"]),
+        )
+        for r in df.collect()
+    )
+
+
+def test_incremental_chunks_stay_complete(spark, fx, tmp_path):
+    """The chunks relation must stay COMPLETE across incremental runs:
+    unchanged conversations' rows (embeddings included) are reloaded from
+    the previous snapshot, and the merged table is value-identical to a
+    cold run over the same input. Before round 4 the sink was overwritten
+    with only the dirty conversations' chunks."""
+    sdf = fixtures.transcripts_sdf(spark, fx)
+    state = str(tmp_path / "state")
+    run_pipeline(spark, sdf, out_dir=str(tmp_path / "o1"), state_dir=state)
+    snap1 = StateStore(state).last_snapshot()
+    assert snap1.get("chunks_path") and os.path.exists(snap1["chunks_path"])
+
+    cid = sdf.select("conv_id").first()["conv_id"]
+    mutated = sdf.withColumn(
+        "text",
+        F.when(
+            (F.col("conv_id") == cid) & (F.col("turn_idx") == 0),
+            F.concat(F.col("text"), F.lit(" freshly appended tail words")),
+        ).otherwise(F.col("text")),
+    )
+    r2 = run_pipeline(
+        spark, mutated, out_dir=str(tmp_path / "o2"), state_dir=state
+    )
+    assert r2.metrics["n_unchanged_convs"] > 0  # reuse actually happened
+    snap2 = StateStore(state).last_snapshot()
+    assert snap2["chunks_path"] != snap1["chunks_path"]  # versioned, not clobbered
+    got = spark.read.parquet(snap2["chunks_path"])
+    # ground truth: cold full run over the same mutated input
+    run_pipeline(spark, mutated, out_dir=str(tmp_path / "o3"))
+    want = spark.read.parquet(str(tmp_path / "o3") + "/chunks_v000001")
+    assert _chunk_rows(got) == _chunk_rows(want)
+
+
+def test_missing_prev_chunks_falls_back_to_full(spark, fx, tmp_path):
+    """A snapshot whose chunks table vanished (or predates chunk
+    versioning) must trigger a full re-extract — an incremental run that
+    cannot reload unchanged conversations' chunks would write an
+    incomplete chunks relation."""
+    import shutil
+
+    sdf = fixtures.transcripts_sdf(spark, fx)
+    state = str(tmp_path / "state")
+    run_pipeline(spark, sdf, out_dir=str(tmp_path / "o1"), state_dir=state)
+    snap = StateStore(state).last_snapshot()
+    shutil.rmtree(snap["chunks_path"])
+    r2 = run_pipeline(spark, sdf, out_dir=str(tmp_path / "o2"), state_dir=state)
+    assert r2.metrics["n_unchanged_convs"] == 0  # conservative fallback
+    got = spark.read.parquet(
+        StateStore(state).last_snapshot()["chunks_path"]
+    )
+    n_convs = sdf.select("conv_id").distinct().count()
+    assert got.select("conv_id").distinct().count() == n_convs
