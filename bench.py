@@ -162,6 +162,52 @@ def run_bench(cpus: int, sf_dir: str) -> dict:
             stage_timings = res.metrics.get("stage_timings", {})
     timings["kg_pipeline"] = round(wall, 3)
 
+    # ---- incremental receipt: a second run over a ~1% conversation delta
+    # must cost a fraction of the cold run — extraction diff + chunk reuse
+    # (no re-embedding of unchanged text) + per-surface link reuse, the
+    # three delta-scaling paths SCALE.md claims. Skipped in scaling mode
+    # (the scaling gate measures the cold pipeline only).
+    incr = None
+    if not os.environ.get("SPARK_GRAFT_SKIP_INCR"):
+        import shutil
+
+        state_dir = f"/tmp/coco_bench_state_{cpus}"
+        incr_out = f"/tmp/coco_bench_incr_out_{cpus}"
+        shutil.rmtree(state_dir, ignore_errors=True)
+        shutil.rmtree(incr_out, ignore_errors=True)
+        t0 = time.perf_counter()
+        run_pipeline(
+            spark, transcripts, catalog=catalog, out_dir=incr_out, state_dir=state_dir
+        )
+        cold = round(time.perf_counter() - t0, 3)
+        delta = transcripts.withColumn(
+            "text",
+            F.when(
+                F.pmod(F.xxhash64("conv_id"), F.lit(100)) == 0,
+                F.concat(F.col("text"), F.lit(" deltapatch marker")),
+            ).otherwise(F.col("text")),
+        )
+        t0 = time.perf_counter()
+        res_i = run_pipeline(
+            spark, delta, catalog=catalog, out_dir=incr_out, state_dir=state_dir
+        )
+        warm = round(time.perf_counter() - t0, 3)
+        timings["kg_incremental_cold"] = cold
+        timings["kg_incremental_warm"] = warm
+        incr = {
+            "cold_sec": cold,
+            "warm_sec": warm,
+            "speedup": round(cold / max(warm, 1e-9), 2),
+            "n_unchanged_convs": res_i.metrics["n_unchanged_convs"],
+            "n_links_reused": res_i.metrics["n_links_reused"],
+            "n_links_fresh": res_i.metrics["n_links_fresh"],
+            # the warm wall decomposes into delta-scaling stages (extract,
+            # chunk embed+write) and the semantically-global remainder
+            # (canonicalize + edge re-resolution — the reference's own
+            # "re-resolve all" correctness rule)
+            "warm_stages": res_i.metrics.get("stage_timings", {}),
+        }
+
     spark.stop()
     return {
         "metric": "kg_pipeline_wall_sec",
@@ -176,6 +222,7 @@ def run_bench(cpus: int, sf_dir: str) -> dict:
         "triples_per_sec": round(n_triples / wall, 1),
         "turns_per_sec": round(n_turns / wall, 1),
         "kg_stages": stage_timings,
+        "kg_incremental": incr,
     }
 
 
@@ -200,7 +247,12 @@ def _burn(n: int) -> int:
 
 
 def _subprocess_bench(cpus: int) -> dict:
-    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SKIP_QUERIES="1")
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS=str(cpus),
+        SPARK_GRAFT_SKIP_QUERIES="1",
+        SPARK_GRAFT_SKIP_INCR="1",
+    )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env, capture_output=True, text=True, check=True,

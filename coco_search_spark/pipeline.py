@@ -43,6 +43,44 @@ from coco_search_spark.state import StateStore, conversation_hashes, diff_agains
 BROADCAST_SURFACE_LIMIT = 5_000_000
 
 
+def _parts_ok(parts: list[dict] | None) -> bool:
+    return bool(parts) and all(os.path.exists(p["path"]) for p in parts)
+
+
+def _reload_parts(
+    spark: SparkSession,
+    parts: list[dict],
+    unchanged_ids: DataFrame,
+    stored: DataFrame,
+) -> DataFrame:
+    """Current rows of a delta-written table restricted to the unchanged
+    conversations. A conversation's authoritative rows live in the part
+    whose version equals its ``written_version`` state column (stale rows
+    of since-changed conversations in older parts are thereby skipped);
+    with a single part — cold run or fresh compaction — the part IS the
+    full table and no version resolution is needed."""
+    if len(parts) == 1:
+        return spark.read.parquet(parts[0]["path"]).join(
+            unchanged_ids, "conv_id", "left_semi"
+        )
+    versions = stored.select("conv_id", "written_version").join(
+        unchanged_ids, "conv_id", "left_semi"
+    )
+    out = None
+    for p in parts:
+        rows = spark.read.parquet(p["path"]).join(
+            versions.filter(F.col("written_version") == p["version"]).select(
+                "conv_id"
+            ),
+            "conv_id",
+            "left_semi",
+        )
+        # allowMissingColumns: parts written by different engine versions
+        # may differ in columns (same evolution rule as ensure_columns)
+        out = rows if out is None else out.unionByName(rows, allowMissingColumns=True)
+    return out
+
+
 @dataclass
 class PipelineResult:
     triples: DataFrame
@@ -108,9 +146,12 @@ def run_pipeline(
     # from, surfaced BEFORE this run commits a fresh snapshot
     snapshot_age = store.staleness_seconds() if store else None
     prev_facts: DataFrame | None = None
-    prev_chunks: DataFrame | None = None
     prev_links: DataFrame | None = None
     catalog_fp: str | None = None
+    facts_parts: list[dict] | None = None
+    chunks_parts: list[dict] | None = None
+    unchanged_ids: DataFrame | None = None
+    dirty_ids: DataFrame | None = None
     dirty = transcripts
     n_unchanged = 0
     cur_hashes = None
@@ -153,38 +194,31 @@ def run_pipeline(
                 f" != current {cfg_hash}; falling back to full re-extract"
             )
         if n_unchanged > 0:
-            # chunk-sink incrementality: the chunks relation must stay
-            # COMPLETE across incremental runs, so unchanged conversations'
-            # chunk rows (embeddings included — the expensive stage) are
-            # re-read from the previous snapshot instead of recomputed.
-            # When out_dir is set but the previous chunks are not
-            # reloadable, fall back to a full run — a chunks table missing
-            # the unchanged conversations would be silently wrong.
-            chunks_reloadable = out_dir is None or bool(
-                snap
-                and snap.get("chunks_path")
-                and os.path.exists(snap["chunks_path"])
-            )
+            # facts/chunks are DELTA-WRITTEN (Iceberg MERGE analog): each
+            # run's dir holds only its dirty conversations' rows, and a
+            # conversation's authoritative rows live in the dir matching
+            # its written_version state column. Reload requires every part
+            # dir to exist; the chunks relation must additionally be
+            # reloadable whenever out_dir is set — an incremental run that
+            # cannot restore unchanged conversations' chunks would publish
+            # an incomplete chunks table. Any gap → conservative full run.
+            facts_parts = store.table_parts("facts")
+            chunks_parts = store.table_parts("chunks")
+            chunks_reloadable = out_dir is None or _parts_ok(chunks_parts)
             if (
                 extractor == "native"
                 and config_compatible
                 and chunks_reloadable
-                and snap
-                and snap.get("facts_path")
-                and os.path.exists(snap["facts_path"])
+                and _parts_ok(facts_parts)
             ):
                 # restore EVERY fact family of unchanged conversations —
                 # triples alone would silently drop their standalone
                 # mentions (degree-0 nodes) and alias bindings (cluster
                 # merges) from this run's output
                 unchanged_ids = diff.filter(F.col("status") == "unchanged").select("conv_id")
-                prev_facts = (
-                    spark.read.parquet(snap["facts_path"]).join(unchanged_ids, "conv_id", "left_semi")
-                )
-                if out_dir is not None:
-                    prev_chunks = spark.read.parquet(snap["chunks_path"]).join(
-                        unchanged_ids, "conv_id", "left_semi"
-                    )
+                prev_facts = _reload_parts(spark, facts_parts, unchanged_ids, stored)
+                # prev CHUNKS are not read on a normal delta run (nothing
+                # downstream consumes them) — only compaction reloads them
             else:
                 # unchanged conversations exist but their previous facts are
                 # not reloadable (prior run committed state without an
@@ -406,19 +440,39 @@ def run_pipeline(
     facts_path = None
     links_path = None
     chunks_path = None
+    facts_parts_new = None
+    chunks_parts_new = None
+    version = store.next_version() if store else 1
+    # delta-write mode: this run extracted only the dirty conversations, so
+    # only THEIR rows go into the new facts/chunks part dirs — O(delta)
+    # write instead of an O(corpus) rewrite per incremental run. Once the
+    # part list hits COMPACT_PARTS_AFTER, one compaction run folds
+    # everything into a single full part (bounding reader fan-in); full
+    # runs always write a single full part.
+    from coco_search_spark.state import COMPACT_PARTS_AFTER
+
+    delta_mode = prev_facts is not None
+    compact = delta_mode and (len(facts_parts) + 1 > COMPACT_PARTS_AFTER)
     if out_dir:
         # versioned paths: never overwrite the snapshot a lazy prev_* plan
         # may still be reading (Iceberg snapshots give this for free)
-        version = store.next_version() if store else 1
         if chunks is not None:
-            if prev_chunks is not None:
-                # merge-on-write (Iceberg MERGE INTO analog): fresh chunks
-                # for dirty conversations + reloaded rows for unchanged
-                # ones — embeddings for unchanged text are never recomputed.
-                # allowMissingColumns: chunk columns added since the prior
-                # snapshot reload as NULLs (same evolution rule as facts).
-                chunks = chunks.unionByName(prev_chunks, allowMissingColumns=True)
             chunks_path = f"{out_dir}/chunks_v{version:06d}"
+            new_part = {"path": chunks_path, "version": version}
+            if delta_mode and not compact:
+                # chunks were computed over the dirty conversations only —
+                # the delta IS the table to write
+                chunks_parts_new = list(chunks_parts) + [new_part]
+            else:
+                if delta_mode:
+                    # compaction: fold unchanged conversations' rows from
+                    # every previous part into one full part (embeddings
+                    # still never recomputed — reloaded, not re-derived)
+                    chunks = chunks.unionByName(
+                        _reload_parts(spark, chunks_parts, unchanged_ids, stored),
+                        allowMissingColumns=True,
+                    )
+                chunks_parts_new = [new_part]
             chunks.write.mode("overwrite").parquet(chunks_path)
         _stamp("write_chunks")
         write_graph(nodes, edges, out_dir)
@@ -427,13 +481,22 @@ def run_pipeline(
             # bindings, kind-tagged) is the resume unit — restoring triples
             # alone would drop the other families for unchanged convs
             facts_path = f"{out_dir}/facts_v{version:06d}"
-            combined.write.mode("overwrite").parquet(facts_path)
+            new_part = {"path": facts_path, "version": version}
+            if delta_mode and not compact:
+                facts_out = combined.join(dirty_ids, "conv_id", "left_semi")
+                facts_parts_new = list(facts_parts) + [new_part]
+            else:
+                facts_out = combined
+                facts_parts_new = [new_part]
+            facts_out.write.mode("overwrite").parquet(facts_path)
         if catalog is not None:
             # per-surface link table for next-run reuse: one row per
             # CURRENT vocabulary surface, entity_id NULL where linking
             # produced no row — the completeness makes the next run's
-            # delta anti-join exact. Vocabulary-sized; versioned like
-            # facts so a lazy reader of the previous snapshot survives.
+            # delta anti-join exact. Vocabulary-sized (never delta-split:
+            # a full rewrite of a vocabulary-sized table is cheap and the
+            # table is global, not per-conversation); versioned like facts
+            # so a lazy reader of the previous snapshot survives.
             links_path = f"{out_dir}/links_v{version:06d}"
             surfaces.select(F.col("surface").alias("mention")).join(
                 surface_links, "mention", "left"
@@ -454,6 +517,8 @@ def run_pipeline(
         "n_unchanged_convs": n_unchanged,
         "n_quarantined_turns": n_quarantined,
         "n_surfaces": n_surfaces,
+        "n_table_parts": len(facts_parts_new) if facts_parts_new else None,
+        "compacted": compact,
         "n_links_fresh": n_links_fresh,
         "n_links_reused": n_links_reused,
         "n_nodes": nodes.count(),
@@ -466,17 +531,36 @@ def run_pipeline(
             .groupBy("conv_id")
             .agg(F.count(F.lit(1)).alias("errors"))
         )
-        state_rows = (
-            cur_hashes.join(err_by_conv, "conv_id", "left")
-            .select(
+        base = cur_hashes.join(err_by_conv, "conv_id", "left")
+        if delta_mode and not compact:
+            # written_version: dirty conversations' rows went into THIS
+            # run's part; unchanged ones keep the version of the part that
+            # last wrote them — the pointer _reload_parts resolves against
+            base = base.join(
+                diff.select("conv_id", "status"), "conv_id", "left"
+            ).join(
+                stored.select(
+                    "conv_id", F.col("written_version").alias("prev_wv")
+                ),
                 "conv_id",
-                "content_hash",
-                F.lit("materialize").alias("stage"),
-                F.lit("pending").alias("snapshot_id"),
-                F.col("rows_in"),
-                F.lit(n_triples).alias("rows_out"),
-                F.coalesce(F.col("errors"), F.lit(0)).cast("bigint").alias("errors"),
+                "left",
             )
+            wv_col = (
+                F.when(F.col("status").isin("new", "changed"), F.lit(version))
+                .otherwise(F.col("prev_wv"))
+                .cast("bigint")
+            )
+        else:
+            wv_col = F.lit(version).cast("bigint")
+        state_rows = base.select(
+            "conv_id",
+            "content_hash",
+            F.lit("materialize").alias("stage"),
+            F.lit("pending").alias("snapshot_id"),
+            F.col("rows_in"),
+            F.lit(n_triples).alias("rows_out"),
+            F.coalesce(F.col("errors"), F.lit(0)).cast("bigint").alias("errors"),
+            wv_col.alias("written_version"),
         )
         # facts_path + producing-config provenance ride the SAME atomic
         # manifest write as the snapshot — a separate post-commit patch
@@ -492,10 +576,12 @@ def run_pipeline(
         }
         if facts_path:
             extra["facts_path"] = facts_path
+            extra["facts_parts"] = facts_parts_new
         if links_path:
             extra["links_path"] = links_path
         if chunks_path:
             extra["chunks_path"] = chunks_path
+            extra["chunks_parts"] = chunks_parts_new
         if catalog_fp:
             extra["catalog_fp"] = catalog_fp
         snapshot_id = store.commit(state_rows, stage="materialize", extra=extra)

@@ -34,8 +34,14 @@ from pyspark.sql import functions as F
 
 STATE_SCHEMA = (
     "conv_id string, content_hash string, stage string, snapshot_id string, "
-    "rows_in bigint, rows_out bigint, errors bigint"
+    "rows_in bigint, rows_out bigint, errors bigint, written_version bigint"
 )
+
+# Delta-written tables (facts, chunks) fold back into one full part once
+# the part list reaches this length: bounds reader fan-in (and file-listing
+# cost) at a constant, amortizing today's full-rewrite cost over
+# COMPACT_PARTS_AFTER delta runs.
+COMPACT_PARTS_AFTER = 8
 
 
 def ensure_columns(df: DataFrame, schema: str) -> DataFrame:
@@ -159,6 +165,55 @@ class StateStore:
         # ensureSchema on read: snapshots from an older engine version gain
         # any newer columns as typed NULLs (schema_migration.py analog)
         return ensure_columns(spark.read.parquet(snap["data_path"]), STATE_SCHEMA)
+
+    def table_parts(self, kind: str) -> list[dict] | None:
+        """Version-dir list for a delta-written table (``facts`` /
+        ``chunks``): ``[{"path": ..., "version": int}, ...]``. Falls back
+        to the legacy single-path manifest key as a one-element list; None
+        when the snapshot carries neither."""
+        snap = self.last_snapshot()
+        if snap is None:
+            return None
+        parts = snap.get(f"{kind}_parts")
+        if parts:
+            return parts
+        legacy = snap.get(f"{kind}_path")
+        if legacy:
+            return [{"path": legacy, "version": snap["version"]}]
+        return None
+
+    def read_table(self, spark: SparkSession, kind: str) -> DataFrame:
+        """Resolve a delta-written table (``facts`` / ``chunks``) to its
+        CURRENT full contents — the external-reader contract.
+
+        Each run writes only the dirty conversations' rows into a new
+        version dir (Iceberg MERGE analog); a conversation's authoritative
+        rows live in the dir matching its ``written_version`` in the state
+        table, so resolution is one cheap semi-join per part (parts are
+        bounded by COMPACT_PARTS_AFTER). Deleted conversations drop out
+        naturally — they have no state row."""
+        parts = self.table_parts(kind)
+        if not parts:
+            raise FileNotFoundError(f"snapshot carries no {kind} table")
+        if len(parts) == 1:
+            # a single part IS the full table (cold run or fresh compaction)
+            return spark.read.parquet(parts[0]["path"])
+        versions = self.read(spark).select("conv_id", "written_version")
+        out = None
+        for p in parts:
+            rows = spark.read.parquet(p["path"]).join(
+                versions.filter(F.col("written_version") == p["version"]).select(
+                    "conv_id"
+                ),
+                "conv_id",
+                "left_semi",
+            )
+            out = (
+                rows
+                if out is None
+                else out.unionByName(rows, allowMissingColumns=True)
+            )
+        return out
 
     def staleness_seconds(self) -> float | None:
         """Age of the last committed snapshot in seconds, or None when no

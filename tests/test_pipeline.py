@@ -112,7 +112,7 @@ def test_chunks_table_written(spark, fx, tmp_path):
     while stored seg_text stays raw."""
     sdf = fixtures.transcripts_sdf(spark, fx)
     run_pipeline(spark, sdf, out_dir=str(tmp_path / "o"))
-    chunks = spark.read.parquet(str(tmp_path / "o" / "chunks"))
+    chunks = spark.read.parquet(str(tmp_path / "o" / "chunks_v000001"))
     assert {"conv_id", "turn_idx", "seg_idx", "seg_text", "tsv_input", "embedding"} <= set(
         chunks.columns
     )

@@ -259,7 +259,12 @@ def test_incremental_chunks_stay_complete(spark, fx, tmp_path):
     assert r2.metrics["n_unchanged_convs"] > 0  # reuse actually happened
     snap2 = StateStore(state).last_snapshot()
     assert snap2["chunks_path"] != snap1["chunks_path"]  # versioned, not clobbered
-    got = spark.read.parquet(snap2["chunks_path"])
+    # delta-write receipt: the new part carries ONLY the dirty conversation
+    delta_part = spark.read.parquet(snap2["chunks_path"])
+    assert delta_part.select("conv_id").distinct().count() == 1
+    assert len(snap2["chunks_parts"]) == 2
+    # …while the resolved table is complete
+    got = StateStore(state).read_table(spark, "chunks")
     # ground truth: cold full run over the same mutated input
     run_pipeline(spark, mutated, out_dir=str(tmp_path / "o3"))
     want = spark.read.parquet(str(tmp_path / "o3") + "/chunks_v000001")
@@ -280,8 +285,70 @@ def test_missing_prev_chunks_falls_back_to_full(spark, fx, tmp_path):
     shutil.rmtree(snap["chunks_path"])
     r2 = run_pipeline(spark, sdf, out_dir=str(tmp_path / "o2"), state_dir=state)
     assert r2.metrics["n_unchanged_convs"] == 0  # conservative fallback
-    got = spark.read.parquet(
-        StateStore(state).last_snapshot()["chunks_path"]
-    )
+    got = StateStore(state).read_table(spark, "chunks")
     n_convs = sdf.select("conv_id").distinct().count()
     assert got.select("conv_id").distinct().count() == n_convs
+
+
+def test_delta_parts_resolve_and_compact(spark, tmp_path, monkeypatch):
+    """Multi-part version resolution: a conversation changed twice must
+    resolve from the NEWEST part only; the resolved facts table must equal
+    a cold run over the same input after every delta; and crossing the
+    compaction threshold folds the parts back into one full part."""
+    import datetime
+
+    TS = datetime.datetime(2025, 1, 1)
+
+    def tdf(texts):  # conv_id -> text (one turn per conv)
+        return spark.createDataFrame(
+            [(c, 0, "user", x, None, TS) for c, x in sorted(texts.items())],
+            "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+        )
+
+    def fact_rows(df):
+        cols = sorted(df.columns)
+        return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+    def cold_facts(texts, out):
+        run_pipeline(spark, tdf(texts), out_dir=str(tmp_path / out))
+        return spark.read.parquet(str(tmp_path / out / "facts_v000001"))
+
+    texts = {
+        "ca": "alpha_svc uses beta_store .",
+        "cb": "gamma_svc calls delta_store .",
+        "cc": "epsilon_svc imports zeta_store .",
+    }
+    state = str(tmp_path / "state")
+    run_pipeline(spark, tdf(texts), out_dir=str(tmp_path / "o1"), state_dir=state)
+
+    texts["ca"] = "alpha_svc emits beta_cache ."  # change ca (v2)
+    r2 = run_pipeline(spark, tdf(texts), out_dir=str(tmp_path / "o2"), state_dir=state)
+    assert r2.metrics["n_table_parts"] == 2 and not r2.metrics["compacted"]
+
+    texts["ca"] = "alpha_svc uses beta_queue ."   # change ca AGAIN (v3)
+    texts["cb"] = "gamma_svc emits delta_cache ."
+    r3 = run_pipeline(spark, tdf(texts), out_dir=str(tmp_path / "o3"), state_dir=state)
+    assert r3.metrics["n_table_parts"] == 3
+    store = StateStore(state)
+    # ca's rows exist in parts v1, v2 AND v3 — resolution must keep only v3
+    got = store.read_table(spark, "facts")
+    assert fact_rows(got) == fact_rows(cold_facts(texts, "cold3"))
+    # written_version pointers: ca,cb → 3; cc untouched → 1
+    wv = {
+        r["conv_id"]: r["written_version"]
+        for r in store.read(spark).select("conv_id", "written_version").collect()
+    }
+    assert wv == {"ca": 3, "cb": 3, "cc": 1}
+
+    # drop the threshold → next delta run must compact to ONE full part
+    from coco_search_spark import state as state_mod
+
+    monkeypatch.setattr(state_mod, "COMPACT_PARTS_AFTER", 3)
+    texts["cc"] = "epsilon_svc calls zeta_probe ."
+    r4 = run_pipeline(spark, tdf(texts), out_dir=str(tmp_path / "o4"), state_dir=state)
+    assert r4.metrics["compacted"] and r4.metrics["n_table_parts"] == 1
+    got4 = store.read_table(spark, "facts")
+    assert fact_rows(got4) == fact_rows(cold_facts(texts, "cold4"))
+    # chunks compacted in lockstep
+    assert len(store.last_snapshot()["chunks_parts"]) == 1
+    assert store.read_table(spark, "chunks").select("conv_id").distinct().count() == 3
