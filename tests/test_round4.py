@@ -352,3 +352,16 @@ def test_delta_parts_resolve_and_compact(spark, tmp_path, monkeypatch):
     # chunks compacted in lockstep
     assert len(store.last_snapshot()["chunks_parts"]) == 1
     assert store.read_table(spark, "chunks").select("conv_id").distinct().count() == 3
+
+    # deletion (S5 tombstone semantics through part resolution): a removed
+    # conversation has no state row, so its rows in older parts resolve away
+    del texts["cb"]
+    monkeypatch.setattr(state_mod, "COMPACT_PARTS_AFTER", 8)
+    run_pipeline(spark, tdf(texts), out_dir=str(tmp_path / "o5"), state_dir=state)
+    got5 = store.read_table(spark, "facts")
+    assert got5.filter(F.col("conv_id") == "cb").count() == 0
+    assert fact_rows(got5) == fact_rows(cold_facts(texts, "cold5"))
+    assert (
+        store.read_table(spark, "chunks").filter(F.col("conv_id") == "cb").count()
+        == 0
+    )
