@@ -215,6 +215,45 @@ class StateStore:
             )
         return out
 
+    def vacuum(self, out_dir: str, dry_run: bool = False) -> list[str]:
+        """Delete version dirs in ``out_dir`` that the current manifest no
+        longer references — superseded parts left behind by compaction and
+        orphans from crashed runs (the Iceberg ``expire_snapshots`` +
+        ``remove_orphan_files`` analog; reference delete/cleanup command:
+        management/delete.py).
+
+        Like Iceberg snapshot expiry this is the operator's explicit
+        "no concurrent readers of old snapshots" action — a lazy DataFrame
+        still bound to a superseded part must be materialized first.
+        Never touches the state directory itself, paths outside ``out_dir``,
+        or non-versioned sinks (nodes/edges/quarantine). Returns the deleted
+        (or, with ``dry_run``, deletable) paths."""
+        import shutil
+
+        snap = self.last_snapshot()
+        keep: set[str] = set()
+        if snap:
+            for kind in ("facts", "chunks"):
+                for p in self.table_parts(kind) or []:
+                    keep.add(os.path.realpath(p["path"]))
+            if snap.get("links_path"):
+                keep.add(os.path.realpath(snap["links_path"]))
+        victims = []
+        for name in sorted(os.listdir(out_dir)):
+            if not (
+                name.startswith("facts_v")
+                or name.startswith("chunks_v")
+                or name.startswith("links_v")
+            ):
+                continue
+            full = os.path.realpath(os.path.join(out_dir, name))
+            if full not in keep:
+                victims.append(full)
+        if not dry_run:
+            for v in victims:
+                shutil.rmtree(v, ignore_errors=True)
+        return victims
+
     def staleness_seconds(self) -> float | None:
         """Age of the last committed snapshot in seconds, or None when no
         snapshot exists — the check_staleness analog (reference:

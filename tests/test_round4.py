@@ -365,3 +365,48 @@ def test_delta_parts_resolve_and_compact(spark, tmp_path, monkeypatch):
         store.read_table(spark, "chunks").filter(F.col("conv_id") == "cb").count()
         == 0
     )
+
+
+def test_vacuum_removes_superseded_and_orphaned_parts(spark, tmp_path, monkeypatch):
+    """vacuum (Iceberg expire_snapshots/remove_orphan_files analog) deletes
+    version dirs the manifest no longer references — compaction leftovers
+    and crashed-run orphans — and keeps everything current."""
+    import datetime
+
+    TS = datetime.datetime(2025, 1, 1)
+
+    def tdf(texts):
+        return spark.createDataFrame(
+            [(c, 0, "user", x, None, TS) for c, x in sorted(texts.items())],
+            "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+        )
+
+    out = str(tmp_path / "o")
+    state = str(tmp_path / "state")
+    texts = {"ca": "alpha_svc uses beta_store .", "cb": "gamma_svc calls delta_store ."}
+    run_pipeline(spark, tdf(texts), out_dir=out, state_dir=state)
+    # force compaction on the next incremental run → v1 parts superseded
+    from coco_search_spark import state as state_mod
+
+    monkeypatch.setattr(state_mod, "COMPACT_PARTS_AFTER", 1)
+    texts["ca"] = "alpha_svc emits beta_cache ."
+    run_pipeline(spark, tdf(texts), out_dir=out, state_dir=state)
+    # plus a crashed-run orphan and an unreferenced links dir (this chain
+    # ran without a catalog, so no manifest links_path protects it)
+    os.makedirs(os.path.join(out, "facts_v000009"))
+    os.makedirs(os.path.join(out, "links_v000001"))
+    store = StateStore(state)
+    dry = store.vacuum(out, dry_run=True)
+    assert all(os.path.exists(p) for p in dry)  # dry run deletes nothing
+    victims = store.vacuum(out)
+    names = {os.path.basename(v) for v in victims}
+    assert names == {
+        "facts_v000001", "chunks_v000001", "links_v000001", "facts_v000009",
+    }, names
+    # current snapshot untouched and still fully readable
+    snap = store.last_snapshot()
+    assert os.path.exists(snap["facts_path"]) and os.path.exists(snap["chunks_path"])
+    assert store.read_table(spark, "facts").count() > 0
+    assert store.read_table(spark, "chunks").count() > 0
+    # non-versioned sinks untouched
+    assert os.path.exists(os.path.join(out, "nodes"))
