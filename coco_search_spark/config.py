@@ -40,6 +40,10 @@ class EngineConfig:
     max_cc_iterations: int = 20
     # materialization skew defense
     salt_buckets: int = 16
+    # state layout (OPERATIONAL: affects performance/layout, never results
+    # — excluded from the config identity so tuning it can't trigger a
+    # spurious full re-extract on resume)
+    compact_parts_after: int = 8
 
     # ---- validation ----------------------------------------------------
     _POSITIVE = (
@@ -50,7 +54,11 @@ class EngineConfig:
         "n_bands",
         "max_cc_iterations",
         "salt_buckets",
+        "compact_parts_after",
     )
+    # knobs that change HOW state is laid out / how fast the run is, but
+    # never WHAT any query returns — kept out of config_hash
+    _OPERATIONAL = ("compact_parts_after",)
     _FRACTION = ("jaccard_threshold", "min_link_score")
 
     def validate(self) -> "EngineConfig":
@@ -132,11 +140,14 @@ class EngineConfig:
         from coco_search_spark import __version__
         from coco_search_spark.operators.extract import GRAMMAR_VERSION
 
+        semantic = {
+            k: v for k, v in self.to_dict().items() if k not in self._OPERATIONAL
+        }
         payload = json.dumps(
             {
                 "engine_version": __version__,
                 "grammar_version": GRAMMAR_VERSION,
-                "config": self.to_dict(),
+                "config": semantic,
             },
             sort_keys=True,
         )

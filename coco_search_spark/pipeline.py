@@ -449,10 +449,8 @@ def run_pipeline(
     # part list hits COMPACT_PARTS_AFTER, one compaction run folds
     # everything into a single full part (bounding reader fan-in); full
     # runs always write a single full part.
-    from coco_search_spark.state import COMPACT_PARTS_AFTER
-
     delta_mode = prev_facts is not None
-    compact = delta_mode and (len(facts_parts) + 1 > COMPACT_PARTS_AFTER)
+    compact = delta_mode and (len(facts_parts) + 1 > cfg.compact_parts_after)
     if out_dir:
         # versioned paths: never overwrite the snapshot a lazy prev_* plan
         # may still be reading (Iceberg snapshots give this for free)

@@ -34,6 +34,9 @@ def test_defaults_mirror_module_constants():
     assert c.jaccard_threshold == cz.JACCARD_THRESHOLD
     assert c.max_cc_iterations == cz.MAX_CC_ITERATIONS
     assert c.salt_buckets == mt.DEFAULT_SALT_BUCKETS
+    from coco_search_spark import state as st
+
+    assert c.compact_parts_after == st.COMPACT_PARTS_AFTER
 
 
 def test_validation_collects_all_problems_at_once():
@@ -118,3 +121,13 @@ def test_grammar_version_changes_identity(monkeypatch):
 def test_config_is_frozen():
     with pytest.raises(dataclasses.FrozenInstanceError):
         EngineConfig().rrf_k = 1  # type: ignore[misc]
+
+
+def test_operational_knobs_excluded_from_config_identity():
+    """compact_parts_after changes state layout cadence, never results —
+    tuning it between runs must NOT flip config_hash (which would trigger
+    a spurious full re-extract on resume), while any semantic tunable
+    must."""
+    base = EngineConfig()
+    assert EngineConfig(compact_parts_after=3).config_hash() == base.config_hash()
+    assert EngineConfig(rrf_k=30).config_hash() != base.config_hash()

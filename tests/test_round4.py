@@ -290,7 +290,7 @@ def test_missing_prev_chunks_falls_back_to_full(spark, fx, tmp_path):
     assert got.select("conv_id").distinct().count() == n_convs
 
 
-def test_delta_parts_resolve_and_compact(spark, tmp_path, monkeypatch):
+def test_delta_parts_resolve_and_compact(spark, tmp_path):
     """Multi-part version resolution: a conversation changed twice must
     resolve from the NEWEST part only; the resolved facts table must equal
     a cold run over the same input after every delta; and crossing the
@@ -340,12 +340,18 @@ def test_delta_parts_resolve_and_compact(spark, tmp_path, monkeypatch):
     }
     assert wv == {"ca": 3, "cb": 3, "cc": 1}
 
-    # drop the threshold → next delta run must compact to ONE full part
-    from coco_search_spark import state as state_mod
+    # drop the threshold (an OPERATIONAL knob — must not change config
+    # identity, so delta mode survives the tuning) → next run compacts
+    from coco_search_spark.config import EngineConfig
 
-    monkeypatch.setattr(state_mod, "COMPACT_PARTS_AFTER", 3)
     texts["cc"] = "epsilon_svc calls zeta_probe ."
-    r4 = run_pipeline(spark, tdf(texts), out_dir=str(tmp_path / "o4"), state_dir=state)
+    r4 = run_pipeline(
+        spark,
+        tdf(texts),
+        out_dir=str(tmp_path / "o4"),
+        state_dir=state,
+        config=EngineConfig(compact_parts_after=3),
+    )
     assert r4.metrics["compacted"] and r4.metrics["n_table_parts"] == 1
     got4 = store.read_table(spark, "facts")
     assert fact_rows(got4) == fact_rows(cold_facts(texts, "cold4"))
@@ -356,7 +362,6 @@ def test_delta_parts_resolve_and_compact(spark, tmp_path, monkeypatch):
     # deletion (S5 tombstone semantics through part resolution): a removed
     # conversation has no state row, so its rows in older parts resolve away
     del texts["cb"]
-    monkeypatch.setattr(state_mod, "COMPACT_PARTS_AFTER", 8)
     run_pipeline(spark, tdf(texts), out_dir=str(tmp_path / "o5"), state_dir=state)
     got5 = store.read_table(spark, "facts")
     assert got5.filter(F.col("conv_id") == "cb").count() == 0
@@ -367,7 +372,7 @@ def test_delta_parts_resolve_and_compact(spark, tmp_path, monkeypatch):
     )
 
 
-def test_vacuum_removes_superseded_and_orphaned_parts(spark, tmp_path, monkeypatch):
+def test_vacuum_removes_superseded_and_orphaned_parts(spark, tmp_path):
     """vacuum (Iceberg expire_snapshots/remove_orphan_files analog) deletes
     version dirs the manifest no longer references — compaction leftovers
     and crashed-run orphans — and keeps everything current."""
@@ -386,11 +391,16 @@ def test_vacuum_removes_superseded_and_orphaned_parts(spark, tmp_path, monkeypat
     texts = {"ca": "alpha_svc uses beta_store .", "cb": "gamma_svc calls delta_store ."}
     run_pipeline(spark, tdf(texts), out_dir=out, state_dir=state)
     # force compaction on the next incremental run → v1 parts superseded
-    from coco_search_spark import state as state_mod
+    from coco_search_spark.config import EngineConfig
 
-    monkeypatch.setattr(state_mod, "COMPACT_PARTS_AFTER", 1)
     texts["ca"] = "alpha_svc emits beta_cache ."
-    run_pipeline(spark, tdf(texts), out_dir=out, state_dir=state)
+    run_pipeline(
+        spark,
+        tdf(texts),
+        out_dir=out,
+        state_dir=state,
+        config=EngineConfig(compact_parts_after=1),
+    )
     # plus a crashed-run orphan and an unreferenced links dir (this chain
     # ran without a catalog, so no manifest links_path protects it)
     os.makedirs(os.path.join(out, "facts_v000009"))
