@@ -40,10 +40,11 @@ class EngineConfig:
     max_cc_iterations: int = 20
     # materialization skew defense
     salt_buckets: int = 16
-    # state layout (OPERATIONAL: affects performance/layout, never results
-    # — excluded from the config identity so tuning it can't trigger a
+    # OPERATIONAL knobs (affect performance/layout, never results —
+    # excluded from the config identity so tuning them can't trigger a
     # spurious full re-extract on resume)
     compact_parts_after: int = 8
+    broadcast_surface_limit: int = 5_000_000
 
     # ---- validation ----------------------------------------------------
     _POSITIVE = (
@@ -55,10 +56,11 @@ class EngineConfig:
         "max_cc_iterations",
         "salt_buckets",
         "compact_parts_after",
+        "broadcast_surface_limit",
     )
     # knobs that change HOW state is laid out / how fast the run is, but
     # never WHAT any query returns — kept out of config_hash
-    _OPERATIONAL = ("compact_parts_after",)
+    _OPERATIONAL = ("compact_parts_after", "broadcast_surface_limit")
     _FRACTION = ("jaccard_threshold", "min_link_score")
 
     def validate(self) -> "EngineConfig":

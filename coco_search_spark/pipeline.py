@@ -154,6 +154,7 @@ def run_pipeline(
     dirty_ids: DataFrame | None = None
     dirty = transcripts
     n_unchanged = 0
+    n_dirty = 0
     cur_hashes = None
     if store is not None:
         cur_hashes = conversation_hashes(transcripts).cache()
@@ -161,6 +162,7 @@ def run_pipeline(
         diff = diff_against_state(cur_hashes, stored).cache()
         n_unchanged = diff.filter(F.col("status") == "unchanged").count()
         dirty_ids = diff.filter(F.col("status").isin("new", "changed")).select("conv_id")
+        n_dirty = dirty_ids.count()
         dirty = transcripts.join(dirty_ids, "conv_id", "left_semi")
         snap = store.last_snapshot()
         # provenance gate: stored facts produced under a different config /
@@ -330,7 +332,7 @@ def run_pipeline(
     # broadcast (no AQE conversion overhead); over it (the 10^9-surface
     # contingency) every join keeps its sort-merge fallback
     n_surfaces = surfaces.count()
-    links_small = n_surfaces <= BROADCAST_SURFACE_LIMIT
+    links_small = n_surfaces <= cfg.broadcast_surface_limit
 
     # linking and canonicalization are INDEPENDENT consumers of the same
     # checkpointed surface table — submit both from separate threads so
@@ -366,6 +368,11 @@ def run_pipeline(
             # delta-sized checkpoint: consumed twice (count + scoring)
             mentions = mentions.localCheckpoint(eager=True)
         n_fresh = mentions.count() if reusable is not None else n_surfaces
+        if reusable is not None and n_fresh == 0:
+            # empty vocabulary delta: every link is reused — skip the
+            # scoring jobs entirely (the common cron-re-run case)
+            links = reusable.filter(F.col("entity_id").isNotNull())
+            return links.localCheckpoint(eager=True), 0, n_surfaces
         links = link_surfaces(
             mentions,
             catalog,
@@ -450,55 +457,79 @@ def run_pipeline(
     # everything into a single full part (bounding reader fan-in); full
     # runs always write a single full part.
     delta_mode = prev_facts is not None
-    compact = delta_mode and (len(facts_parts) + 1 > cfg.compact_parts_after)
+    # a run with ZERO dirty conversations (cron re-ingestion of an
+    # unchanged corpus) writes nothing: empty delta parts would grow the
+    # part list run after run and trigger pointless compaction rewrites.
+    # The previous parts carry forward verbatim in the new manifest.
+    noop_delta = delta_mode and n_dirty == 0
+    compact = (
+        delta_mode
+        and not noop_delta
+        and (len(facts_parts) + 1 > cfg.compact_parts_after)
+    )
     if out_dir:
         # versioned paths: never overwrite the snapshot a lazy prev_* plan
         # may still be reading (Iceberg snapshots give this for free)
         if chunks is not None:
-            chunks_path = f"{out_dir}/chunks_v{version:06d}"
-            new_part = {"path": chunks_path, "version": version}
-            if delta_mode and not compact:
-                # chunks were computed over the dirty conversations only —
-                # the delta IS the table to write
-                chunks_parts_new = list(chunks_parts) + [new_part]
+            if noop_delta:
+                chunks_parts_new = list(chunks_parts)
+                chunks_path = chunks_parts_new[-1]["path"]
             else:
-                if delta_mode:
-                    # compaction: fold unchanged conversations' rows from
-                    # every previous part into one full part (embeddings
-                    # still never recomputed — reloaded, not re-derived)
-                    chunks = chunks.unionByName(
-                        _reload_parts(spark, chunks_parts, unchanged_ids, stored),
-                        allowMissingColumns=True,
-                    )
-                chunks_parts_new = [new_part]
-            chunks.write.mode("overwrite").parquet(chunks_path)
+                chunks_path = f"{out_dir}/chunks_v{version:06d}"
+                new_part = {"path": chunks_path, "version": version}
+                if delta_mode and not compact:
+                    # chunks were computed over the dirty conversations
+                    # only — the delta IS the table to write
+                    chunks_parts_new = list(chunks_parts) + [new_part]
+                else:
+                    if delta_mode:
+                        # compaction: fold unchanged conversations' rows
+                        # from every previous part into one full part
+                        # (embeddings still never recomputed — reloaded,
+                        # not re-derived)
+                        chunks = chunks.unionByName(
+                            _reload_parts(spark, chunks_parts, unchanged_ids, stored),
+                            allowMissingColumns=True,
+                        )
+                    chunks_parts_new = [new_part]
+                chunks.write.mode("overwrite").parquet(chunks_path)
         _stamp("write_chunks")
         write_graph(nodes, edges, out_dir)
         if combined is not None:
             # the COMBINED fact table (triples + standalone mentions +
             # bindings, kind-tagged) is the resume unit — restoring triples
             # alone would drop the other families for unchanged convs
-            facts_path = f"{out_dir}/facts_v{version:06d}"
-            new_part = {"path": facts_path, "version": version}
-            if delta_mode and not compact:
-                facts_out = combined.join(dirty_ids, "conv_id", "left_semi")
-                facts_parts_new = list(facts_parts) + [new_part]
+            if noop_delta:
+                facts_parts_new = list(facts_parts)
+                facts_path = facts_parts_new[-1]["path"]
             else:
-                facts_out = combined
-                facts_parts_new = [new_part]
-            facts_out.write.mode("overwrite").parquet(facts_path)
+                facts_path = f"{out_dir}/facts_v{version:06d}"
+                new_part = {"path": facts_path, "version": version}
+                if delta_mode and not compact:
+                    facts_out = combined.join(dirty_ids, "conv_id", "left_semi")
+                    facts_parts_new = list(facts_parts) + [new_part]
+                else:
+                    facts_out = combined
+                    facts_parts_new = [new_part]
+                facts_out.write.mode("overwrite").parquet(facts_path)
         if catalog is not None:
-            # per-surface link table for next-run reuse: one row per
-            # CURRENT vocabulary surface, entity_id NULL where linking
-            # produced no row — the completeness makes the next run's
-            # delta anti-join exact. Vocabulary-sized (never delta-split:
-            # a full rewrite of a vocabulary-sized table is cheap and the
-            # table is global, not per-conversation); versioned like facts
-            # so a lazy reader of the previous snapshot survives.
-            links_path = f"{out_dir}/links_v{version:06d}"
-            surfaces.select(F.col("surface").alias("mention")).join(
-                surface_links, "mention", "left"
-            ).write.mode("overwrite").parquet(links_path)
+            if noop_delta and prev_links is not None and n_links_fresh == 0:
+                # unchanged corpus ⇒ unchanged vocabulary ⇒ the previous
+                # link table is byte-identical — carry it forward
+                links_path = snap.get("links_path")
+            else:
+                # per-surface link table for next-run reuse: one row per
+                # CURRENT vocabulary surface, entity_id NULL where linking
+                # produced no row — the completeness makes the next run's
+                # delta anti-join exact. Vocabulary-sized (never
+                # delta-split: a full rewrite of a vocabulary-sized table
+                # is cheap and the table is global, not per-conversation);
+                # versioned like facts so a lazy reader of the previous
+                # snapshot survives.
+                links_path = f"{out_dir}/links_v{version:06d}"
+                surfaces.select(F.col("surface").alias("mention")).join(
+                    surface_links, "mention", "left"
+                ).write.mode("overwrite").parquet(links_path)
         _stamp("write_graph_triples")
 
     n_quarantined = quarantined.count()

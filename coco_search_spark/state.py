@@ -195,10 +195,15 @@ class StateStore:
         parts = self.table_parts(kind)
         if not parts:
             raise FileNotFoundError(f"snapshot carries no {kind} table")
-        if len(parts) == 1:
-            # a single part IS the full table (cold run or fresh compaction)
-            return spark.read.parquet(parts[0]["path"])
         versions = self.read(spark).select("conv_id", "written_version")
+        if len(parts) == 1:
+            # a single part holds at LEAST the full table, but can hold
+            # more: a no-op run after deletions carries the part forward,
+            # so since-deleted conversations' rows are still in the files —
+            # the state semi-join (they have no state row) drops them
+            return spark.read.parquet(parts[0]["path"]).join(
+                versions.select("conv_id"), "conv_id", "left_semi"
+            )
         out = None
         for p in parts:
             rows = spark.read.parquet(p["path"]).join(

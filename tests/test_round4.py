@@ -420,3 +420,37 @@ def test_vacuum_removes_superseded_and_orphaned_parts(spark, tmp_path):
     assert store.read_table(spark, "chunks").count() > 0
     # non-versioned sinks untouched
     assert os.path.exists(os.path.join(out, "nodes"))
+
+
+def test_noop_incremental_run_carries_parts_forward(spark, tmp_path):
+    """A re-run over an UNCHANGED corpus (cron re-ingestion) must not write
+    empty facts/chunks delta parts — repeated no-op runs would grow the
+    part list and trigger pointless compaction rewrites. Parts carry
+    forward verbatim; the manifest still commits (version bumps, staleness
+    resets) and every table stays fully readable."""
+    import datetime
+
+    TS = datetime.datetime(2025, 1, 1)
+    tdf = spark.createDataFrame(
+        [("ca", 0, "user", "alpha_svc uses beta_store .", None, TS),
+         ("cb", 0, "user", "gamma_svc calls delta_store .", None, TS)],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    out = str(tmp_path / "o")
+    state = str(tmp_path / "state")
+    run_pipeline(spark, tdf, out_dir=out, state_dir=state)
+    store = StateStore(state)
+    snap1 = store.last_snapshot()
+
+    r2 = run_pipeline(spark, tdf, out_dir=str(tmp_path / "o2"), state_dir=state)
+    assert r2.metrics["n_unchanged_convs"] == 2
+    snap2 = store.last_snapshot()
+    assert snap2["version"] == 2  # the commit itself still happened
+    # parts carried forward, nothing new written
+    assert snap2["facts_parts"] == snap1["facts_parts"]
+    assert snap2["chunks_parts"] == snap1["chunks_parts"]
+    assert not os.path.exists(os.path.join(str(tmp_path / "o2"), "facts_v000002"))
+    assert store.read_table(spark, "facts").count() > 0
+    assert store.read_table(spark, "chunks").count() > 0
+    # results of the no-op run are still complete
+    assert r2.metrics["n_triples"] == 2
