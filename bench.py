@@ -359,6 +359,14 @@ Input: deterministic synthetic transcripts fixture, seed 42,
 {os.environ.get('SPARK_GRAFT_BENCH_REPLICAS', '4')} replicas, hot_fraction 0.05.
 Pipeline: segment → chunks (tokens+embeddings) → extract → link →
 canonicalize → materialize (parquet sinks under /tmp).
+
+## Incremental receipt
+
+The cold/warm delta-scaling evidence (second run over a ~1% conversation
+delta: extraction diff + chunk delta-write + per-surface link reuse) is
+measured by the DEFAULT bench mode and reported as `kg_incremental` in its
+JSON line (the driver records it per round). Scaling mode skips it — the
+N-vs-4N gate measures the cold pipeline.
 """
         )
     print(
