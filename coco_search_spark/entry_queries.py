@@ -1446,6 +1446,91 @@ ORDER BY mention
 """
 
 
+SEARCH_QUERY = "hash join spark window pipeline"
+
+
+def q_kg_search_chunks(spark, sf_dir):
+    """The reference's user-facing search operation (hybrid.py:106-481)
+    over a chunk-shaped table, end to end through the driver gate: vector
+    leg = double-precision sha256-byte embedding cosine (expr form, DuckDB-
+    replicable), keyword leg = whitespace token-set Jaccard (matches only),
+    per-leg prefetch via TakeOrderedAndProject, RRF fusion k=60 with the
+    keyword-present tie-break, final top-k with stable ranks. The oracle
+    replays every stage in SQL."""
+    from coco_search_spark.functions.embed import embed_expr
+    from coco_search_spark.search import search_chunks
+
+    load_views(spark, sf_dir)
+    docs = spark.table("documents")
+    chunks = docs.select(
+        F.col("doc_id").cast("string").alias("chunk_id"),
+        # raw text as the token source — search_chunks lowercases and
+        # splits exactly like the oracle's string_split_regex
+        F.col("text").alias("tsv_input"),
+        embed_expr(F.col("text")).alias("embedding"),
+    )
+    return search_chunks(chunks, SEARCH_QUERY, k=20).orderBy("search_rank")
+
+
+def _search_chunks_oracle(
+    query: str = SEARCH_QUERY,
+    dim: int = 64,
+    k: int = 20,
+    prefetch: int = 100,
+    rrf_k: int = 60,
+) -> str:
+    def emb(s: str) -> str:
+        return (
+            f"list_transform(generate_series(1, {dim}), i -> "
+            f"CAST(CAST(('0x' || substr(sha256({s}), ((i - 1) % 32) * 2 + 1, 2)) AS BIGINT) AS DOUBLE)"
+            " / CAST(255.0 AS DOUBLE) * CAST(2.0 AS DOUBLE) - CAST(1.0 AS DOUBLE))"
+        )
+
+    def toks(s: str) -> str:
+        return (
+            "list_distinct(list_filter("
+            f"string_split_regex(lower({s}), '\\s+'), t -> t <> ''))"
+        )
+
+    return f"""
+WITH c AS (
+  SELECT CAST(doc_id AS VARCHAR) AS chunk_id, {toks('text')} AS tk, {emb('text')} AS v
+  FROM documents
+),
+q AS (SELECT {toks(f"'{query}'")} AS qt, {emb(f"'{query}'")} AS qv),
+scored AS (
+  SELECT chunk_id,
+         ROUND(list_cosine_similarity(v, qv), 6) AS vec_sim,
+         ROUND(CASE WHEN len(list_distinct(list_concat(tk, qt))) = 0
+               THEN CAST(0 AS DOUBLE)
+               ELSE CAST(len(list_intersect(tk, qt)) AS DOUBLE)
+                    / len(list_distinct(list_concat(tk, qt))) END, 6) AS kw_sim
+  FROM c, q
+),
+leg_v AS (SELECT chunk_id, vec_sim,
+                 ROW_NUMBER() OVER (ORDER BY vec_sim DESC, chunk_id) AS rank_v
+          FROM (SELECT chunk_id, vec_sim FROM scored
+                ORDER BY vec_sim DESC, chunk_id LIMIT {prefetch})),
+leg_k AS (SELECT chunk_id, kw_sim,
+                 ROW_NUMBER() OVER (ORDER BY kw_sim DESC, chunk_id) AS rank_k
+          FROM (SELECT chunk_id, kw_sim FROM scored WHERE kw_sim > 0
+                ORDER BY kw_sim DESC, chunk_id LIMIT {prefetch})),
+fused AS (
+  SELECT COALESCE(a.chunk_id, b.chunk_id) AS chunk_id, a.vec_sim, b.kw_sim,
+         ROUND(COALESCE(CAST(1.0 AS DOUBLE) / ({rrf_k} + a.rank_v), CAST(0 AS DOUBLE))
+             + COALESCE(CAST(1.0 AS DOUBLE) / ({rrf_k} + b.rank_k), CAST(0 AS DOUBLE)), 9) AS rrf_score,
+         CASE WHEN a.chunk_id IS NOT NULL AND b.chunk_id IS NOT NULL THEN 'both'
+              WHEN a.chunk_id IS NOT NULL THEN 'vector' ELSE 'keyword' END AS match_type,
+         (b.rank_k IS NOT NULL) AS kw_present
+  FROM leg_v a FULL OUTER JOIN leg_k b ON a.chunk_id = b.chunk_id)
+SELECT chunk_id, vec_sim, kw_sim, rrf_score, match_type,
+       CAST(ROW_NUMBER() OVER (ORDER BY rrf_score DESC, kw_present DESC, chunk_id) AS INT) AS search_rank
+FROM fused
+ORDER BY search_rank
+LIMIT {k}
+"""
+
+
 def q_kg_link_defboost(spark, sf_dir):
     """The block-WEIGHTED definition boost (X3 consumer, hybrid.py:419-481
     one notch further — the reference's handler registry distinguishes
@@ -2653,6 +2738,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- (1) changed this round / never driver-checked -------------------
     "kg_link_analyze": q_kg_link_analyze,
     "kg_link_delta": q_kg_link_delta,
+    "kg_search_chunks": q_kg_search_chunks,
     "graph_pagerank": q_graph_pagerank,
     "kg_block_types": q_kg_block_types,
     "kg_link_defboost": q_kg_link_defboost,
@@ -2863,6 +2949,7 @@ ORACLES: dict[str, str] = {
     "kg_link_topn": _link_mentions_oracle(top_n=3),
     "kg_link_analyze": _link_mentions_oracle(analyze=True, min_score=0.02),
     "kg_link_delta": _link_delta_oracle(),
+    "kg_search_chunks": _search_chunks_oracle(),
     "kg_link_defboost": _link_mentions_oracle(def_cases=(("%ache", 1.0), ("%store", 0.5))),
     "graph_reach": ORACLE_GRAPH,
     "multi_index_merge": ORACLE_MULTI_INDEX,
