@@ -72,3 +72,34 @@ def test_search_validates_args(spark):
     chunks = _chunks(spark, [("c1", "a b")])
     with pytest.raises(ValueError):
         search_chunks(chunks, "q", k=0)
+
+
+def test_search_over_real_pipeline_chunk_store(spark, tmp_path):
+    """End-to-end contract: run_pipeline materializes the chunk store,
+    StateStore.read_table resolves it, search_chunks queries it. The
+    pipeline's float32 UDF embeddings work as the vector leg (expr
+    precision only matters for the DuckDB oracle, not the operator)."""
+    import datetime
+
+    from coco_search_spark.pipeline import run_pipeline
+    from coco_search_spark.state import StateStore
+
+    TS = datetime.datetime(2025, 1, 1)
+    tdf = spark.createDataFrame(
+        [
+            ("ca", 0, "user", "alpha_svc uses beta_store . payment retry logic", None, TS),
+            ("cb", 0, "user", "gamma_svc calls delta_store . billing export", None, TS),
+        ],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    state = str(tmp_path / "state")
+    run_pipeline(spark, tdf, out_dir=str(tmp_path / "o"), state_dir=state)
+    chunks = StateStore(state).read_table(spark, "chunks").withColumn(
+        "chunk_id",
+        F.concat_ws("#", "conv_id", F.col("turn_idx").cast("string"), F.col("seg_idx").cast("string")),
+    )
+    hits = search_chunks(chunks, "payment retry", k=2).collect()
+    assert len(hits) == 2
+    # the chunk containing both query tokens must win
+    assert hits[0]["chunk_id"].startswith("ca#")
+    assert hits[0]["match_type"] in ("both", "keyword")
