@@ -45,6 +45,7 @@ def search_chunks(
     rrf_k: int = RRF_K,
     embed_dim: int = 64,
     id_col: str = "chunk_id",
+    rewrite: bool = False,
 ) -> DataFrame:
     """chunks(id_col, tsv_input, embedding) × query string → top-k fused
     hits: (chunk_id, vec_sim, kw_sim, rrf_score, match_type, search_rank).
@@ -59,12 +60,25 @@ def search_chunks(
       (hybrid.py:409-414).
 
     Scores are rounded to 6 dp BEFORE ranking so the ordering is identical
-    across engines and partitionings (the repo-wide oracle rule)."""
+    across engines and partitionings (the repo-wide oracle rule).
+
+    ``rewrite=True`` expands the query through the deterministic
+    query-rewrite stand-in (reference: search/query_rewrite.py, default
+    OFF there too): the keyword leg matches the UNION of all variant
+    tokens (the "user typed words, index stores identifiers" bridge),
+    while the vector leg keeps the original query — morphological
+    variants of a hash embedding are uncorrelated, and with a real model
+    the original phrasing is the better semantic probe."""
     from coco_search_spark.ops.globs import require_positive
 
     require_positive(k=k, prefetch=prefetch, rrf_k=rrf_k, embed_dim=embed_dim)
+    kw_query = query
+    if rewrite:
+        from coco_search_spark.functions.query_rewrite import rewrite_query
+
+        kw_query = " ".join(rewrite_query(query))
     q_vec = embed_expr(F.lit(query), embed_dim)
-    q_toks = _token_set(F.lit(query))
+    q_toks = _token_set(F.lit(kw_query))
     t_toks = _token_set(F.col("tsv_input"))
     union_n = F.size(F.array_union(t_toks, q_toks))
     scored = chunks.select(

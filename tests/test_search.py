@@ -103,3 +103,21 @@ def test_search_over_real_pipeline_chunk_store(spark, tmp_path):
     # the chunk containing both query tokens must win
     assert hits[0]["chunk_id"].startswith("ca#")
     assert hits[0]["match_type"] in ("both", "keyword")
+
+
+def test_search_query_rewrite_bridges_word_to_identifier(spark):
+    """rewrite=True: 'payment gateway' must keyword-match a chunk whose
+    stored token is the identifier form 'paymentGateway' (the X7 rewrite
+    bridge); without rewrite the word tokens miss it entirely."""
+    chunks = _chunks(
+        spark,
+        [("c1", "paymentGateway init ok"), ("c2", "totally different text")],
+    )
+    plain = {r["chunk_id"]: r for r in search_chunks(chunks, "payment gateway", k=2).collect()}
+    assert plain["c1"]["match_type"] == "vector"  # no keyword hit
+    rewritten = {
+        r["chunk_id"]: r
+        for r in search_chunks(chunks, "payment gateway", k=2, rewrite=True).collect()
+    }
+    assert rewritten["c1"]["match_type"] == "both"
+    assert rewritten["c1"]["search_rank"] == 1
