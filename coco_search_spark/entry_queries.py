@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from coco_search_spark.functions.embed import cosine_expr
+from coco_search_spark.functions.query_rewrite import rewrite_query
 from coco_search_spark.functions.text import portable_hash_col
 from coco_search_spark.operators.extract import extract_mentions, extract_triples
 from coco_search_spark.operators.graph import transitive_closure
@@ -1472,12 +1473,38 @@ def q_kg_search_chunks(spark, sf_dir):
     return search_chunks(chunks, SEARCH_QUERY, k=20).orderBy("search_rank")
 
 
+REWRITE_QUERY = "payment gateway"
+
+
+def q_kg_search_rewrite(spark, sf_dir):
+    """Chunk search with the X7 query-rewrite bridge ON: the keyword leg
+    matches the union of morphological variant tokens (snake/camel/Pascal/
+    kebab — 'payment gateway' also matches stored 'paymentgateway'
+    identifiers), the vector leg keeps the original query. The expansion
+    is deterministic and computed driver-side, so the oracle replays the
+    identical variant token set from the same literal."""
+    from coco_search_spark.functions.embed import embed_expr
+    from coco_search_spark.search import search_chunks
+
+    load_views(spark, sf_dir)
+    docs = spark.table("documents")
+    chunks = docs.select(
+        F.col("doc_id").cast("string").alias("chunk_id"),
+        F.col("text").alias("tsv_input"),
+        embed_expr(F.col("text")).alias("embedding"),
+    )
+    return search_chunks(chunks, REWRITE_QUERY, k=20, rewrite=True).orderBy(
+        "search_rank"
+    )
+
+
 def _search_chunks_oracle(
     query: str = SEARCH_QUERY,
     dim: int = 64,
     k: int = 20,
     prefetch: int = 100,
     rrf_k: int = 60,
+    kw_query: str | None = None,
 ) -> str:
     def emb(s: str) -> str:
         return (
@@ -1492,12 +1519,13 @@ def _search_chunks_oracle(
             f"string_split_regex(lower({s}), '\\s+'), t -> t <> ''))"
         )
 
+    kw = kw_query if kw_query is not None else query
     return f"""
 WITH c AS (
   SELECT CAST(doc_id AS VARCHAR) AS chunk_id, {toks('text')} AS tk, {emb('text')} AS v
   FROM documents
 ),
-q AS (SELECT {toks(f"'{query}'")} AS qt, {emb(f"'{query}'")} AS qv),
+q AS (SELECT {toks(f"'{kw}'")} AS qt, {emb(f"'{query}'")} AS qv),
 scored AS (
   SELECT chunk_id,
          ROUND(list_cosine_similarity(v, qv), 6) AS vec_sim,
@@ -2739,6 +2767,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_link_analyze": q_kg_link_analyze,
     "kg_link_delta": q_kg_link_delta,
     "kg_search_chunks": q_kg_search_chunks,
+    "kg_search_rewrite": q_kg_search_rewrite,
     "graph_pagerank": q_graph_pagerank,
     "kg_block_types": q_kg_block_types,
     "kg_link_defboost": q_kg_link_defboost,
@@ -2950,6 +2979,10 @@ ORACLES: dict[str, str] = {
     "kg_link_analyze": _link_mentions_oracle(analyze=True, min_score=0.02),
     "kg_link_delta": _link_delta_oracle(),
     "kg_search_chunks": _search_chunks_oracle(),
+    "kg_search_rewrite": _search_chunks_oracle(
+        query=REWRITE_QUERY,
+        kw_query=" ".join(rewrite_query(REWRITE_QUERY)),
+    ),
     "kg_link_defboost": _link_mentions_oracle(def_cases=(("%ache", 1.0), ("%store", 0.5))),
     "graph_reach": ORACLE_GRAPH,
     "multi_index_merge": ORACLE_MULTI_INDEX,
