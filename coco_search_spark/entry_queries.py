@@ -1559,6 +1559,59 @@ LIMIT {k}
 """
 
 
+def q_graph_triangles(spark, sf_dir):
+    """Triangle counts + local clustering coefficient (graph-cohesion
+    analytics beyond the reference's surface, like PageRank) over a
+    part-co-occurrence graph (parts ordered together in a deterministic
+    order subset). The Spark side enumerates via degree-ordered wedges
+    (the hub-safe plan); the oracle uses the naive a<b<c form — per-node
+    triangle participation is enumeration-independent, so the values must
+    match exactly."""
+    from coco_search_spark.operators.graph import triangle_stats
+
+    load_views(spark, sf_dir)
+    li = (
+        spark.table("lineitem")
+        .filter(F.col("l_orderkey") % 50 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    pairs = (
+        li.alias("x")
+        .join(li.alias("y"), "l_orderkey")
+        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .select(
+            F.col("x.l_partkey").cast("string").alias("src"),
+            F.col("y.l_partkey").cast("string").alias("dst"),
+        )
+        .distinct()
+    )
+    return triangle_stats(pairs).filter(F.col("triangles") > 0).orderBy("node")
+
+
+ORACLE_GRAPH_TRIANGLES = """
+WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 50 = 0),
+p AS (SELECT DISTINCT CAST(x.l_partkey AS VARCHAR) AS s, CAST(y.l_partkey AS VARCHAR) AS d
+      FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+e AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b FROM p WHERE s <> d),
+deg AS (SELECT n, count(*) AS degree
+        FROM (SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e) GROUP BY n),
+t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM e e1 JOIN e e2 ON e1.b = e2.a
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+pn AS (SELECT n, count(*) AS triangles
+       FROM (SELECT x AS n FROM t UNION ALL SELECT y AS n FROM t
+             UNION ALL SELECT z AS n FROM t) GROUP BY n)
+SELECT deg.n AS node, deg.degree,
+       CAST(COALESCE(pn.triangles, 0) AS BIGINT) AS triangles,
+       ROUND(CASE WHEN deg.degree < 2 THEN CAST(0 AS DOUBLE)
+             ELSE CAST(2.0 AS DOUBLE) * COALESCE(pn.triangles, 0)
+                  / (deg.degree * (deg.degree - 1.0)) END, 6) AS clustering_coeff
+FROM deg LEFT JOIN pn ON deg.n = pn.n
+WHERE COALESCE(pn.triangles, 0) > 0
+ORDER BY node
+"""
+
+
 def q_kg_link_defboost(spark, sf_dir):
     """The block-WEIGHTED definition boost (X3 consumer, hybrid.py:419-481
     one notch further — the reference's handler registry distinguishes
@@ -2768,6 +2821,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_link_delta": q_kg_link_delta,
     "kg_search_chunks": q_kg_search_chunks,
     "kg_search_rewrite": q_kg_search_rewrite,
+    "graph_triangles": q_graph_triangles,
     "graph_pagerank": q_graph_pagerank,
     "kg_block_types": q_kg_block_types,
     "kg_link_defboost": q_kg_link_defboost,
@@ -2983,6 +3037,7 @@ ORACLES: dict[str, str] = {
         query=REWRITE_QUERY,
         kw_query=" ".join(rewrite_query(REWRITE_QUERY)),
     ),
+    "graph_triangles": ORACLE_GRAPH_TRIANGLES,
     "kg_link_defboost": _link_mentions_oracle(def_cases=(("%ache", 1.0), ("%store", 0.5))),
     "graph_reach": ORACLE_GRAPH,
     "multi_index_merge": ORACLE_MULTI_INDEX,

@@ -242,3 +242,79 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient over the
+    undirected simple graph of ``edges`` → (node, degree, triangles,
+    clustering_coeff).
+
+    Beyond the reference's graph surface (like PageRank): community /
+    cohesion analytics over the KG. Degree-ordered wedge enumeration — each
+    undirected edge is oriented toward the higher (degree, id) endpoint, so
+    wedges are only generated at their unique lowest-(degree, id) vertex:
+    every triangle is enumerated exactly once and the join fan-out per
+    vertex is bounded by its ORIENTED out-degree, O(sqrt(E)) in the worst
+    case — a star hub generates zero wedges because all its edges point
+    inward. This is the standard hub defense that keeps the wedge join
+    feasible at 10^9 edges where a naive neighbor self-join explodes on the
+    first hot vertex.
+
+    Deterministic and engine-portable: ids compare as strings, the
+    clustering coefficient (2·tri / deg·(deg−1), 0 below degree 2) is
+    rounded to 6 dp — the DuckDB oracle replays every stage value-exactly.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)  # consumed by degrees, arcs AND closure
+    )
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionByName(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    ed = (
+        e.join(deg.select(F.col("n").alias("a"), F.col("degree").alias("da")), "a")
+        .join(deg.select(F.col("n").alias("b"), F.col("degree").alias("db")), "b")
+    )
+    lo_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    arcs = ed.select(
+        F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+    )
+    wedges = (
+        arcs.select("u", F.col("v").alias("v1"))
+        .join(arcs.select("u", F.col("v").alias("v2")), "u")
+        .filter(F.col("v1") < F.col("v2"))
+    )
+    tris = wedges.join(
+        e,
+        (F.col("v1") == F.col("a")) & (F.col("v2") == F.col("b")),
+        "left_semi",
+    )
+    per_node = (
+        tris.select(F.explode(F.array("u", "v1", "v2")).alias("n"))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return deg.join(per_node, "n", "left").select(
+        F.col("n").alias("node"),
+        "degree",
+        F.coalesce("triangles", F.lit(0)).cast("bigint").alias("triangles"),
+        F.round(
+            F.when(F.col("degree") < 2, F.lit(0.0)).otherwise(
+                2.0
+                * F.coalesce("triangles", F.lit(0))
+                / (F.col("degree") * (F.col("degree") - 1.0))
+            ),
+            6,
+        ).alias("clustering_coeff"),
+    )

@@ -88,3 +88,37 @@ def test_pagerank_matches_numpy(spark):
     assert abs(sum(got.values()) - 1.0) <= 3e-6
     got2 = {r2["node"]: r2["rank"] for r2 in pagerank(e.repartition(7), n_iters=3).collect()}
     assert got2 == got
+
+
+def test_triangle_stats_known_graph(spark):
+    """K4 minus one edge: nodes a,b,c,d with edges ab ac ad bc bd (no cd):
+    triangles abc, abd → a,b in 2 triangles; c,d in 1."""
+    from coco_search_spark.operators.graph import triangle_stats
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("a", "d"), ("c", "b"), ("d", "b"), ("a", "b")],
+        "src string, dst string",
+    )  # duplicate + reversed edges must not double-count
+    out = {r["node"]: r for r in triangle_stats(e).collect()}
+    assert {n: r["triangles"] for n, r in out.items()} == {
+        "a": 2, "b": 2, "c": 1, "d": 1,
+    }
+    assert out["a"]["degree"] == 3 and out["c"]["degree"] == 2
+    # clustering: a has 3 neighbor pairs, 2 closed → 2/3; c exact 1.0
+    assert out["a"]["clustering_coeff"] == round(2 / 3, 6)
+    assert out["c"]["clustering_coeff"] == 1.0
+
+
+def test_triangle_stats_star_hub_is_triangle_free_and_cheap(spark):
+    """A star (hub h + 40 leaves) has no triangles; under degree-ordered
+    orientation every edge points INTO the hub, so the hub generates zero
+    wedges — the join stays empty instead of exploding in d(h)^2."""
+    from coco_search_spark.operators.graph import triangle_stats
+
+    e = spark.createDataFrame(
+        [(f"leaf{i:02d}", "hub") for i in range(40)], "src string, dst string"
+    )
+    out = triangle_stats(e)
+    assert out.filter("triangles > 0").count() == 0
+    hub = out.filter("node = 'hub'").first()
+    assert hub["degree"] == 40 and hub["clustering_coeff"] == 0.0
