@@ -116,11 +116,23 @@ def classify_block_col(text: Column, tool: Column) -> Column:
     lookahead used). Downstream, linking weights definition-typed blocks
     differently (DEF_BLOCK_WEIGHTS: fenced evidence full boost, inline-call
     evidence half — hybrid.py:419-481 analog)."""
+    # instr gates (the section_col pattern): each regex structurally
+    # requires a literal character — '[' for the log tag, '(' for the call —
+    # so rows without it skip the regex scan entirely. This matters because
+    # the two rlikes run inside the corpus-sized chunk projection and the
+    # (vast) prose majority reaches them; the gate costs one memchr.
     return (
         F.when(tool.isNotNull(), "tool_output")
         .when(F.instr(text, "```") > 0, "fenced_code")
-        .when(text.rlike(r"(?m)^\[(ERROR|WARN|INFO|DEBUG)\]"), "log_dump")
-        .when(text.rlike(r"[A-Za-z_][A-Za-z0-9_]*\("), "inline_tool_call")
+        .when(
+            (F.instr(text, "[") > 0)
+            & text.rlike(r"(?m)^\[(ERROR|WARN|INFO|DEBUG)\]"),
+            "log_dump",
+        )
+        .when(
+            (F.instr(text, "(") > 0) & text.rlike(r"[A-Za-z_][A-Za-z0-9_]*\("),
+            "inline_tool_call",
+        )
         .otherwise("prose")
     )
 

@@ -33,20 +33,33 @@ LINK_SCHEMA = (
 
 
 def catalog_fingerprint(catalog: DataFrame) -> str:
-    """Order-independent content identity of the catalog: xor-fold of
-    per-row xxhash64 over all columns (sorted column order). One tiny agg —
-    the catalog is a dimension table. xor (not sum) so the fold is
-    associative/commutative without overflow semantics to reason about."""
+    """Order-independent content identity of the catalog: TWO folds of the
+    per-row xxhash64 over all columns (sorted column order) — bit_xor AND a
+    wrapping sum — plus the row count. One tiny agg; the catalog is a
+    dimension table.
+
+    Why two folds (ADVICE r4): xor alone cancels duplicate rows (x^x = 0),
+    so {x,x,y} and {y,z,z} could collide; the sum fold breaks that class
+    (under it duplicates add, not cancel), and both are associative/
+    commutative so the result is partitioning-independent. The sum runs in
+    decimal(38,0) — a raw long sum of 64-bit hashes would overflow-throw
+    under Spark's ANSI default — and is masked to 64 bits driver-side."""
     cols = [F.col(c).cast("string") for c in sorted(catalog.columns)]
     fp_row = (
         catalog.select(F.xxhash64(*cols).alias("h"))
         .agg(
-            F.coalesce(F.expr("bit_xor(h)"), F.lit(0)).alias("fp"),
+            F.coalesce(F.expr("bit_xor(h)"), F.lit(0)).alias("fp_xor"),
+            F.coalesce(
+                F.sum(F.col("h").cast("decimal(38,0)")), F.lit(0)
+            ).alias("fp_sum"),
             F.count(F.lit(1)).alias("n"),
         )
         .collect()[0]
     )
-    return f"{fp_row['fp'] & 0xFFFFFFFFFFFFFFFF:x}:{fp_row['n']}"
+    mask = 0xFFFFFFFFFFFFFFFF
+    return (
+        f"{fp_row['fp_xor'] & mask:x}:{int(fp_row['fp_sum']) & mask:x}:{fp_row['n']}"
+    )
 
 
 def split_link_work(

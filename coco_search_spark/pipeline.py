@@ -574,9 +574,19 @@ def run_pipeline(
                 "conv_id",
                 "left",
             )
+            # legacy upgrade path (ADVICE r4, high): a pre-delta snapshot has
+            # no written_version column, so prev_wv is NULL for unchanged
+            # conversations — carrying that NULL forward would make version
+            # resolution drop their rows on the NEXT run. Their facts live in
+            # the legacy full part, which table_parts surfaces as parts[0];
+            # coalesce the pointer to its version.
             wv_col = (
                 F.when(F.col("status").isin("new", "changed"), F.lit(version))
-                .otherwise(F.col("prev_wv"))
+                .otherwise(
+                    F.coalesce(
+                        F.col("prev_wv"), F.lit(facts_parts[0]["version"])
+                    )
+                )
                 .cast("bigint")
             )
         else:

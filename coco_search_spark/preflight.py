@@ -37,13 +37,16 @@ def _input_readable(spark: SparkSession, p: str) -> tuple[bool, str]:
     FileSystem Spark's readers will use."""
     from urllib.parse import urlparse
 
-    scheme = urlparse(p).scheme
+    parsed = urlparse(p)
+    scheme = parsed.scheme
     if scheme in ("", "file"):
-        local = p
-        if p.startswith("file://"):
-            local = p[len("file://"):]
-        elif p.startswith("file:"):
-            local = p[len("file:"):]
+        # ADVICE r4: use urlparse's PATH component — naive prefix stripping
+        # turned authority-form URIs ('file://localhost/x') into relative
+        # paths ('localhost/x'). Local authorities ('', 'localhost') are
+        # valid; anything else is a remote file URI this driver cannot stat.
+        if scheme == "file" and parsed.netloc not in ("", "localhost"):
+            return False, f"non-local file URI authority {parsed.netloc!r}"
+        local = parsed.path if scheme == "file" else p
         ok = os.path.exists(local) and os.access(local, os.R_OK)
         return ok, "readable" if ok else "missing or unreadable"
     try:

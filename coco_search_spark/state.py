@@ -230,15 +230,21 @@ class StateStore:
         Like Iceberg snapshot expiry this is the operator's explicit
         "no concurrent readers of old snapshots" action — a lazy DataFrame
         still bound to a superseded part must be materialized first.
+        Version dirs NEWER than the current manifest are also kept
+        (ADVICE r4: an in-flight run writes its part dirs BEFORE committing
+        its manifest — deleting them would corrupt that run's snapshot);
+        only dirs the manifest chain has provably superseded are removed.
         Never touches the state directory itself, paths outside ``out_dir``,
         or non-versioned sinks (nodes/edges/quarantine). Returns the deleted
         (or, with ``dry_run``, deletable) paths."""
+        import re
         import shutil
 
         snap = self.last_snapshot()
         keep: set[str] = set()
+        cur_version = snap["version"] if snap else 0
         if snap:
-            for kind in ("facts", "chunks"):
+            for kind in ("facts", "chunks", "edges"):
                 for p in self.table_parts(kind) or []:
                     keep.add(os.path.realpath(p["path"]))
             if snap.get("links_path"):
@@ -249,7 +255,12 @@ class StateStore:
                 name.startswith("facts_v")
                 or name.startswith("chunks_v")
                 or name.startswith("links_v")
+                or name.startswith("edges_v")
             ):
+                continue
+            m = re.search(r"_v(\d+)$", name)
+            if m and int(m.group(1)) > cur_version:
+                # candidate part of a not-yet-committed (in-flight) run
                 continue
             full = os.path.realpath(os.path.join(out_dir, name))
             if full not in keep:
