@@ -112,7 +112,7 @@ def run_bench(cpus: int, sf_dir: str) -> dict:
         for name in [
             "kg_extract_triples",
             "rrf_fusion_docs",
-            "pricing_summary",
+            "rollup_revenue",
             "doc_minhash",
             "ann_topk",
             "graph_reach",

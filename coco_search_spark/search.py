@@ -46,6 +46,8 @@ def search_chunks(
     embed_dim: int = 64,
     id_col: str = "chunk_id",
     rewrite: bool = False,
+    where=None,
+    min_score: float | None = None,
 ) -> DataFrame:
     """chunks(id_col, tsv_input, embedding) × query string → top-k fused
     hits: (chunk_id, vec_sim, kw_sim, rrf_score, match_type, search_rank).
@@ -68,10 +70,22 @@ def search_chunks(
     tokens (the "user typed words, index stores identifiers" bridge),
     while the vector leg keeps the original query — morphological
     variants of a hash embedding are uncorrelated, and with a real model
-    the original phrasing is the better semantic probe."""
+    the original phrasing is the better semantic probe.
+
+    ``where`` (a Column or SQL boolean string over the chunk columns) and
+    ``min_score`` (per-leg similarity floor) are applied BEFORE the
+    prefetches — the reference's rule that filters go ahead of ranking
+    (hybrid.py:515-552, query.py:479-509, docs/retrieval.md:246): a chunk
+    excluded by the filter must not consume a prefetch slot, so
+    filter-then-prefetch admits matches a post-hoc filter would lose.
+    ``where`` is declarative and lands in the scan (Catalyst pushes it
+    below the projection → parquet PushedFilters when it references
+    stored columns)."""
     from coco_search_spark.ops.globs import require_positive
 
     require_positive(k=k, prefetch=prefetch, rrf_k=rrf_k, embed_dim=embed_dim)
+    if where is not None:
+        chunks = chunks.filter(F.expr(where) if isinstance(where, str) else where)
     kw_query = query
     if rewrite:
         from coco_search_spark.functions.query_rewrite import rewrite_query
@@ -91,19 +105,22 @@ def search_chunks(
             6,
         ).alias("kw_sim"),
     )
+    leg_v = scored.select("chunk_id", "vec_sim")
+    if min_score is not None:
+        leg_v = leg_v.filter(F.col("vec_sim") >= min_score)
     leg_v = (
-        scored.select("chunk_id", "vec_sim")
-        .orderBy(F.desc("vec_sim"), F.asc("chunk_id"))
+        leg_v.orderBy(F.desc("vec_sim"), F.asc("chunk_id"))
         .limit(prefetch)
         .withColumn(
             "rank_v",
             F.row_number().over(Window.orderBy(F.desc("vec_sim"), F.asc("chunk_id"))),
         )
     )
+    leg_k = scored.select("chunk_id", "kw_sim").filter(F.col("kw_sim") > 0)
+    if min_score is not None:
+        leg_k = leg_k.filter(F.col("kw_sim") >= min_score)
     leg_k = (
-        scored.select("chunk_id", "kw_sim")
-        .filter(F.col("kw_sim") > 0)
-        .orderBy(F.desc("kw_sim"), F.asc("chunk_id"))
+        leg_k.orderBy(F.desc("kw_sim"), F.asc("chunk_id"))
         .limit(prefetch)
         .withColumn(
             "rank_k",
@@ -146,6 +163,76 @@ def search_chunks(
             "match_type",
             "search_rank",
         )
+    )
+
+
+def search_results(
+    chunks: DataFrame,
+    transcripts: DataFrame,
+    query: str,
+    k: int = 10,
+    n_before: int = 2,
+    n_after: int = 2,
+    max_chars: int = 200,
+    id_col: str = "chunk_id",
+    content_col: str = "seg_text",
+    **kwargs,
+) -> DataFrame:
+    """Full search-result assembly — the reference's ``SearchResult``
+    (reference: src/cocosearch/search/query.py:33-70, assembled at
+    :419-437 with context expansion context_expander.py:302-411): the
+    ``search_chunks`` winners joined back to their chunk CONTENT plus the
+    neighbor-turn context window (each neighbor capped at ``max_chars``,
+    BOF/EOF flags when the window clips at the conversation bounds).
+
+    ``chunks`` must carry ``conv_id``/``turn_idx``/``content_col`` besides
+    the search columns; ``transcripts`` is the turn table the context
+    window reads. Extra kwargs (``where``, ``min_score``, ``rewrite``,
+    ``prefetch`` …) pass through to ``search_chunks``.
+
+    Scale shape: the winner set is ≤ k rows, so BOTH joins broadcast it —
+    the content join never shuffles the chunk store, and the context
+    windows run only over the winners' conversations (left_semi prune
+    BEFORE the window shuffle), not the corpus. The winner set is
+    lazily localCheckpointed so its two consumers don't recompute the
+    two-leg search."""
+    from coco_search_spark.operators.context import expand_context
+
+    hits = search_chunks(chunks, query, k=k, id_col=id_col, **kwargs).localCheckpoint(
+        eager=False
+    )
+    content = chunks.select(
+        F.col(id_col).cast("string").alias("chunk_id"),
+        "conv_id",
+        "turn_idx",
+        F.col(content_col).alias("content"),
+    )
+    joined = content.join(F.broadcast(hits), "chunk_id")
+    convs = joined.select("conv_id").distinct()
+    ctx = expand_context(
+        transcripts.join(F.broadcast(convs), "conv_id", "left_semi"),
+        n_before=n_before,
+        n_after=n_after,
+        max_chars=max_chars,
+    )
+    return (
+        joined.join(ctx, ["conv_id", "turn_idx"], "left")
+        .select(
+            "chunk_id",
+            "conv_id",
+            "turn_idx",
+            "content",
+            F.coalesce("ctx_before", F.lit("")).alias("ctx_before"),
+            F.coalesce("ctx_after", F.lit("")).alias("ctx_after"),
+            F.coalesce("is_bof", F.lit(1)).alias("is_bof"),
+            F.coalesce("is_eof", F.lit(1)).alias("is_eof"),
+            "vec_sim",
+            "kw_sim",
+            "rrf_score",
+            "match_type",
+            "search_rank",
+        )
+        .orderBy("search_rank")
     )
 
 

@@ -23,7 +23,7 @@ SUBSET = [
     "kg_canonicalize",
     "kg_context_expand",
     "rrf_fusion_docs",
-    "pricing_summary",
+    "rollup_revenue",
     "doc_minhash",
     "doc_simhash",
     "dedup_near_pairs",

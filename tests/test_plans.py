@@ -34,14 +34,42 @@ def _final_plan(df):
 
 
 def test_filter_pushdown_reaches_scan(spark):
-    from coco_search_spark.entry_queries import q_pricing_summary
+    # TPC-H Q1 shape inline (the pricing_summary registry entry was retired
+    # round 5 as redundant with rollup_revenue; the plan-shape contract —
+    # filter and projection reach the parquet scan — is asserted directly)
+    from coco_search_spark.entry_queries import load_views
 
-    plan = _formatted(q_pricing_summary(spark, SF))
+    load_views(spark, SF)
+    li = spark.table("lineitem")
+    q = (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"))
+    )
+    plan = _formatted(q)
     assert "PushedFilters" in plan
     assert "LessThanOrEqual(l_shipdate" in plan
     # column pruning: unneeded lineitem columns absent from ReadSchema
     read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
     assert "l_comment" not in read_schema and "l_partkey" not in read_schema
+
+
+def test_search_where_filter_pushed_to_scan(spark):
+    """search_chunks(where=...) is declarative: a comparison predicate over
+    a stored column must reach the parquet scan as a PushedFilter, not run
+    post-projection."""
+    from coco_search_spark.functions.embed import embed_expr
+    from coco_search_spark.search import search_chunks
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    chunks = docs.select(
+        "doc_id",
+        F.col("doc_id").cast("string").alias("chunk_id"),
+        F.col("text").alias("tsv_input"),
+        embed_expr(F.col("text")).alias("embedding"),
+    )
+    plan = _formatted(search_chunks(chunks, "spark window", k=5, where="doc_id < 500"))
+    assert "PushedFilters" in plan and "LessThan(doc_id,500)" in plan
 
 
 def test_star_join_broadcasts_dimensions(spark):

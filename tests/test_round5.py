@@ -140,6 +140,108 @@ def test_preflight_authority_file_uri(spark, tmp_path):
     assert "authority" in checks[f"input:{uri_remote}"]["detail"]
 
 
+def _doc_chunks(spark):
+    from coco_search_spark.functions.embed import embed_expr
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    return docs.select(
+        "doc_id",
+        F.col("doc_id").cast("string").alias("chunk_id"),
+        F.col("text").alias("tsv_input"),
+        embed_expr(F.col("text")).alias("embedding"),
+    )
+
+
+def test_search_filter_pushdown_changes_results(spark):
+    """Filters sit AHEAD of the prefetches (reference hybrid.py:515-552):
+    with a prefetch smaller than the corpus, filter-then-prefetch must
+    admit matches that post-hoc filtering of the unfiltered prefetch
+    loses — if the two agreed, the filter placement would be unproven."""
+    from coco_search_spark.search import search_chunks
+
+    chunks = _doc_chunks(spark)
+    q = "hash join spark window pipeline"
+    pushed = search_chunks(
+        chunks, q, k=10, prefetch=10, where="doc_id % 3 = 0"
+    ).select("chunk_id")
+    post_hoc = (
+        search_chunks(chunks, q, k=1000, prefetch=10)
+        .filter(F.col("chunk_id").cast("bigint") % 3 == 0)
+        .limit(10)
+        .select("chunk_id")
+    )
+    a = {r.chunk_id for r in pushed.collect()}
+    b = {r.chunk_id for r in post_hoc.collect()}
+    assert all(int(c) % 3 == 0 for c in a)
+    assert a != b  # pre-prefetch placement is observable
+    assert len(a) == 10  # the filtered corpus still fills k
+
+
+def test_search_min_score_floors_both_legs(spark):
+    """min_score applies BEFORE the prefetch limits: every surviving leg
+    similarity respects the floor, and rows a floored leg dropped free
+    prefetch slots for lower-ranked matches."""
+    from coco_search_spark.search import search_chunks
+
+    chunks = _doc_chunks(spark)
+    q = "hash join spark window pipeline"
+    res = search_chunks(chunks, q, k=50, prefetch=20, min_score=0.05).collect()
+    assert res, "floored search returned nothing"
+    for r in res:
+        if r.vec_sim is not None:
+            assert r.vec_sim >= 0.05
+        if r.kw_sim is not None:
+            assert r.kw_sim >= 0.05
+
+
+def test_search_results_assembly_context(spark):
+    """search_results = winners + chunk content + neighbor-turn context
+    window with BOF/EOF flags (SearchResult assembly, reference
+    query.py:419-437 + context_expander.py:302-411)."""
+    from coco_search_spark.functions.embed import embed_expr
+    from coco_search_spark.search import search_results
+
+    rows = [
+        ("c1", 0, "alpha opening turn"),
+        ("c1", 1, "needle match turn about spark pipeline"),
+        ("c1", 2, "closing remarks"),
+        ("c2", 0, "unrelated lonely turn"),
+    ]
+    t = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    chunks = t.select(
+        F.concat_ws("#", "conv_id", F.col("turn_idx").cast("string")).alias("chunk_id"),
+        "conv_id",
+        "turn_idx",
+        F.col("text").alias("tsv_input"),
+        F.col("text").alias("seg_text"),
+        embed_expr(F.col("text")).alias("embedding"),
+    )
+    res = search_results(chunks, t, "needle spark pipeline", k=1)
+    row = res.collect()[0]
+    assert row.chunk_id == "c1#1" and row.search_rank == 1
+    assert row.content == "needle match turn about spark pipeline"
+    assert row.ctx_before == "alpha opening turn"
+    assert row.ctx_after == "closing remarks"
+    assert row.is_bof == 1 and row.is_eof == 1  # ±2 window clips both ways
+    # middle-of-conversation hit without clipping on a longer conv
+    rows5 = [("c3", i, f"turn number {i} filler") for i in range(5)]
+    rows5[2] = ("c3", 2, "needle spark pipeline center")
+    t5 = spark.createDataFrame(rows5, "conv_id string, turn_idx int, text string")
+    chunks5 = t5.select(
+        F.concat_ws("#", "conv_id", F.col("turn_idx").cast("string")).alias("chunk_id"),
+        "conv_id",
+        "turn_idx",
+        F.col("text").alias("tsv_input"),
+        F.col("text").alias("seg_text"),
+        embed_expr(F.col("text")).alias("embedding"),
+    )
+    mid = search_results(chunks5, t5, "needle spark pipeline", k=1).collect()[0]
+    assert mid.chunk_id == "c3#2"
+    assert mid.is_bof == 0 and mid.is_eof == 0
+    assert mid.ctx_before == "turn number 0 filler\nturn number 1 filler"
+    assert mid.ctx_after == "turn number 3 filler\nturn number 4 filler"
+
+
 def test_block_taxonomy_instr_gates_preserve_semantics(spark):
     """The round-5 instr prefilters on log_dump / inline_tool_call must not
     change a single classification — each regex structurally requires the
