@@ -45,6 +45,11 @@ class EngineConfig:
     # spurious full re-extract on resume)
     compact_parts_after: int = 8
     broadcast_surface_limit: int = 5_000_000
+    # input-manifest scan pruning (operators/scan_pruning.py): warm runs
+    # re-read only changed files + affected conversations' home files.
+    # Escape hatch for sources that mutate files in place preserving
+    # (size, mtime) — turn off to force the full hash scan every run.
+    incremental_scan: bool = True
 
     # ---- validation ----------------------------------------------------
     _POSITIVE = (
@@ -60,7 +65,11 @@ class EngineConfig:
     )
     # knobs that change HOW state is laid out / how fast the run is, but
     # never WHAT any query returns — kept out of config_hash
-    _OPERATIONAL = ("compact_parts_after", "broadcast_surface_limit")
+    _OPERATIONAL = (
+        "compact_parts_after",
+        "broadcast_surface_limit",
+        "incremental_scan",
+    )
     _FRACTION = ("jaccard_threshold", "min_link_score")
 
     def validate(self) -> "EngineConfig":
@@ -92,6 +101,10 @@ class EngineConfig:
             problems.append(
                 f"n_hashes ({self.n_hashes}) must be divisible by n_bands"
                 f" ({self.n_bands})"
+            )
+        if not isinstance(self.incremental_scan, bool):
+            problems.append(
+                f"incremental_scan must be a bool, got {self.incremental_scan!r}"
             )
         if problems:
             raise ValueError(

@@ -141,26 +141,55 @@ def build_nodes(edges: DataFrame, extra_entities: DataFrame | None = None) -> Da
     )
 
 
-def write_graph(nodes: DataFrame, edges: DataFrame, out_dir: str) -> None:
-    """Materialize node/edge parquet tables; edges repartitioned by a salted
-    subj_id so one hot entity cannot produce one giant output file."""
-    out_edges = edges
-    if "metadata" not in edges.columns:
-        # JSONB-metadata analog (deps/db.py:46): surfaces + provenance
-        # (where in the conversation this edge is evidenced) as a string map
-        kv = [
-            F.lit("subj_surface"), F.col("subj"),
-            F.lit("obj_surface"), F.col("obj"),
-        ]
-        for c in ("src_offset", "src_seg_idx"):
-            if c in edges.columns:
-                kv.extend([F.lit(c), F.col(c).cast("string")])
-        out_edges = edges.withColumn("metadata", F.create_map(*kv)).drop(
-            "src_offset", "src_seg_idx"
-        )
-    out_edges.withColumn(
+def _attach_metadata(edges: DataFrame) -> DataFrame:
+    """JSONB-metadata analog (deps/db.py:46): surfaces + provenance (where
+    in the conversation this edge is evidenced) folded into a string map at
+    write time — kept out of cached intermediates (maps are the most
+    expensive column type to materialize)."""
+    if "metadata" in edges.columns:
+        return edges
+    kv = [
+        F.lit("subj_surface"), F.col("subj"),
+        F.lit("obj_surface"), F.col("obj"),
+    ]
+    for c in ("src_offset", "src_seg_idx"):
+        if c in edges.columns:
+            kv.extend([F.lit(c), F.col(c).cast("string")])
+    return edges.withColumn("metadata", F.create_map(*kv)).drop(
+        "src_offset", "src_seg_idx"
+    )
+
+
+def write_edges(edges: DataFrame, path: str) -> None:
+    """Edge sink (one full table or one delta part): repartitioned by a
+    salted subj_id so one hot entity cannot produce one giant output file."""
+    out = _attach_metadata(edges)
+    out.withColumn(
         "write_bucket", F.pmod(F.xxhash64("subj_id", "conv_id", "turn_idx"), F.lit(32))
     ).repartition(32, "write_bucket").drop("write_bucket").write.mode("overwrite").partitionBy(
         "pred"
-    ).parquet(f"{out_dir}/edges")
+    ).parquet(path)
+    # a partitionBy write of an EMPTY input leaves no data file (and so no
+    # schema footer) — a legal delta part when an edit removed a
+    # conversation's every triple. Leave a readable empty table so part
+    # resolution (StateStore.read_table) does not fail on it; `pred` rides
+    # as a zero-row data column, which unionByName folds harmlessly.
+    import glob
+    import os
+
+    if not glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True):
+        out.limit(0).write.mode("overwrite").parquet(path)
+
+
+def write_nodes(nodes: DataFrame, out_dir: str) -> None:
+    """Node sink: vocabulary-sized (distinct canonical entities), so a full
+    rewrite per run is cheap — same policy as the per-surface links table."""
     nodes.write.mode("overwrite").parquet(f"{out_dir}/nodes")
+
+
+def write_graph(nodes: DataFrame, edges: DataFrame, out_dir: str) -> None:
+    """Storeless layout: one full edges dir + nodes. Runs with a StateStore
+    use versioned edge parts instead (pipeline.py edge-delta sink) so warm
+    runs write O(delta) edge files."""
+    write_edges(edges, f"{out_dir}/edges")
+    write_nodes(nodes, out_dir)

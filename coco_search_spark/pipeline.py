@@ -136,15 +136,41 @@ def run_pipeline(
     if extractor not in ("native", "arrow"):
         raise ValueError(f"unknown extractor {extractor!r}")
 
-    # parse-status gate (parse_tracking.py:58-111 analog): malformed turns
-    # are quarantined and counted per conversation into state `errors`;
-    # the pipeline proceeds over clean rows instead of failing
-    transcripts, quarantined = split_quarantine(transcripts)
-
+    raw_transcripts = transcripts
     store = StateStore(state_dir) if state_dir else None
+    snap = store.last_snapshot() if store else None
     # staleness metric (stats.py:642 analog): age of the state we resume
     # from, surfaced BEFORE this run commits a fresh snapshot
     snapshot_age = store.staleness_seconds() if store else None
+    stored = store.read(spark) if store else None
+
+    # ---- input-manifest scan pruning (VERDICT r4 #2) --------------------
+    # When the input is a plain file scan, diff its per-file (size, mtime)
+    # manifest against the previous snapshot's and re-read ONLY changed
+    # files plus affected conversations' home files; everyone else carries
+    # their stored hash forward. Any gate failure → full scan (correct,
+    # just not incremental). The quarantine split runs AFTER the scope
+    # decision: under pruning only the re-read files are re-validated.
+    cur_manifest = None
+    prune = None
+    if store is not None and cfg.incremental_scan:
+        from coco_search_spark.operators.scan_pruning import (
+            input_manifest,
+            plan_pruned_scan,
+        )
+
+        cur_manifest = input_manifest(transcripts)
+        if cur_manifest is not None and snap is not None:
+            prune = plan_pruned_scan(
+                spark, transcripts, cur_manifest, snap.get("input_manifest"), stored
+            )
+
+    # parse-status gate (parse_tracking.py:58-111 analog): malformed turns
+    # are quarantined and counted per conversation into state `errors`;
+    # the pipeline proceeds over clean rows instead of failing
+    transcripts, quarantined = split_quarantine(
+        prune.scoped_raw if prune is not None else transcripts
+    )
     prev_facts: DataFrame | None = None
     prev_links: DataFrame | None = None
     catalog_fp: str | None = None
@@ -157,14 +183,52 @@ def run_pipeline(
     n_dirty = 0
     cur_hashes = None
     if store is not None:
-        cur_hashes = conversation_hashes(transcripts).cache()
-        stored = store.read(spark)
+        if prune is not None:
+            # candidates re-hash from the scoped re-read; everyone else
+            # carries the stored hash (+ home set + advisory error count)
+            hashed = conversation_hashes(
+                transcripts.join(prune.cand_ids, "conv_id", "left_semi"),
+                with_files=True,
+            ).select(
+                "conv_id",
+                "content_hash",
+                "rows_in",
+                "src_files",
+                F.lit(None).cast("bigint").alias("stored_errors"),
+                F.lit(False).alias("carried"),
+            )
+            cur_hashes = hashed.unionByName(
+                prune.carried.withColumn("carried", F.lit(True)).select(
+                    "conv_id",
+                    "content_hash",
+                    "rows_in",
+                    "src_files",
+                    "stored_errors",
+                    "carried",
+                )
+            ).cache()
+        else:
+            cur_hashes = conversation_hashes(
+                transcripts, with_files=(cur_manifest is not None)
+            )
+            if cur_manifest is None:
+                # not a plain file scan — no home sets to record
+                cur_hashes = cur_hashes.withColumn(
+                    "src_files", F.lit(None).cast("array<string>")
+                )
+            cur_hashes = cur_hashes.select(
+                "conv_id",
+                "content_hash",
+                "rows_in",
+                "src_files",
+                F.lit(None).cast("bigint").alias("stored_errors"),
+                F.lit(False).alias("carried"),
+            ).cache()
         diff = diff_against_state(cur_hashes, stored).cache()
         n_unchanged = diff.filter(F.col("status") == "unchanged").count()
         dirty_ids = diff.filter(F.col("status").isin("new", "changed")).select("conv_id")
         n_dirty = dirty_ids.count()
         dirty = transcripts.join(dirty_ids, "conv_id", "left_semi")
-        snap = store.last_snapshot()
         # provenance gate: stored facts produced under a different config /
         # grammar identity must not be mixed into this run's output.
         # Snapshots from before the stamp existed (no config_hash) are
@@ -228,6 +292,14 @@ def run_pipeline(
                 # proceeding with the pruned set would silently drop their
                 # facts from the output — fall back to a full re-extract
                 # (correct, just not incremental this run)
+                if prune is not None:
+                    # the pruned scan covers only candidate files; a full
+                    # re-extract needs the whole corpus back. Carried
+                    # hashes in cur_hashes stay valid (unchanged files),
+                    # but quarantine/error bookkeeping reverts to the
+                    # full-scan path.
+                    transcripts, quarantined = split_quarantine(raw_transcripts)
+                    prune = None
                 dirty = transcripts
                 n_unchanged = 0
 
@@ -449,6 +521,12 @@ def run_pipeline(
     chunks_path = None
     facts_parts_new = None
     chunks_parts_new = None
+    edges_parts_new = None
+    edges_parts_prev = None
+    linkmap_path = None
+    edge_dirty_ids = None
+    n_edge_dirty = None
+    n_moved = None
     version = store.next_version() if store else 1
     # delta-write mode: this run extracted only the dirty conversations, so
     # only THEIR rows go into the new facts/chunks part dirs — O(delta)
@@ -494,7 +572,101 @@ def run_pipeline(
                     chunks_parts_new = [new_part]
                 chunks.write.mode("overwrite").parquet(chunks_path)
         _stamp("write_chunks")
-        write_graph(nodes, edges, out_dir)
+        # ---- edge/node sinks (VERDICT r4 #3: O(delta) edge writes) ------
+        # An edge row is PURE in (its conversation's triples, link_map), so
+        # a conversation's stored edges remain valid across runs unless its
+        # content changed OR the canonical id of a surface it mentions
+        # moved. The gate diffs this run's link_map against the previous
+        # snapshot's persisted copy (value-based — no fingerprint collision
+        # class) and rewrites only the union of content-dirty and
+        # link-moved conversations as a versioned delta part; the
+        # written_version machinery facts already use resolves readers
+        # (StateStore.read_table("edges")). Any doubt — no persisted map,
+        # part list at the compaction bound, vocabulary-sized move set —
+        # falls back to a full rewrite (unknown is not known-unchanged).
+        edges_parts_prev = store.table_parts("edges") if store else None
+        if (
+            store is not None
+            and delta_mode
+            and not compact
+            and _parts_ok(edges_parts_prev)
+            and len(edges_parts_prev) + 1 <= cfg.compact_parts_after
+            and snap.get("linkmap_path")
+            and os.path.exists(snap["linkmap_path"])
+        ):
+            old_map = spark.read.parquet(snap["linkmap_path"])
+            # surfaces whose canonical id differs from the previous run —
+            # including surfaces added to / removed from the vocabulary
+            moved = (
+                link_map.select("mention", F.col("canon_id").alias("new_id"))
+                .join(
+                    old_map.select("mention", F.col("canon_id").alias("old_id")),
+                    "mention",
+                    "full_outer",
+                )
+                .filter(~F.col("new_id").eqNullSafe(F.col("old_id")))
+                .select("mention")
+                .localCheckpoint(eager=True)
+            )
+            n_moved = moved.count()
+            if n_moved == 0:
+                edge_dirty_ids = dirty_ids.localCheckpoint(eager=True)
+                n_edge_dirty = n_dirty
+            elif n_moved <= cfg.broadcast_surface_limit:
+                # conversations whose triples mention a moved surface: two
+                # broadcast semi-joins over the (already loaded) full triple
+                # set — a removed surface matches no triple, harmlessly
+                affected = (
+                    triples.join(
+                        F.broadcast(moved.withColumnRenamed("mention", "subj")),
+                        "subj",
+                        "left_semi",
+                    )
+                    .select("conv_id")
+                    .unionByName(
+                        triples.join(
+                            F.broadcast(moved.withColumnRenamed("mention", "obj")),
+                            "obj",
+                            "left_semi",
+                        ).select("conv_id")
+                    )
+                )
+                edge_dirty_ids = (
+                    dirty_ids.unionByName(affected).distinct().localCheckpoint(eager=True)
+                )
+                n_edge_dirty = edge_dirty_ids.count()
+            # else: move set beyond the broadcast budget — cluster churn at
+            # that scale means most edges move anyway; full rewrite below
+        from coco_search_spark.operators.materialize import write_edges, write_nodes
+
+        carry_edges = edge_dirty_ids is not None and n_edge_dirty == 0
+        if store is None:
+            # storeless layout: no manifest to version against
+            write_graph(nodes, edges, out_dir)
+        else:
+            if carry_edges:
+                edges_parts_new = list(edges_parts_prev)
+            elif edge_dirty_ids is not None:
+                epath = f"{out_dir}/edges_v{version:06d}"
+                write_edges(edges.join(edge_dirty_ids, "conv_id", "left_semi"), epath)
+                edges_parts_new = list(edges_parts_prev) + [
+                    {"path": epath, "version": version}
+                ]
+            else:
+                epath = f"{out_dir}/edges_v{version:06d}"
+                write_edges(edges, epath)
+                edges_parts_new = [{"path": epath, "version": version}]
+            if carry_edges and n_moved == 0:
+                # nodes are pure in (edges, standalone resolution) and the
+                # link map is value-identical — both sinks carry forward
+                linkmap_path = snap.get("linkmap_path")
+            else:
+                write_nodes(nodes, out_dir)
+                # persisted mention→canon map: the value the next run's
+                # edge-delta gate diffs against (vocabulary-sized — full
+                # rewrite per run is cheap, same policy as links)
+                linkmap_path = f"{out_dir}/linkmap_v{version:06d}"
+                link_map.write.mode("overwrite").parquet(linkmap_path)
         if combined is not None:
             # the COMBINED fact table (triples + standalone mentions +
             # bindings, kind-tagged) is the resume unit — restoring triples
@@ -532,12 +704,34 @@ def run_pipeline(
                 ).write.mode("overwrite").parquet(links_path)
         _stamp("write_graph_triples")
 
-    n_quarantined = quarantined.count()
+    # quarantine rows carry their source file so a PRUNED run can carry
+    # forward the quarantine of files it did not re-scan (their malformed
+    # rows are still in the corpus — dropping them would contradict the
+    # sink's "malformed rows currently present" meaning)
+    q_out = quarantined.withColumn("src_file", F.input_file_name())
     if out_dir:
+        q_path = f"{out_dir}/quarantine"
+        if prune is not None and os.path.exists(q_path):
+            prev_q = spark.read.parquet(q_path)
+            if "src_file" in prev_q.columns:
+                # drop re-scanned files' rows (re-detected this run) and
+                # removed files' rows (no longer in the corpus); both
+                # exclusion lists are delta-sized
+                gone = list(prune.scanned_files) + list(prune.removed_files)
+                q_out = q_out.unionByName(
+                    prev_q.filter(~F.col("src_file").isin(gone)),
+                    allowMissingColumns=True,
+                )
+            # pre-upgrade quarantine without src_file: rows cannot be
+            # attributed to files — re-detected only on their next re-scan
+        # materialize BEFORE the overwrite of the dir the carry-forward
+        # may still be lazily reading
+        q_out = q_out.localCheckpoint(eager=True)
         # always overwrite (even when empty): a rerun after the data was
         # fixed must not leave the previous run's quarantine rows behind
         # contradicting n_quarantined_turns=0 in metrics
-        quarantined.write.mode("overwrite").parquet(f"{out_dir}/quarantine")
+        q_out.write.mode("overwrite").parquet(q_path)
+    n_quarantined = q_out.count()
 
     metrics = {
         "n_triples": n_triples,
@@ -550,6 +744,16 @@ def run_pipeline(
         "compacted": compact,
         "n_links_fresh": n_links_fresh,
         "n_links_reused": n_links_reused,
+        # edge-delta receipt: None ⇒ full edge rewrite (cold run, no
+        # persisted link map, or vocabulary-scale cluster churn)
+        "n_edge_dirty_convs": n_edge_dirty,
+        "n_link_moved_surfaces": n_moved,
+        "n_edge_parts": len(edges_parts_new) if edges_parts_new else None,
+        # scan-pruning receipt: None ⇒ full scan (cold run, non-file input,
+        # or a pruning gate declined)
+        "n_files_scanned": len(prune.scanned_files) if prune is not None else None,
+        "n_files_total": prune.n_files_total if prune is not None else None,
+        "n_files_changed": prune.n_changed_files if prune is not None else None,
         "n_nodes": nodes.count(),
         "stage_timings": timings,
     }
@@ -561,6 +765,14 @@ def run_pipeline(
             .agg(F.count(F.lit(1)).alias("errors"))
         )
         base = cur_hashes.join(err_by_conv, "conv_id", "left")
+        # pruned runs did not re-scan carried conversations' files — their
+        # advisory error counts carry forward from the stored state
+        errors_col = (
+            F.when(F.col("carried"), F.coalesce(F.col("stored_errors"), F.lit(0)))
+            .otherwise(F.coalesce(F.col("errors"), F.lit(0)))
+            if prune is not None
+            else F.coalesce(F.col("errors"), F.lit(0))
+        )
         if delta_mode and not compact:
             # written_version: dirty conversations' rows went into THIS
             # run's part; unchanged ones keep the version of the part that
@@ -569,7 +781,9 @@ def run_pipeline(
                 diff.select("conv_id", "status"), "conv_id", "left"
             ).join(
                 stored.select(
-                    "conv_id", F.col("written_version").alias("prev_wv")
+                    "conv_id",
+                    F.col("written_version").alias("prev_wv"),
+                    F.col("edges_wv").alias("prev_ewv"),
                 ),
                 "conv_id",
                 "left",
@@ -591,6 +805,28 @@ def run_pipeline(
             )
         else:
             wv_col = F.lit(version).cast("bigint")
+        # edges pointer: NULL when no versioned edge parts exist (out_dir
+        # unset); the run's version on a full rewrite; per-conversation on a
+        # delta/carry run — this run's version for edge-dirty conversations,
+        # the previous pointer otherwise (coalesced to the oldest part for
+        # pre-pointer snapshots, the same legacy rule as written_version)
+        if edges_parts_new is None:
+            ewv_col = F.lit(None).cast("bigint")
+        elif edge_dirty_ids is None:
+            ewv_col = F.lit(version).cast("bigint")
+        else:
+            base = base.join(
+                edge_dirty_ids.withColumn("_edirty", F.lit(True)), "conv_id", "left"
+            )
+            ewv_col = (
+                F.when(F.col("_edirty"), F.lit(version))
+                .otherwise(
+                    F.coalesce(
+                        F.col("prev_ewv"), F.lit(edges_parts_prev[0]["version"])
+                    )
+                )
+                .cast("bigint")
+            )
         state_rows = base.select(
             "conv_id",
             "content_hash",
@@ -598,8 +834,10 @@ def run_pipeline(
             F.lit("pending").alias("snapshot_id"),
             F.col("rows_in"),
             F.lit(n_triples).alias("rows_out"),
-            F.coalesce(F.col("errors"), F.lit(0)).cast("bigint").alias("errors"),
+            errors_col.cast("bigint").alias("errors"),
             wv_col.alias("written_version"),
+            ewv_col.alias("edges_wv"),
+            F.col("src_files"),
         )
         # facts_path + producing-config provenance ride the SAME atomic
         # manifest write as the snapshot — a separate post-commit patch
@@ -618,6 +856,16 @@ def run_pipeline(
             extra["facts_parts"] = facts_parts_new
         if links_path:
             extra["links_path"] = links_path
+        if edges_parts_new:
+            extra["edges_parts"] = edges_parts_new
+        if linkmap_path:
+            extra["linkmap_path"] = linkmap_path
+        if cur_manifest is not None:
+            # per-file (size, mtime_ns) fingerprints: the next run's scan-
+            # pruning baseline (Iceberg-snapshot analog — one entry per data
+            # file, same cardinality as the snapshot log a real table
+            # format maintains)
+            extra["input_manifest"] = cur_manifest
         if chunks_path:
             extra["chunks_path"] = chunks_path
             extra["chunks_parts"] = chunks_parts_new

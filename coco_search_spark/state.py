@@ -34,8 +34,20 @@ from pyspark.sql import functions as F
 
 STATE_SCHEMA = (
     "conv_id string, content_hash string, stage string, snapshot_id string, "
-    "rows_in bigint, rows_out bigint, errors bigint, written_version bigint"
+    "rows_in bigint, rows_out bigint, errors bigint, written_version bigint, "
+    "edges_wv bigint, src_files array<string>"
 )
+
+# Per-kind version-pointer column: facts and chunks share written_version
+# (both are rewritten exactly when a conversation's CONTENT changes); edges
+# carry their own pointer because an edge rewrite can also be triggered by a
+# link-map move with no content change (and vice versa a full edge rewrite
+# can coincide with a facts delta).
+POINTER_COLS = {
+    "facts": "written_version",
+    "chunks": "written_version",
+    "edges": "edges_wv",
+}
 
 # Delta-written tables (facts, chunks) fold back into one full part once
 # the part list reaches this length: bounds reader fan-in (and file-listing
@@ -64,7 +76,7 @@ def ensure_columns(df: DataFrame, schema: str) -> DataFrame:
     return out.select(*ordered, *extras)
 
 
-def conversation_hashes(transcripts: DataFrame) -> DataFrame:
+def conversation_hashes(transcripts: DataFrame, with_files: bool = False) -> DataFrame:
     """(conv_id, content_hash): sha256 over the ordered concatenation of
     PER-TURN sha256 hashes — stable under (conv_id, turn_idx) ordering
     (flow.py:348-351 content-identity analog, Merkle-style).
@@ -75,30 +87,41 @@ def conversation_hashes(transcripts: DataFrame) -> DataFrame:
     aggregation buffer on a single task at 100× scale. Null texts contribute
     nothing on either engine (sha256(NULL) is NULL; array_join and
     string_agg both skip NULLs). The identical form in DuckDB is
-    ``sha256(string_agg(sha256(text), '' ORDER BY turn_idx))``."""
-    return (
-        transcripts.groupBy("conv_id")
-        .agg(
-            F.sha2(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(
-                                F.struct(
-                                    "turn_idx",
-                                    F.sha2(F.col("text"), 256).alias("turn_sha"),
-                                )
-                            )
-                        ),
-                        lambda s: s["turn_sha"],
-                    ),
-                    "",
-                ),
-                256,
-            ).alias("content_hash"),
-            F.count(F.lit(1)).alias("rows_in"),
-        )
+    ``sha256(string_agg(sha256(text), '' ORDER BY turn_idx))``.
+
+    ``with_files``: additionally collect the conversation's home-file set
+    (``src_files``, sorted) from ``input_file_name()`` — the per-conversation
+    side of the input-manifest scan pruning (operators/scan_pruning.py).
+    Spark rejects non-deterministic expressions inside aggregate functions,
+    so the file name is projected into a column first."""
+    src = (
+        transcripts.withColumn("_src_file", F.input_file_name())
+        if with_files
+        else transcripts
     )
+    aggs = [
+        F.sha2(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                "turn_idx",
+                                F.sha2(F.col("text"), 256).alias("turn_sha"),
+                            )
+                        )
+                    ),
+                    lambda s: s["turn_sha"],
+                ),
+                "",
+            ),
+            256,
+        ).alias("content_hash"),
+        F.count(F.lit(1)).alias("rows_in"),
+    ]
+    if with_files:
+        aggs.append(F.sort_array(F.collect_set("_src_file")).alias("src_files"))
+    return src.groupBy("conv_id").agg(*aggs)
 
 
 def diff_against_state(current: DataFrame, stored: DataFrame) -> DataFrame:
@@ -195,7 +218,8 @@ class StateStore:
         parts = self.table_parts(kind)
         if not parts:
             raise FileNotFoundError(f"snapshot carries no {kind} table")
-        versions = self.read(spark).select("conv_id", "written_version")
+        pointer = POINTER_COLS.get(kind, "written_version")
+        versions = self.read(spark).select("conv_id", F.col(pointer).alias("_wv"))
         if len(parts) == 1:
             # a single part holds at LEAST the full table, but can hold
             # more: a no-op run after deletions carries the part forward,
@@ -207,9 +231,7 @@ class StateStore:
         out = None
         for p in parts:
             rows = spark.read.parquet(p["path"]).join(
-                versions.filter(F.col("written_version") == p["version"]).select(
-                    "conv_id"
-                ),
+                versions.filter(F.col("_wv") == p["version"]).select("conv_id"),
                 "conv_id",
                 "left_semi",
             )
@@ -235,8 +257,10 @@ class StateStore:
         its manifest — deleting them would corrupt that run's snapshot);
         only dirs the manifest chain has provably superseded are removed.
         Never touches the state directory itself, paths outside ``out_dir``,
-        or non-versioned sinks (nodes/edges/quarantine). Returns the deleted
-        (or, with ``dry_run``, deletable) paths."""
+        or non-versioned sinks (nodes/quarantine; a legacy unversioned
+        ``edges`` dir is removed only once the manifest carries versioned
+        ``edges_parts`` that supersede it). Returns the deleted (or, with
+        ``dry_run``, deletable) paths."""
         import re
         import shutil
 
@@ -247,14 +271,22 @@ class StateStore:
             for kind in ("facts", "chunks", "edges"):
                 for p in self.table_parts(kind) or []:
                     keep.add(os.path.realpath(p["path"]))
-            if snap.get("links_path"):
-                keep.add(os.path.realpath(snap["links_path"]))
+            for key in ("links_path", "linkmap_path"):
+                if snap.get(key):
+                    keep.add(os.path.realpath(snap[key]))
         victims = []
         for name in sorted(os.listdir(out_dir)):
+            if name == "edges" and snap and snap.get("edges_parts"):
+                # legacy unversioned edges dir superseded by versioned parts
+                # (post-upgrade orphan); storeless layouts never have a
+                # manifest here, so live legacy sinks are untouched
+                victims.append(os.path.realpath(os.path.join(out_dir, name)))
+                continue
             if not (
                 name.startswith("facts_v")
                 or name.startswith("chunks_v")
                 or name.startswith("links_v")
+                or name.startswith("linkmap_v")
                 or name.startswith("edges_v")
             ):
                 continue

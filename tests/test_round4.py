@@ -401,8 +401,11 @@ def test_vacuum_removes_superseded_and_orphaned_parts(spark, tmp_path):
         state_dir=state,
         config=EngineConfig(compact_parts_after=1),
     )
-    # plus a crashed-run orphan and an unreferenced links dir (this chain
-    # ran without a catalog, so no manifest links_path protects it)
+    # plus an unreferenced links dir (this chain ran without a catalog, so
+    # no manifest links_path protects it) and a part dir with a version
+    # NEWER than the manifest — the signature of an IN-FLIGHT run that has
+    # written its parts but not yet committed (ADVICE r4: vacuum must not
+    # corrupt it)
     os.makedirs(os.path.join(out, "facts_v000009"))
     os.makedirs(os.path.join(out, "links_v000001"))
     store = StateStore(state)
@@ -411,8 +414,13 @@ def test_vacuum_removes_superseded_and_orphaned_parts(spark, tmp_path):
     victims = store.vacuum(out)
     names = {os.path.basename(v) for v in victims}
     assert names == {
-        "facts_v000001", "chunks_v000001", "links_v000001", "facts_v000009",
+        "facts_v000001", "chunks_v000001", "links_v000001",
+        # superseded by the run-2 full rewrite (edge sinks are versioned
+        # parts since round 5)
+        "edges_v000001", "linkmap_v000001",
     }, names
+    # the possibly-in-flight newer part survives
+    assert os.path.exists(os.path.join(out, "facts_v000009"))
     # current snapshot untouched and still fully readable
     snap = store.last_snapshot()
     assert os.path.exists(snap["facts_path"]) and os.path.exists(snap["chunks_path"])
