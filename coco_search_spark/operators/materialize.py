@@ -141,6 +141,92 @@ def build_nodes(edges: DataFrame, extra_entities: DataFrame | None = None) -> Da
     )
 
 
+def degree_contrib(edges: DataFrame) -> DataFrame:
+    """(entity_id, d_out, d_in) — the degree contribution of an edge subset
+    (same row semantics as build_nodes: every edge occurrence counts once).
+    Used by the incremental node-maintenance path on delta-sized inputs."""
+    endpoints = edges.select(
+        F.col("subj_id").alias("entity_id"), F.lit(1).alias("is_out")
+    ).unionAll(
+        edges.select(F.col("obj_id").alias("entity_id"), F.lit(0).alias("is_out"))
+    )
+    return (
+        endpoints.filter(F.col("entity_id").isNotNull())
+        .groupBy("entity_id")
+        .agg(
+            F.coalesce(F.sum("is_out"), F.lit(0)).alias("d_out"),
+            F.coalesce(F.sum(1 - F.col("is_out")), F.lit(0)).alias("d_in"),
+        )
+    )
+
+
+def apply_node_delta(
+    old_nodes: DataFrame,
+    add: DataFrame,
+    sub: DataFrame,
+    standalone_ids: DataFrame,
+) -> DataFrame:
+    """Incremental node maintenance: degrees are pure sums over edge rows,
+    so new_nodes = old_nodes − contrib(replaced conversations' OLD edges)
+    + contrib(their NEW edges). ``standalone_ids`` is the CURRENT
+    relation-free entity set (standalone mentions resolve per run — a
+    dirty conversation can add or drop the only mention keeping a degree-0
+    node alive). Every input except the corpus-derived contributions is
+    vocabulary-sized; the contributions are delta-sized. Rows whose
+    degrees drop to zero survive only while standalone-mentioned — the
+    same membership rule build_nodes applies on the full rebuild."""
+    delta = (
+        add.select("entity_id", "d_out", "d_in")
+        .join(
+            sub.select(
+                "entity_id",
+                F.col("d_out").alias("s_out"),
+                F.col("d_in").alias("s_in"),
+            ),
+            "entity_id",
+            "full_outer",
+        )
+        .select(
+            "entity_id",
+            (F.coalesce("d_out", F.lit(0)) - F.coalesce("s_out", F.lit(0))).alias(
+                "d_out"
+            ),
+            (F.coalesce("d_in", F.lit(0)) - F.coalesce("s_in", F.lit(0))).alias(
+                "d_in"
+            ),
+        )
+    )
+    return (
+        old_nodes.select(
+            "entity_id",
+            F.col("out_degree").alias("o_out"),
+            F.col("in_degree").alias("o_in"),
+        )
+        .join(delta, "entity_id", "full_outer")
+        .join(
+            standalone_ids.select(
+                "entity_id", F.lit(True).alias("is_standalone")
+            ).distinct(),
+            "entity_id",
+            "full_outer",
+        )
+        .select(
+            "entity_id",
+            (F.coalesce("o_out", F.lit(0)) + F.coalesce("d_out", F.lit(0)))
+            .cast("long")
+            .alias("out_degree"),
+            (F.coalesce("o_in", F.lit(0)) + F.coalesce("d_in", F.lit(0)))
+            .cast("long")
+            .alias("in_degree"),
+            F.coalesce("is_standalone", F.lit(False)).alias("is_standalone"),
+        )
+        .filter(
+            (F.col("out_degree") + F.col("in_degree") > 0) | F.col("is_standalone")
+        )
+        .drop("is_standalone")
+    )
+
+
 def _attach_metadata(edges: DataFrame) -> DataFrame:
     """JSONB-metadata analog (deps/db.py:46): surfaces + provenance (where
     in the conversation this edge is evidenced) folded into a string map at

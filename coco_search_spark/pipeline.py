@@ -181,6 +181,7 @@ def run_pipeline(
     dirty = transcripts
     n_unchanged = 0
     n_dirty = 0
+    n_deleted = 0
     cur_hashes = None
     if store is not None:
         if prune is not None:
@@ -228,7 +229,9 @@ def run_pipeline(
         n_unchanged = diff.filter(F.col("status") == "unchanged").count()
         dirty_ids = diff.filter(F.col("status").isin("new", "changed")).select("conv_id")
         n_dirty = dirty_ids.count()
+        n_deleted = diff.filter(F.col("status") == "deleted").limit(1).count()
         dirty = transcripts.join(dirty_ids, "conv_id", "left_semi")
+        _stamp("diff_scan")
         # provenance gate: stored facts produced under a different config /
         # grammar identity must not be mixed into this run's output.
         # Snapshots from before the stamp existed (no config_hash) are
@@ -304,8 +307,16 @@ def run_pipeline(
                 n_unchanged = 0
 
     # native path carries char offsets for edge provenance; the Arrow path
-    # (grammar-in-Python escape hatch) skips them
-    segments = segment_turns(dirty, with_offsets=(extractor == "native"))
+    # (grammar-in-Python escape hatch) skips them.
+    # ONE materialization: segments feed BOTH the extraction and the chunk
+    # projection — without it each consumer re-runs the explode-heavy
+    # split over the corpus (measured ~2× the whole segmentation cost at
+    # bench scale). Same one-scan-many-consumers rule as `combined` below;
+    # on a cluster this is the MEMORY_AND_DISK persisted intermediate.
+    segments = segment_turns(dirty, with_offsets=(extractor == "native")).localCheckpoint(
+        eager=True
+    )
+    _stamp("segment")
 
     # chunks table — the reference's chunk relation parity (flow.py:61-84:
     # text, tokens (tsvector input), embedding per chunk). Tokenization is
@@ -499,6 +510,9 @@ def run_pipeline(
         .select("mention", F.coalesce("entity_id", "canon_id").alias("canon_id"))
     )
 
+    # lazy full edge plan: the cold path and res.edges consumers force it;
+    # warm delta runs never materialize the corpus-wide join (dirty edges
+    # resolve from a pre-filtered triple set below)
     edges = resolve_edges(triples, link_map, links_small=links_small).cache()
     # relation-free entities (X2): canonical ids of standalone mentions
     # become degree-0 nodes unless they also appear as edge endpoints.
@@ -512,21 +526,7 @@ def run_pipeline(
         .select(F.col("canon_id").alias("entity_id"))
         .distinct()
     )
-    nodes = build_nodes(edges, extra_entities=standalone_ids).cache()
-    nodes.count()
-    _stamp("resolve_nodes")
 
-    facts_path = None
-    links_path = None
-    chunks_path = None
-    facts_parts_new = None
-    chunks_parts_new = None
-    edges_parts_new = None
-    edges_parts_prev = None
-    linkmap_path = None
-    edge_dirty_ids = None
-    n_edge_dirty = None
-    n_moved = None
     version = store.next_version() if store else 1
     # delta-write mode: this run extracted only the dirty conversations, so
     # only THEIR rows go into the new facts/chunks part dirs — O(delta)
@@ -545,6 +545,175 @@ def run_pipeline(
         and not noop_delta
         and (len(facts_parts) + 1 > cfg.compact_parts_after)
     )
+
+    # ---- edge-delta gate (VERDICT r4 #3: O(delta) edge/node work) -------
+    # An edge row is PURE in (its conversation's triples, link_map), so a
+    # conversation's stored edges remain valid across runs unless its
+    # content changed OR the canonical id of a surface it mentions moved.
+    # The gate diffs this run's link_map against the previous snapshot's
+    # persisted copy (value-based — no fingerprint collision class); the
+    # decision feeds BOTH the edge sink (delta part vs full rewrite) and
+    # the node resolution below (incremental degree maintenance vs full
+    # rebuild). Any doubt — no persisted map, part list at the compaction
+    # bound, vocabulary-scale move set — falls back to the full paths
+    # (unknown is not known-unchanged).
+    edge_dirty_ids = None
+    n_edge_dirty = None
+    n_moved = None
+    edges_parts_prev = store.table_parts("edges") if store else None
+    if (
+        out_dir
+        and store is not None
+        and delta_mode
+        and not compact
+        and _parts_ok(edges_parts_prev)
+        and len(edges_parts_prev) + 1 <= cfg.compact_parts_after
+        and snap.get("linkmap_path")
+        and os.path.exists(snap["linkmap_path"])
+    ):
+        old_map = spark.read.parquet(snap["linkmap_path"])
+        # surfaces whose canonical id differs from the previous run —
+        # including surfaces added to / removed from the vocabulary
+        moved = (
+            link_map.select("mention", F.col("canon_id").alias("new_id"))
+            .join(
+                old_map.select("mention", F.col("canon_id").alias("old_id")),
+                "mention",
+                "full_outer",
+            )
+            .filter(~F.col("new_id").eqNullSafe(F.col("old_id")))
+            .select("mention")
+            .localCheckpoint(eager=True)
+        )
+        n_moved = moved.count()
+        if n_moved == 0:
+            edge_dirty_ids = dirty_ids.localCheckpoint(eager=True)
+            n_edge_dirty = n_dirty
+        elif n_moved <= cfg.broadcast_surface_limit:
+            # conversations whose triples mention a moved surface: two
+            # broadcast semi-joins over the (already loaded) full triple
+            # set — a removed surface matches no triple, harmlessly
+            affected = (
+                triples.join(
+                    F.broadcast(moved.withColumnRenamed("mention", "subj")),
+                    "subj",
+                    "left_semi",
+                )
+                .select("conv_id")
+                .unionByName(
+                    triples.join(
+                        F.broadcast(moved.withColumnRenamed("mention", "obj")),
+                        "obj",
+                        "left_semi",
+                    ).select("conv_id")
+                )
+            )
+            edge_dirty_ids = (
+                dirty_ids.unionByName(affected).distinct().localCheckpoint(eager=True)
+            )
+            n_edge_dirty = edge_dirty_ids.count()
+        # else: move set beyond the broadcast budget — cluster churn at
+        # that scale means most edges move anyway; full paths below
+    carry_edges = edge_dirty_ids is not None and n_edge_dirty == 0
+    # the dirty conversations' CURRENT edges — delta-sized by construction
+    # (triples pre-filtered BEFORE the link join, so the resolve never
+    # touches the unchanged corpus); used by the delta sink and the
+    # incremental node update
+    edges_dirty = (
+        resolve_edges(
+            triples.join(edge_dirty_ids, "conv_id", "left_semi"),
+            link_map,
+            links_small=links_small,
+        )
+        if edge_dirty_ids is not None
+        else None
+    )
+
+    # ---- node resolution: carry / incremental / full --------------------
+    # Degrees are pure sums over edge rows, so warm runs maintain the node
+    # table from the delta instead of re-aggregating the corpus:
+    # new = old − contrib(replaced conversations' previous edges)
+    #     + contrib(their current edges), membership refreshed from the
+    # current standalone set. Previous edges resolve from the committed
+    # parts (StateStore.read_table) pre-filtered to the replaced
+    # conversations. Any gate miss → full rebuild.
+    nodes = None
+    nodes_mode = "full"
+    old_nodes_path = os.path.join(out_dir, "nodes") if out_dir else None
+    if (
+        out_dir
+        and store is not None
+        and n_moved == 0
+        and carry_edges
+        # a deletion can leave the vocabulary (and so n_moved) unchanged
+        # while still retiring its conversation's degree contributions —
+        # carrying the node table would go stale
+        and n_deleted == 0
+        and os.path.exists(old_nodes_path)
+    ):
+        # value-identical link map and zero replaced conversations: the
+        # on-disk node table is already current
+        nodes_mode = "carry"
+        nodes = build_nodes(edges, extra_entities=standalone_ids)  # lazy, for res
+    # NOTE the delta path does NOT require n_moved == 0: edge_dirty_ids
+    # covers every conversation whose edges a surface move touches (the
+    # edge-delta contract, oracle-proven by kg_edge_delta), so subtracting
+    # the replaced conversations' old contributions retires moved-away
+    # canonical ids and the additions introduce the new ones.
+    elif (
+        out_dir
+        and store is not None
+        and edge_dirty_ids is not None
+        and os.path.exists(old_nodes_path)
+    ):
+        from coco_search_spark.operators.materialize import (
+            apply_node_delta,
+            degree_contrib,
+        )
+
+        replaced_ids = (
+            diff.filter(F.col("status") == "deleted")
+            .select("conv_id")
+            .unionByName(edge_dirty_ids)
+            .distinct()
+        )
+        prev_edges_replaced = store.read_table(spark, "edges").join(
+            replaced_ids, "conv_id", "left_semi"
+        )
+        cand = apply_node_delta(
+            spark.read.parquet(old_nodes_path),
+            degree_contrib(edges_dirty),
+            degree_contrib(prev_edges_replaced),
+            standalone_ids,
+            # materialize BEFORE the sink overwrites the old nodes dir the
+            # plan lazily reads (vocabulary-sized)
+        ).localCheckpoint(eager=True)
+        # loud invariant: a negative degree means the subtracted edge set
+        # was not what the snapshot held — rebuild instead of persisting a
+        # corrupt table (cheap check, vocabulary-sized)
+        if (
+            cand.filter((F.col("out_degree") < 0) | (F.col("in_degree") < 0))
+            .limit(1)
+            .count()
+            > 0
+        ):
+            nodes = build_nodes(edges, extra_entities=standalone_ids).cache()
+            nodes.count()
+        else:
+            nodes = cand
+            nodes_mode = "delta"
+    else:
+        nodes = build_nodes(edges, extra_entities=standalone_ids).cache()
+        nodes.count()
+    _stamp("resolve_nodes")
+
+    facts_path = None
+    links_path = None
+    chunks_path = None
+    facts_parts_new = None
+    chunks_parts_new = None
+    edges_parts_new = None
+    linkmap_path = None
     if out_dir:
         # versioned paths: never overwrite the snapshot a lazy prev_* plan
         # may still be reading (Iceberg snapshots give this for free)
@@ -572,74 +741,9 @@ def run_pipeline(
                     chunks_parts_new = [new_part]
                 chunks.write.mode("overwrite").parquet(chunks_path)
         _stamp("write_chunks")
-        # ---- edge/node sinks (VERDICT r4 #3: O(delta) edge writes) ------
-        # An edge row is PURE in (its conversation's triples, link_map), so
-        # a conversation's stored edges remain valid across runs unless its
-        # content changed OR the canonical id of a surface it mentions
-        # moved. The gate diffs this run's link_map against the previous
-        # snapshot's persisted copy (value-based — no fingerprint collision
-        # class) and rewrites only the union of content-dirty and
-        # link-moved conversations as a versioned delta part; the
-        # written_version machinery facts already use resolves readers
-        # (StateStore.read_table("edges")). Any doubt — no persisted map,
-        # part list at the compaction bound, vocabulary-sized move set —
-        # falls back to a full rewrite (unknown is not known-unchanged).
-        edges_parts_prev = store.table_parts("edges") if store else None
-        if (
-            store is not None
-            and delta_mode
-            and not compact
-            and _parts_ok(edges_parts_prev)
-            and len(edges_parts_prev) + 1 <= cfg.compact_parts_after
-            and snap.get("linkmap_path")
-            and os.path.exists(snap["linkmap_path"])
-        ):
-            old_map = spark.read.parquet(snap["linkmap_path"])
-            # surfaces whose canonical id differs from the previous run —
-            # including surfaces added to / removed from the vocabulary
-            moved = (
-                link_map.select("mention", F.col("canon_id").alias("new_id"))
-                .join(
-                    old_map.select("mention", F.col("canon_id").alias("old_id")),
-                    "mention",
-                    "full_outer",
-                )
-                .filter(~F.col("new_id").eqNullSafe(F.col("old_id")))
-                .select("mention")
-                .localCheckpoint(eager=True)
-            )
-            n_moved = moved.count()
-            if n_moved == 0:
-                edge_dirty_ids = dirty_ids.localCheckpoint(eager=True)
-                n_edge_dirty = n_dirty
-            elif n_moved <= cfg.broadcast_surface_limit:
-                # conversations whose triples mention a moved surface: two
-                # broadcast semi-joins over the (already loaded) full triple
-                # set — a removed surface matches no triple, harmlessly
-                affected = (
-                    triples.join(
-                        F.broadcast(moved.withColumnRenamed("mention", "subj")),
-                        "subj",
-                        "left_semi",
-                    )
-                    .select("conv_id")
-                    .unionByName(
-                        triples.join(
-                            F.broadcast(moved.withColumnRenamed("mention", "obj")),
-                            "obj",
-                            "left_semi",
-                        ).select("conv_id")
-                    )
-                )
-                edge_dirty_ids = (
-                    dirty_ids.unionByName(affected).distinct().localCheckpoint(eager=True)
-                )
-                n_edge_dirty = edge_dirty_ids.count()
-            # else: move set beyond the broadcast budget — cluster churn at
-            # that scale means most edges move anyway; full rewrite below
+        # ---- edge/node sinks: the gate above decided carry/delta/full ---
         from coco_search_spark.operators.materialize import write_edges, write_nodes
 
-        carry_edges = edge_dirty_ids is not None and n_edge_dirty == 0
         if store is None:
             # storeless layout: no manifest to version against
             write_graph(nodes, edges, out_dir)
@@ -648,7 +752,7 @@ def run_pipeline(
                 edges_parts_new = list(edges_parts_prev)
             elif edge_dirty_ids is not None:
                 epath = f"{out_dir}/edges_v{version:06d}"
-                write_edges(edges.join(edge_dirty_ids, "conv_id", "left_semi"), epath)
+                write_edges(edges_dirty, epath)
                 edges_parts_new = list(edges_parts_prev) + [
                     {"path": epath, "version": version}
                 ]
@@ -656,12 +760,13 @@ def run_pipeline(
                 epath = f"{out_dir}/edges_v{version:06d}"
                 write_edges(edges, epath)
                 edges_parts_new = [{"path": epath, "version": version}]
-            if carry_edges and n_moved == 0:
-                # nodes are pure in (edges, standalone resolution) and the
-                # link map is value-identical — both sinks carry forward
+            if nodes_mode != "carry":
+                write_nodes(nodes, out_dir)
+            if n_moved == 0:
+                # the link map is value-identical to the persisted copy —
+                # carry the pointer instead of rewriting the same bytes
                 linkmap_path = snap.get("linkmap_path")
             else:
-                write_nodes(nodes, out_dir)
                 # persisted mention→canon map: the value the next run's
                 # edge-delta gate diffs against (vocabulary-sized — full
                 # rewrite per run is cheap, same policy as links)
@@ -754,7 +859,14 @@ def run_pipeline(
         "n_files_scanned": len(prune.scanned_files) if prune is not None else None,
         "n_files_total": prune.n_files_total if prune is not None else None,
         "n_files_changed": prune.n_changed_files if prune is not None else None,
-        "n_nodes": nodes.count(),
+        # carry runs count the (current) on-disk table instead of forcing
+        # the lazy full rebuild held for res.nodes consumers
+        "n_nodes": (
+            spark.read.parquet(old_nodes_path).count()
+            if nodes_mode == "carry"
+            else nodes.count()
+        ),
+        "nodes_mode": nodes_mode,
         "stage_timings": timings,
     }
 
