@@ -475,7 +475,49 @@ def run_pipeline(
             links = merge_links(links, reusable.filter(F.col("entity_id").isNotNull()))
         return links.localCheckpoint(eager=True), n_fresh, n_surfaces - n_fresh
 
+    # ---- canonicalization reuse (round 5) -------------------------------
+    # canonicalize_surfaces is PURE in (surface set, binding-pair set,
+    # canon config): identical input must produce identical labels, so a
+    # warm run whose canon-input fingerprint matches the previous
+    # snapshot's reloads the persisted labels instead of re-running
+    # MinHash + CC — the same purity rule link_state applies to linking,
+    # one stage over. The reference's "re-resolve all" rule is satisfied
+    # vacuously (identical input ⇒ identical resolution). Config identity
+    # rides the facts provenance gate (config_compatible); any mismatch,
+    # missing table, or fingerprint drift recomputes (unknown is not
+    # known-unchanged). The fingerprint is the same two-fold content
+    # identity the catalog gate uses, over 's:'-tagged surfaces plus
+    # 'b:'-tagged DISTINCT binding pairs (bindings are CC edges — the
+    # label function sees sets, so the fingerprint must too).
+    canon_in_fp = None
+    canon_reused = False
+    prev_canon = None
+    if store is not None:
+        from coco_search_spark.operators.link_state import catalog_fingerprint
+
+        tagged = surfaces.select(F.concat(F.lit("s:"), F.col("surface")).alias("k"))
+        if bindings is not None:
+            tagged = tagged.unionByName(
+                bindings.select(
+                    F.concat_ws("→", F.lit("b:"), "target", "alias").alias("k")
+                ).distinct()
+            )
+        canon_in_fp = catalog_fingerprint(tagged)
+        if (
+            snap is not None
+            and config_compatible
+            and snap.get("canon_fp") == canon_in_fp
+            and snap.get("canon_path")
+            and os.path.exists(snap["canon_path"])
+        ):
+            prev_canon = spark.read.parquet(snap["canon_path"])
+            canon_reused = True
+
     def _compute_canon():
+        if canon_reused:
+            c = prev_canon.cache()
+            c.count()
+            return c
         # in-text alias bindings ("TARGET as ALIAS") are explicit
         # same-entity evidence fed into the similarity graph — they merge
         # surfaces sharing no shingles/tokens (the aliased-import analog)
@@ -714,6 +756,7 @@ def run_pipeline(
     chunks_parts_new = None
     edges_parts_new = None
     linkmap_path = None
+    canon_path = None
     if out_dir:
         # versioned paths: never overwrite the snapshot a lazy prev_* plan
         # may still be reading (Iceberg snapshots give this for free)
@@ -762,6 +805,15 @@ def run_pipeline(
                 edges_parts_new = [{"path": epath, "version": version}]
             if nodes_mode != "carry":
                 write_nodes(nodes, out_dir)
+            if canon_reused:
+                canon_path = snap.get("canon_path")
+            else:
+                # persisted canon labels: the value the next run reloads
+                # when its canon-input fingerprint matches (vocabulary-
+                # sized — full rewrite when recomputed, same policy as
+                # the link map)
+                canon_path = f"{out_dir}/canon_v{version:06d}"
+                canon.write.mode("overwrite").parquet(canon_path)
             if n_moved == 0:
                 # the link map is value-identical to the persisted copy —
                 # carry the pointer instead of rewriting the same bytes
@@ -849,6 +901,7 @@ def run_pipeline(
         "compacted": compact,
         "n_links_fresh": n_links_fresh,
         "n_links_reused": n_links_reused,
+        "canon_reused": canon_reused,
         # edge-delta receipt: None ⇒ full edge rewrite (cold run, no
         # persisted link map, or vocabulary-scale cluster churn)
         "n_edge_dirty_convs": n_edge_dirty,
@@ -972,6 +1025,9 @@ def run_pipeline(
             extra["edges_parts"] = edges_parts_new
         if linkmap_path:
             extra["linkmap_path"] = linkmap_path
+        if canon_path:
+            extra["canon_path"] = canon_path
+            extra["canon_fp"] = canon_in_fp
         if cur_manifest is not None:
             # per-file (size, mtime_ns) fingerprints: the next run's scan-
             # pruning baseline (Iceberg-snapshot analog — one entry per data
