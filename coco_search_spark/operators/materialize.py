@@ -248,11 +248,17 @@ def _attach_metadata(edges: DataFrame) -> DataFrame:
 
 def write_edges(edges: DataFrame, path: str) -> None:
     """Edge sink (one full table or one delta part): repartitioned by a
-    salted subj_id so one hot entity cannot produce one giant output file."""
+    salted subj_id so one hot entity cannot produce one giant output file,
+    then sorted within partitions by conv_id so each row group carries a
+    tight conv_id min/max — the stats a later delta run's pushed
+    ``conv_id isin(...)`` predicate prunes on when fetching the replaced
+    conversations' previous edges (StateStore.read_table)."""
     out = _attach_metadata(edges)
     out.withColumn(
         "write_bucket", F.pmod(F.xxhash64("subj_id", "conv_id", "turn_idx"), F.lit(32))
-    ).repartition(32, "write_bucket").drop("write_bucket").write.mode("overwrite").partitionBy(
+    ).repartition(32, "write_bucket").drop("write_bucket").sortWithinPartitions(
+        "conv_id"
+    ).write.mode("overwrite").partitionBy(
         "pred"
     ).parquet(path)
     # a partitionBy write of an EMPTY input leaves no data file (and so no

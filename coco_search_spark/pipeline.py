@@ -42,6 +42,12 @@ from coco_search_spark.state import StateStore, conversation_hashes, diff_agains
 # n_surfaces metric the pipeline computes anyway.
 BROADCAST_SURFACE_LIMIT = 5_000_000
 
+# Max replaced-conversation ids collected to the driver for the pushed
+# `conv_id isin(...)` predicate on the previous-edges fetch (~100 bytes/id
+# → ≤ ~10 MB driver-side). Above it the fetch keeps the semi-join form
+# (reads the edge parts in full — correct, just not row-group-pruned).
+EDGE_FETCH_PUSHDOWN_LIMIT = 100_000
+
 
 def _parts_ok(parts: list[dict] | None) -> bool:
     return bool(parts) and all(os.path.exists(p["path"]) for p in parts)
@@ -226,10 +232,17 @@ def run_pipeline(
                 F.lit(False).alias("carried"),
             ).cache()
         diff = diff_against_state(cur_hashes, stored).cache()
-        n_unchanged = diff.filter(F.col("status") == "unchanged").count()
+        # ONE aggregation for every diff-status count (the naive form — one
+        # filtered count per status — pays three scheduler round-trips for
+        # the same cached scan; warm-run latency is job-count-bound)
+        status_counts = {
+            r["status"]: r["n"]
+            for r in diff.groupBy("status").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        n_unchanged = status_counts.get("unchanged", 0)
         dirty_ids = diff.filter(F.col("status").isin("new", "changed")).select("conv_id")
-        n_dirty = dirty_ids.count()
-        n_deleted = diff.filter(F.col("status") == "deleted").limit(1).count()
+        n_dirty = status_counts.get("new", 0) + status_counts.get("changed", 0)
+        n_deleted = status_counts.get("deleted", 0)
         dirty = transcripts.join(dirty_ids, "conv_id", "left_semi")
         _stamp("diff_scan")
         # provenance gate: stored facts produced under a different config /
@@ -719,9 +732,22 @@ def run_pipeline(
             .unionByName(edge_dirty_ids)
             .distinct()
         )
-        prev_edges_replaced = store.read_table(spark, "edges").join(
-            replaced_ids, "conv_id", "left_semi"
-        )
+        # delta-sized id set → pushed `isin` predicate on the part scans:
+        # parquet row groups whose conv_id min/max (kept tight by
+        # write_edges' sortWithinPartitions) miss the set are skipped
+        # without reading — an indexed fetch of the replaced conversations'
+        # previous edges instead of an O(all-edges) scan. The collect is
+        # bounded: above the cap (driver-memory guard) the plain semi-join
+        # path reads the parts in full (correct, just not pruned).
+        sample = replaced_ids.take(EDGE_FETCH_PUSHDOWN_LIMIT + 1)
+        if len(sample) <= EDGE_FETCH_PUSHDOWN_LIMIT:
+            prev_edges_replaced = store.read_table(
+                spark, "edges", conv_ids=[r["conv_id"] for r in sample]
+            )
+        else:
+            prev_edges_replaced = store.read_table(spark, "edges").join(
+                replaced_ids, "conv_id", "left_semi"
+            )
         cand = apply_node_delta(
             spark.read.parquet(old_nodes_path),
             degree_contrib(edges_dirty),

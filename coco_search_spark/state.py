@@ -205,7 +205,9 @@ class StateStore:
             return [{"path": legacy, "version": snap["version"]}]
         return None
 
-    def read_table(self, spark: SparkSession, kind: str) -> DataFrame:
+    def read_table(
+        self, spark: SparkSession, kind: str, conv_ids: list[str] | None = None
+    ) -> DataFrame:
         """Resolve a delta-written table (``facts`` / ``chunks``) to its
         CURRENT full contents — the external-reader contract.
 
@@ -214,26 +216,46 @@ class StateStore:
         rows live in the dir matching its ``written_version`` in the state
         table, so resolution is one cheap semi-join per part (parts are
         bounded by COMPACT_PARTS_AFTER). Deleted conversations drop out
-        naturally — they have no state row."""
+        naturally — they have no state row.
+
+        ``conv_ids``: optional restriction to a known id set. Unlike a
+        semi-join (whose build side Parquet never sees), an ``isin`` filter
+        reaches the scan as a pushed predicate, so files whose row-group
+        conv_id min/max stats miss the set are skipped without reading —
+        write_edges sorts within partitions by conv_id precisely to keep
+        those stats tight. This is how a delta run fetches the replaced
+        conversations' previous edges as an indexed read instead of an
+        O(all-edges) scan (the Iceberg metadata-pruned MERGE source analog)."""
         parts = self.table_parts(kind)
         if not parts:
             raise FileNotFoundError(f"snapshot carries no {kind} table")
+        restrict = (
+            F.col("conv_id").isin(conv_ids) if conv_ids is not None else F.lit(True)
+        )
         pointer = POINTER_COLS.get(kind, "written_version")
         versions = self.read(spark).select("conv_id", F.col(pointer).alias("_wv"))
+        if conv_ids is not None:
+            versions = versions.filter(restrict)
         if len(parts) == 1:
             # a single part holds at LEAST the full table, but can hold
             # more: a no-op run after deletions carries the part forward,
             # so since-deleted conversations' rows are still in the files —
             # the state semi-join (they have no state row) drops them
-            return spark.read.parquet(parts[0]["path"]).join(
-                versions.select("conv_id"), "conv_id", "left_semi"
+            return (
+                spark.read.parquet(parts[0]["path"])
+                .filter(restrict)
+                .join(versions.select("conv_id"), "conv_id", "left_semi")
             )
         out = None
         for p in parts:
-            rows = spark.read.parquet(p["path"]).join(
-                versions.filter(F.col("_wv") == p["version"]).select("conv_id"),
-                "conv_id",
-                "left_semi",
+            rows = (
+                spark.read.parquet(p["path"])
+                .filter(restrict)
+                .join(
+                    versions.filter(F.col("_wv") == p["version"]).select("conv_id"),
+                    "conv_id",
+                    "left_semi",
+                )
             )
             out = (
                 rows

@@ -262,3 +262,30 @@ def test_block_taxonomy_instr_gates_preserve_semantics(spark):
     ).withColumn("bt", classify_block_col(F.col("text"), F.col("tool")))
     got = [r.bt for r in df.collect()]
     assert got == [want for _, _, want in rows]
+
+
+def test_read_table_conv_ids_pushdown_parity(spark, fx, tmp_path):
+    """read_table(conv_ids=...) must (a) equal the semi-join form row for
+    row and (b) reach the parquet scan as a PUSHED predicate — that is what
+    turns the delta run's previous-edges fetch into an indexed read (row
+    groups pruned on the conv_id stats write_edges keeps sorted) instead of
+    an O(all-edges) scan."""
+    state, out = str(tmp_path / "s"), str(tmp_path / "o")
+    sdf = fixtures.transcripts_sdf(spark, fx)
+    run_pipeline(spark, sdf, out_dir=out, state_dir=state)
+    store = StateStore(state)
+    ids = [
+        r.conv_id
+        for r in sdf.select("conv_id").distinct().orderBy("conv_id").limit(2).collect()
+    ]
+    pushed = store.read_table(spark, "edges", conv_ids=ids)
+    plain = store.read_table(spark, "edges").filter(F.col("conv_id").isin(ids))
+    cols = ["conv_id", "turn_idx", "subj", "pred", "obj"]
+    assert sorted(map(tuple, pushed.select(*cols).collect())) == sorted(
+        map(tuple, plain.select(*cols).collect())
+    )
+    jvm = spark._jvm
+    plan = pushed._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PushedFilters" in plan and "conv_id" in plan.split("PushedFilters", 1)[1][:200]
