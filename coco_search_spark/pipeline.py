@@ -321,14 +321,16 @@ def run_pipeline(
 
     # native path carries char offsets for edge provenance; the Arrow path
     # (grammar-in-Python escape hatch) skips them.
-    # ONE materialization: segments feed BOTH the extraction and the chunk
-    # projection — without it each consumer re-runs the explode-heavy
-    # split over the corpus (measured ~2× the whole segmentation cost at
-    # bench scale). Same one-scan-many-consumers rule as `combined` below;
-    # on a cluster this is the MEMORY_AND_DISK persisted intermediate.
-    segments = segment_turns(dirty, with_offsets=(extractor == "native")).localCheckpoint(
-        eager=True
-    )
+    # segments feed BOTH the extraction and the chunk projection. On DELTA
+    # runs the table is delta-sized and one materialization saves the
+    # second segmentation pass outright. On FULL runs it must stay lazy:
+    # storing the exploded corpus-sized segment table costs more than the
+    # two consumers' recompute (interleaved A/B at bench scale: eager
+    # checkpoint ~2341 normalized unit-sec vs lazy ~1611 — the explode is
+    # codegen-cheap, the materialized rows are wide).
+    segments = segment_turns(dirty, with_offsets=(extractor == "native"))
+    if prev_facts is not None:
+        segments = segments.localCheckpoint(eager=True)
     _stamp("segment")
 
     # chunks table — the reference's chunk relation parity (flow.py:61-84:
@@ -868,9 +870,18 @@ def run_pipeline(
                     facts_parts_new = [new_part]
                 facts_out.write.mode("overwrite").parquet(facts_path)
         if catalog is not None:
-            if noop_delta and prev_links is not None and n_links_fresh == 0:
-                # unchanged corpus ⇒ unchanged vocabulary ⇒ the previous
-                # link table is byte-identical — carry it forward
+            if (
+                prev_links is not None
+                and n_links_fresh == 0
+                and (noop_delta or canon_reused)
+            ):
+                # the previous link table is value-identical — carry the
+                # pointer instead of rewriting the vocabulary-sized table.
+                # Exactness needs the SURFACE SET unchanged, not just zero
+                # fresh scores (a shrunk vocabulary leaves n_fresh at 0
+                # while the old table holds stale extra rows): noop_delta
+                # gives it by identical corpus, canon_reused by canon-input
+                # fingerprint match (which covers the surface set).
                 links_path = snap.get("links_path")
             else:
                 # per-surface link table for next-run reuse: one row per

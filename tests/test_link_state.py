@@ -127,3 +127,53 @@ def test_catalog_change_invalidates_link_reuse(spark, fx, tmp_path):
         spark, sdf, catalog=cat2, out_dir=str(tmp_path / "o2"), state_dir=state
     )
     assert r2.metrics["n_links_reused"] == 0
+
+
+def test_vocab_preserving_change_carries_links_pointer(spark, fx, tmp_path):
+    """A content change that leaves the extracted vocabulary unchanged
+    (appended text the grammar matches nothing in) must NOT rewrite the
+    vocabulary-sized links table: the snapshot carries the previous
+    links_path pointer (n_links_fresh == 0 and the canon-input fingerprint
+    matched ⇒ value-identical table), and the resolved links still equal a
+    from-scratch run's."""
+    catalog = _catalog(spark, fx)
+    state = str(tmp_path / "state")
+    sdf = fixtures.transcripts_sdf(spark, fx)
+    run_pipeline(
+        spark, sdf, catalog=catalog, out_dir=str(tmp_path / "o1"), state_dir=state
+    )
+    snap1 = StateStore(state).last_snapshot()
+    cid = sdf.select("conv_id").first()["conv_id"]
+    mutated = sdf.withColumn(
+        "text",
+        F.when(
+            (F.col("conv_id") == cid) & (F.col("turn_idx") == 0),
+            F.concat(F.col("text"), F.lit(" trailing nongrammar filler")),
+        ).otherwise(F.col("text")),
+    )
+    r2 = run_pipeline(
+        spark,
+        mutated,
+        catalog=catalog,
+        out_dir=str(tmp_path / "o1"),
+        state_dir=state,
+    )
+    snap2 = StateStore(state).last_snapshot()
+    assert r2.metrics["n_unchanged_convs"] > 0  # it WAS a warm run
+    assert r2.metrics["n_links_fresh"] == 0
+    assert r2.metrics["canon_reused"] is True
+    assert snap2["links_path"] == snap1["links_path"]  # pointer carried
+    full = run_pipeline(
+        spark, mutated, catalog=catalog, out_dir=str(tmp_path / "o3")
+    )
+    got = {
+        (r["mention"], r["entity_id"], r["link_score"], r["match_type"])
+        for r in spark.read.parquet(snap2["links_path"])
+        .filter(F.col("entity_id").isNotNull())
+        .collect()
+    }
+    want = {
+        (r["mention"], r["entity_id"], r["link_score"], r["match_type"])
+        for r in full.links.collect()
+    }
+    assert got == want
