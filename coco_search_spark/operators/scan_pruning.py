@@ -109,6 +109,7 @@ def plan_pruned_scan(
     cur_manifest: dict[str, str],
     prev_manifest: dict[str, str] | None,
     stored: DataFrame,
+    src_files_complete: bool = False,
 ) -> PrunedScan | None:
     """Decide the minimal file set to re-read. The candidate conversations
     are (a) everything present in a changed/new file — read O(changed)
@@ -122,9 +123,13 @@ def plan_pruned_scan(
         return None
     # a single stored row without a home set means the read cannot be
     # scoped for that conversation — the whole run falls back (the column
-    # self-heals: this run's commit writes src_files for every conversation)
-    if stored.filter(F.col("src_files").isNull()).limit(1).count() > 0:
-        return None
+    # self-heals: this run's commit writes src_files for every conversation).
+    # Snapshots committed with the src_files_complete manifest flag proved
+    # this at WRITE time, so the per-run scan over the state table is
+    # skipped; the scan remains for flag-less (older) snapshots.
+    if not src_files_complete:
+        if stored.filter(F.col("src_files").isNull()).limit(1).count() > 0:
+            return None
     changed = sorted(p for p, fp in cur_manifest.items() if prev_manifest.get(p) != fp)
     removed = sorted(set(prev_manifest) - set(cur_manifest))
     schema = transcripts.schema

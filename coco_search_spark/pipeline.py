@@ -148,7 +148,11 @@ def run_pipeline(
     # staleness metric (stats.py:642 analog): age of the state we resume
     # from, surfaced BEFORE this run commits a fresh snapshot
     snapshot_age = store.staleness_seconds() if store else None
-    stored = store.read(spark) if store else None
+    # cached: the state table is consulted by scan pruning, the diff, part
+    # reloads, and the pointer join — conversation-count-sized (one row per
+    # conversation, no content), so pinning it is cheap and saves a parquet
+    # re-read per consumer
+    stored = store.read(spark).cache() if store else None
 
     # ---- input-manifest scan pruning (VERDICT r4 #2) --------------------
     # When the input is a plain file scan, diff its per-file (size, mtime)
@@ -168,7 +172,12 @@ def run_pipeline(
         cur_manifest = input_manifest(transcripts)
         if cur_manifest is not None and snap is not None:
             prune = plan_pruned_scan(
-                spark, transcripts, cur_manifest, snap.get("input_manifest"), stored
+                spark,
+                transcripts,
+                cur_manifest,
+                snap.get("input_manifest"),
+                stored,
+                src_files_complete=bool(snap.get("src_files_complete")),
             )
 
     # parse-status gate (parse_tracking.py:58-111 analog): malformed turns
@@ -395,6 +404,15 @@ def run_pipeline(
         # in executor memory twice)
         combined = combined.localCheckpoint(eager=True)
         triples, standalone, bindings = split_extracted(combined)
+        # ONE aggregation for both family counts (two filtered counts pay
+        # two scheduler round-trips over the same checkpointed table;
+        # warm-run latency is job-count-bound)
+        kind_counts = {
+            r["kind"]: r["n"]
+            for r in combined.groupBy("kind").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        n_triples = kind_counts.get("triple", 0)
+        n_standalone = kind_counts.get("mention", 0)
     else:
         # Arrow escape hatch: per-family scans, no facts snapshot — an
         # incremental resume under this extractor falls back to full
@@ -402,8 +420,8 @@ def run_pipeline(
         triples = extract_triples_arrow(segments).cache()
         standalone = extract_standalone_mentions(segments).cache()
         bindings = None
-    n_triples = triples.count()
-    n_standalone = standalone.count()
+        n_triples = triples.count()
+        n_standalone = standalone.count()
     _stamp("extract")
 
     # vocabulary-sized surface table straight from the cached triples +
@@ -1071,6 +1089,11 @@ def run_pipeline(
             # file, same cardinality as the snapshot log a real table
             # format maintains)
             extra["input_manifest"] = cur_manifest
+            # every state row this commit writes carries a home set (hashed
+            # with_files=True, or carried from a snapshot that passed the
+            # same gate) — recording it here lets the next run skip the
+            # per-run null-scan over the state table
+            extra["src_files_complete"] = True
         if chunks_path:
             extra["chunks_path"] = chunks_path
             extra["chunks_parts"] = chunks_parts_new
