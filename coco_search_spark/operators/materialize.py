@@ -246,21 +246,23 @@ def _attach_metadata(edges: DataFrame) -> DataFrame:
     )
 
 
-def write_edges(edges: DataFrame, path: str) -> None:
+def write_edges(edges: DataFrame, path: str, sort_by_conv: bool = True) -> None:
     """Edge sink (one full table or one delta part): repartitioned by a
     salted subj_id so one hot entity cannot produce one giant output file,
     then sorted within partitions by conv_id so each row group carries a
     tight conv_id min/max — the stats a later delta run's pushed
     ``conv_id isin(...)`` predicate prunes on when fetching the replaced
-    conversations' previous edges (StateStore.read_table)."""
+    conversations' previous edges (StateStore.read_table). The sort's only
+    consumer is that indexed fetch, which exists only for runs with a
+    StateStore — the storeless layout (write_graph) skips it: a per-
+    partition sort of the corpus-sized edge table bought nothing there."""
     out = _attach_metadata(edges)
-    out.withColumn(
+    out = out.withColumn(
         "write_bucket", F.pmod(F.xxhash64("subj_id", "conv_id", "turn_idx"), F.lit(32))
-    ).repartition(32, "write_bucket").drop("write_bucket").sortWithinPartitions(
-        "conv_id"
-    ).write.mode("overwrite").partitionBy(
-        "pred"
-    ).parquet(path)
+    ).repartition(32, "write_bucket").drop("write_bucket")
+    if sort_by_conv:
+        out = out.sortWithinPartitions("conv_id")
+    out.write.mode("overwrite").partitionBy("pred").parquet(path)
     # a partitionBy write of an EMPTY input leaves no data file (and so no
     # schema footer) — a legal delta part when an edit removed a
     # conversation's every triple. Leave a readable empty table so part
@@ -282,6 +284,7 @@ def write_nodes(nodes: DataFrame, out_dir: str) -> None:
 def write_graph(nodes: DataFrame, edges: DataFrame, out_dir: str) -> None:
     """Storeless layout: one full edges dir + nodes. Runs with a StateStore
     use versioned edge parts instead (pipeline.py edge-delta sink) so warm
-    runs write O(delta) edge files."""
-    write_edges(edges, f"{out_dir}/edges")
+    runs write O(delta) edge files. No store → no indexed re-read of this
+    table, so the conv_id stats sort is skipped."""
+    write_edges(edges, f"{out_dir}/edges", sort_by_conv=False)
     write_nodes(nodes, out_dir)
