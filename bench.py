@@ -395,6 +395,7 @@ plain multiprocessing benchmark run at both concurrencies during these same
 runs; on this shared Firecracker VM the host does not deliver 4× CPU from
 4× vCPUs (steal/oversubscription), so the normalized number is the
 software-scaling signal a real 4× cluster would see.
+{"A normalized value above 1.0 is a calibration artifact (the python-process calibration samples a narrower window than the job and can under-measure the delivered ratio), not super-linear scaling — the RAW efficiency is the binding gate number." if eff_norm > 1 else ""}
 
 Protocol notes: interleaved best-of-{n_rounds} per level (this VM shows
 ~{steal}% CPU steal from host neighbors even at idle, and wall-clock for the
