@@ -10,9 +10,12 @@ coarser than re-hashing content): fingerprint every input FILE by
 snapshot, and re-read/re-hash only
 
 - files whose fingerprint changed or that are new, plus
-- the home files of every conversation that previously had rows in a
-  changed or removed file (a conversation may span files, and its content
-  hash must cover its FULL current row set).
+- the stored home files of every candidate conversation — one that
+  previously had rows in a changed/removed file OR that has rows inside a
+  changed/new file (a conversation may span files, and its content hash
+  must cover its FULL current row set — e.g. a new data file appending
+  turns to an existing conversation must pull that conversation's old,
+  untouched files back into the scan).
 
 Every other conversation carries its stored hash forward — a file whose
 (path, size, mtime_ns) is unchanged holds the same rows it did.
@@ -144,18 +147,6 @@ def plan_pruned_scan(
         )
     else:
         cand_from_state = stored.limit(0).select("conv_id")
-    cand_state_rows = stored.join(cand_from_state, "conv_id", "left_semi")
-    home_files = [
-        r["f"]
-        for r in cand_state_rows.select(F.explode("src_files").alias("f"))
-        .distinct()
-        .collect()
-    ]
-    files_needed = sorted((set(changed) | set(home_files)) & set(cur_manifest))
-    if files_needed:
-        scoped_raw = spark.read.schema(schema).parquet(*files_needed)
-    else:
-        scoped_raw = spark.createDataFrame([], schema)
     cand_ids = cand_from_state
     if changed:
         new_ids = (
@@ -168,6 +159,24 @@ def plan_pruned_scan(
         cand_ids = cand_ids.unionByName(new_ids).distinct()
     # delta-sized; consumed by several joins downstream
     cand_ids = cand_ids.localCheckpoint(eager=True)
+    # Home files must cover EVERY candidate with stored rows — including
+    # conversations discovered only inside a changed/new file (a new data
+    # file appending turns to an existing conversation is the common
+    # incremental shape): their full current row set spans their old,
+    # untouched home files too, and hashing/re-extracting from the changed
+    # file alone would silently drop the old rows' facts.
+    home_files = [
+        r["f"]
+        for r in stored.join(cand_ids, "conv_id", "left_semi")
+        .select(F.explode("src_files").alias("f"))
+        .distinct()
+        .collect()
+    ]
+    files_needed = sorted((set(changed) | set(home_files)) & set(cur_manifest))
+    if files_needed:
+        scoped_raw = spark.read.schema(schema).parquet(*files_needed)
+    else:
+        scoped_raw = spark.createDataFrame([], schema)
     carried = stored.join(cand_ids, "conv_id", "left_anti").select(
         "conv_id",
         "content_hash",

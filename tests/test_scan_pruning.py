@@ -183,6 +183,46 @@ def test_conversation_spanning_files_rehashes_full_rowset(spark, tmp_path):
     assert not any(o == "gamma_cache" for _, o in got)
 
 
+def test_new_file_appending_to_existing_conv_pulls_home_files(spark, tmp_path):
+    """A NEW data file adding turns to an existing conversation (the common
+    incremental shape) must pull that conversation's old, untouched home
+    files back into the scan — hashing/re-extracting from the new file
+    alone would silently drop the old rows' facts."""
+    files = {
+        "p1.parquet": [("cx", 0, "alpha_svc calls beta_store .")],
+        "p3.parquet": [("cy", 0, "other_svc emits delta_store .")],
+    }
+    d = _corpus(tmp_path, files)
+    out, state = str(tmp_path / "o"), str(tmp_path / "s")
+    run_pipeline(spark, _read(spark, d), out_dir=out, state_dir=state)
+    _write_file(
+        os.path.join(d, "p4.parquet"), [("cx", 1, "alpha_svc uses gamma_cache .")]
+    )
+    r2 = run_pipeline(spark, _read(spark, d), out_dir=out, state_dir=state)
+    assert r2.metrics["n_files_changed"] == 1  # p4 (new)
+    assert r2.metrics["n_files_scanned"] == 2  # p4 + cx's home p1
+    assert r2.metrics["n_unchanged_convs"] == 1  # only cy
+    store = StateStore(state)
+    got = {
+        (r["subj"], r["obj"])
+        for r in store.read_table(spark, "facts")
+        .filter((F.col("conv_id") == "cx") & (F.col("kind") == "triple"))
+        .select("subj", "obj")
+        .collect()
+    }
+    # both the old file's and the new file's facts survive
+    assert ("alpha_svc", "beta_store") in got
+    assert ("alpha_svc", "gamma_cache") in got
+    # and the resolved facts equal a from-scratch rebuild
+    fresh_state = str(tmp_path / "s2")
+    run_pipeline(
+        spark, _read(spark, d), out_dir=str(tmp_path / "o2"), state_dir=fresh_state
+    )
+    assert _facts_rows(store.read_table(spark, "facts")) == _facts_rows(
+        StateStore(fresh_state).read_table(spark, "facts")
+    )
+
+
 def test_non_plain_scan_falls_back_to_full_scan(spark, tmp_path):
     d = _corpus(tmp_path, FILES)
     out, state = str(tmp_path / "o"), str(tmp_path / "s")
