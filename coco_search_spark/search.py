@@ -81,6 +81,37 @@ def search_chunks(
     ``where`` is declarative and lands in the scan (Catalyst pushes it
     below the projection → parquet PushedFilters when it references
     stored columns)."""
+    return _search_frames(
+        chunks,
+        query,
+        k=k,
+        prefetch=prefetch,
+        rrf_k=rrf_k,
+        embed_dim=embed_dim,
+        id_col=id_col,
+        rewrite=rewrite,
+        where=where,
+        min_score=min_score,
+    )["final"]
+
+
+def _search_frames(
+    chunks: DataFrame,
+    query: str,
+    k: int = 10,
+    prefetch: int = PREFETCH,
+    rrf_k: int = RRF_K,
+    embed_dim: int = 64,
+    id_col: str = "chunk_id",
+    rewrite: bool = False,
+    where=None,
+    min_score: float | None = None,
+) -> dict:
+    """The ``search_chunks`` plan with every intermediate stage exposed:
+    {scored, leg_v, leg_k, fused, final, kw_query}. ``search_chunks`` is
+    a thin wrapper returning ``final``; ``analyze_search`` counts/times
+    each frame for the diagnostics verb. One builder, two consumers — the
+    diagnosed plan IS the production plan."""
     from coco_search_spark.ops.globs import require_positive
 
     require_positive(k=k, prefetch=prefetch, rrf_k=rrf_k, embed_dim=embed_dim)
@@ -151,7 +182,7 @@ def search_chunks(
         F.desc(F.col("rank_k").isNotNull()),
         F.asc("chunk_id"),
     ]
-    return (
+    final = (
         fused.orderBy(*order)
         .limit(k)
         .withColumn("search_rank", F.row_number().over(Window.orderBy(*order)))
@@ -164,6 +195,62 @@ def search_chunks(
             "search_rank",
         )
     )
+    return {
+        "scored": scored,
+        "leg_v": leg_v,
+        "leg_k": leg_k,
+        "fused": fused,
+        "final": final,
+        "kw_query": kw_query,
+    }
+
+
+def analyze_search(chunks: DataFrame, query: str, **kwargs) -> dict:
+    """Per-stage search diagnostics — the reference's ``cocosearch
+    analyze`` verb (reference: src/cocosearch/cli.py:2841-2917; stage
+    panel covers query analysis, rewrite, vector leg, keyword leg, RRF
+    fusion, filtering, timing). Counts and wall-times every frame of the
+    SAME plan ``search_chunks`` runs, then collects the top-k.
+
+    Diagnostic surface only: each stage is a separate Spark action, so
+    this pays several corpus scans per call — never a production path
+    (``search_chunks`` runs the two legs in one pass each)."""
+    import time
+
+    frames = _search_frames(chunks, query, **kwargs)
+    stages: list[dict] = []
+
+    def _count(name: str, df: DataFrame) -> None:
+        t0 = time.perf_counter()
+        n = df.count()
+        stages.append(
+            {"stage": name, "rows": n, "sec": round(time.perf_counter() - t0, 3)}
+        )
+
+    _count("candidates", frames["scored"])
+    _count("vector_prefetch", frames["leg_v"])
+    _count("keyword_prefetch", frames["leg_k"])
+    _count("rrf_fusion", frames["fused"])
+    t0 = time.perf_counter()
+    rows = [r.asDict() for r in frames["final"].collect()]
+    stages.append(
+        {"stage": "topk", "rows": len(rows), "sec": round(time.perf_counter() - t0, 3)}
+    )
+    by_type: dict[str, int] = {}
+    for r in rows:
+        by_type[r["match_type"]] = by_type.get(r["match_type"], 0) + 1
+    return {
+        "query": query,
+        "kw_query": frames["kw_query"],
+        "rewritten": frames["kw_query"] != query,
+        "filters": {
+            "where": str(kwargs.get("where")) if kwargs.get("where") is not None else None,
+            "min_score": kwargs.get("min_score"),
+        },
+        "stages": stages,
+        "match_type_counts": by_type,
+        "results": rows,
+    }
 
 
 def search_results(

@@ -96,3 +96,79 @@ def test_cli_verbs_end_to_end(spark, tmp_path, capsys):
 
     for line in captured:
         json.loads(line)
+
+
+def test_cli_extended_verbs(spark, tmp_path):
+    """analyze / list / graph / config / clear — the rest of the
+    reference's engine-relevant verb surface (cli.py:2841 analyze, :2918
+    list, :3221 deps tree/impact, :3113 config, :3010 clear)."""
+    corpus = str(tmp_path / "t.parquet")
+    _write_corpus(corpus)
+    out_dir, state = str(tmp_path / "o"), str(tmp_path / "s")
+    coco_main(["index", corpus, "--out", out_dir, "--state", state], spark=spark)
+
+    # analyze: full stage panel, and its top-k equals the search verb's
+    r = coco_main(
+        ["analyze", "beta_store cache", "--state", state, "-k", "3"], spark=spark
+    )
+    assert r["ok"] and not r["rewritten"]
+    assert [s["stage"] for s in r["stages"]] == [
+        "candidates",
+        "vector_prefetch",
+        "keyword_prefetch",
+        "rrf_fusion",
+        "topk",
+    ]
+    assert r["stages"][-1]["rows"] == len(r["results"]) >= 1
+    s = coco_main(
+        ["search", "beta_store cache", "--state", state, "-k", "3"], spark=spark
+    )
+    assert [x["chunk_id"] for x in r["results"]] == [
+        x["chunk_id"] for x in s["results"]
+    ]
+
+    # list: per-conversation inventory
+    r = coco_main(["list", "--state", state], spark=spark)
+    assert r["ok"] and r["n_conversations"] == 2
+    assert [row["conv_id"] for row in r["rows"]] == ["c0", "c1"]
+    assert all(row["written_version"] is not None for row in r["rows"])
+
+    # graph tree/impact rooted at a real edge subject
+    from coco_search_spark.state import StateStore
+
+    root = (
+        StateStore(state)
+        .read_table(spark, "edges")
+        .select("subj_id")
+        .orderBy("subj_id")
+        .first()["subj_id"]
+    )
+    r = coco_main(["graph", "tree", root, "--state", state], spark=spark)
+    assert r["ok"] and r["n"] >= 2  # root + at least the edge target
+    assert r["rows"][0] == {"node": root, "depth": 0, "parent": None}
+    r = coco_main(["graph", "impact", root, "--state", state], spark=spark)
+    assert r["ok"] and r["n"] == 1 and r["rows"][0]["root"] == root
+
+    # config: show resolves defaults + overrides; check reports violations
+    cfgp = tmp_path / "cfg.json"
+    cfgp.write_text('{"rrf_k": 42}')
+    r = coco_main(["config", str(cfgp)], spark=spark)
+    assert r["ok"] and r["config"]["rrf_k"] == 42 and r["config_hash"]
+    bad = tmp_path / "bad.json"
+    bad.write_text('{"rrf_k": -1, "jaccard_threshold": 3}')
+    r = coco_main(["config", str(bad), "--check"], spark=spark)
+    assert not r["ok"] and len(r["problems"]) >= 2
+
+    # clear: refuses without --force, deletes both dirs with it, and a
+    # snapshot-less dir is never deleted (mistyped-path guard)
+    r = coco_main(["clear", "--state", state, "--out", out_dir], spark=spark)
+    assert not r["ok"]
+    r = coco_main(
+        ["clear", "--state", state, "--out", out_dir, "--force"], spark=spark
+    )
+    assert r["ok"] and sorted(r["removed"]) == sorted([state, out_dir])
+    assert not os.path.exists(state) and not os.path.exists(out_dir)
+    r = coco_main(
+        ["clear", "--state", state, "--out", out_dir, "--force"], spark=spark
+    )
+    assert not r["ok"]

@@ -5,7 +5,12 @@ delete-analog) fronted over the library surface:
 
   index   transcripts.parquet --out DIR --state DIR [--catalog P] [--config P]
   search  "query" --state DIR [-k N] [--min-score X] [--context] [--transcripts P]
+  analyze "query" --state DIR [-k N] — per-stage search diagnostics
+  list    --state DIR [--limit N] — indexed conversations
   stats   --state DIR
+  graph   tree|impact ROOT... --state DIR [--reverse] [--depth N]
+  config  PATH [--check] — resolved EngineConfig + identity hash
+  clear   --state DIR --out DIR --force — delete the index
   vacuum  --state DIR --out DIR [--dry-run]
 
 Every verb prints ONE JSON document to stdout (rows as a list for search)
@@ -50,16 +55,9 @@ def _cmd_index(args, spark) -> dict:
 
 
 def _cmd_search(args, spark) -> dict:
-    from pyspark.sql import functions as F
-
-    from coco_search_spark.state import StateStore
-
-    store = StateStore(args.state)
     # the chunk store keys on (conv_id, turn_idx, seg_idx); the search API
     # wants one opaque id — same synthesis the driver queries use
-    chunks = store.read_table(spark, "chunks").withColumn(
-        "chunk_id", F.concat_ws("#", "conv_id", "turn_idx", "seg_idx")
-    )
+    chunks = _load_chunks(spark, args.state)
     kwargs = dict(k=args.k, rewrite=args.rewrite, min_score=args.min_score)
     if args.context:
         if not args.transcripts:
@@ -75,6 +73,117 @@ def _cmd_search(args, spark) -> dict:
         out = search_chunks(chunks, args.query, **kwargs)
     rows = [r.asDict(recursive=True) for r in out.collect()]
     return {"ok": True, "query": args.query, "n": len(rows), "results": rows}
+
+
+def _load_chunks(spark, state: str):
+    from pyspark.sql import functions as F
+
+    from coco_search_spark.state import StateStore
+
+    return StateStore(state).read_table(spark, "chunks").withColumn(
+        "chunk_id", F.concat_ws("#", "conv_id", "turn_idx", "seg_idx")
+    )
+
+
+def _cmd_analyze(args, spark) -> dict:
+    """Per-stage search diagnostics (reference: cli.py:2841-2917 analyze)."""
+    from coco_search_spark.search import analyze_search
+
+    out = analyze_search(
+        _load_chunks(spark, args.state),
+        args.query,
+        k=args.k,
+        rewrite=args.rewrite,
+        min_score=args.min_score,
+        where=args.where,
+    )
+    out["ok"] = True
+    return out
+
+
+def _cmd_list(args, spark) -> dict:
+    """Indexed conversations (reference: cli.py:2918-2929 list verb —
+    per-index inventory; here per-conversation state rows)."""
+    from coco_search_spark.state import StateStore
+
+    state = StateStore(args.state).read(spark)
+    total = state.count()
+    rows = [
+        r.asDict()
+        for r in state.select(
+            "conv_id", "rows_in", "rows_out", "errors", "written_version", "edges_wv"
+        )
+        .orderBy("conv_id")
+        .limit(args.limit)
+        .collect()
+    ]
+    return {"ok": True, "n_conversations": total, "shown": len(rows), "rows": rows}
+
+
+def _cmd_graph(args, spark) -> dict:
+    """Dependency-graph queries over the materialized edge table
+    (reference: cli.py:3221-3263 deps tree / deps impact)."""
+    from coco_search_spark.operators.graph import blast_radius, transitive_tree
+    from coco_search_spark.state import StateStore
+
+    edges = StateStore(args.state).read_table(spark, "edges")
+    roots = spark.createDataFrame([(r,) for r in args.roots], "node string")
+    if args.mode == "tree":
+        df = transitive_tree(
+            edges,
+            roots,
+            direction="reverse" if args.reverse else "forward",
+            max_depth=args.depth,
+        ).orderBy("depth", "node")
+    else:
+        df = blast_radius(edges, roots, max_depth=args.depth).orderBy("root")
+    rows = [r.asDict() for r in df.collect()]
+    return {"ok": True, "mode": args.mode, "n": len(rows), "rows": rows}
+
+
+def _cmd_config(args, spark) -> dict:
+    """Resolved config + identity hash (reference: cli.py:3113-3141
+    config show / config check)."""
+    from coco_search_spark.config import EngineConfig
+
+    try:
+        cfg = EngineConfig.from_file(args.path) if args.path else EngineConfig()
+        cfg.validate()
+    except (ValueError, OSError) as exc:
+        # validate() packs every violation into one "; "-joined line
+        return {
+            "ok": False,
+            "path": args.path,
+            "problems": [p.strip() for p in str(exc).split("; ")],
+        }
+    out = {"ok": True, "path": args.path, "problems": []}
+    if not args.check:
+        out["config"] = cfg.to_dict()
+        out["config_hash"] = cfg.config_hash()
+        out["operational_keys"] = list(cfg._OPERATIONAL)
+    return out
+
+
+def _cmd_clear(args, spark) -> dict:
+    """Delete the index — state dir + output dir (reference:
+    cli.py:3010-3036 clear; confirmation there, --force here since this
+    CLI is non-interactive JSON). Refuses unless the state dir actually
+    holds a committed snapshot, so a mistyped path can't delete an
+    arbitrary directory."""
+    import shutil
+
+    from coco_search_spark.state import StateStore
+
+    if not args.force:
+        return {"ok": False, "error": "clear is destructive; pass --force"}
+    if StateStore(args.state).last_snapshot() is None:
+        return {"ok": False, "error": f"{args.state}: no committed snapshot — not an index"}
+    removed = []
+    for path in (args.state, args.out):
+        if path and os.path.isdir(path):
+            shutil.rmtree(path)
+            removed.append(path)
+    return {"ok": True, "removed": removed}
 
 
 def _cmd_stats(args, spark) -> dict:
@@ -139,6 +248,34 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
     )
     ps.add_argument("--transcripts", default=None, help="turn table for --context")
 
+    pa_ = sub.add_parser("analyze", help="per-stage search diagnostics")
+    pa_.add_argument("query")
+    pa_.add_argument("--state", required=True)
+    pa_.add_argument("-k", type=int, default=10)
+    pa_.add_argument("--min-score", type=float, default=None, dest="min_score")
+    pa_.add_argument("--rewrite", action="store_true")
+    pa_.add_argument("--where", default=None, help="SQL predicate over chunk columns")
+
+    pl = sub.add_parser("list", help="indexed conversations")
+    pl.add_argument("--state", required=True)
+    pl.add_argument("--limit", type=int, default=100)
+
+    pg = sub.add_parser("graph", help="dependency tree / impact over the edge table")
+    pg.add_argument("mode", choices=("tree", "impact"))
+    pg.add_argument("roots", nargs="+", help="root entity id(s)")
+    pg.add_argument("--state", required=True)
+    pg.add_argument("--reverse", action="store_true", help="walk edges backwards (tree)")
+    pg.add_argument("--depth", type=int, default=20)
+
+    pc = sub.add_parser("config", help="resolved EngineConfig + identity hash")
+    pc.add_argument("path", nargs="?", default=None, help="JSON/YAML config file")
+    pc.add_argument("--check", action="store_true", help="validate only")
+
+    pr = sub.add_parser("clear", help="delete the index (state + out dirs)")
+    pr.add_argument("--state", required=True)
+    pr.add_argument("--out", required=True)
+    pr.add_argument("--force", action="store_true")
+
     pt = sub.add_parser("stats", help="snapshot + state-table summary")
     pt.add_argument("--state", required=True)
 
@@ -153,6 +290,11 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
         out = {
             "index": _cmd_index,
             "search": _cmd_search,
+            "analyze": _cmd_analyze,
+            "list": _cmd_list,
+            "graph": _cmd_graph,
+            "config": _cmd_config,
+            "clear": _cmd_clear,
             "stats": _cmd_stats,
             "vacuum": _cmd_vacuum,
         }[args.verb](args, spark)
