@@ -172,3 +172,26 @@ def test_cli_extended_verbs(spark, tmp_path):
         ["clear", "--state", state, "--out", out_dir, "--force"], spark=spark
     )
     assert not r["ok"]
+
+
+def test_cli_info_and_init_no_jvm(tmp_path):
+    """info / init are pure-driver verbs (reference: cli.py:2986 languages,
+    :2999 grammars, :3037 init) — they must work with NO SparkSession, and
+    init → config must round-trip to the default identity hash."""
+    r = coco_main(["info"], spark=None)
+    assert r["ok"] and r["grammar_version"] >= 3
+    assert set(r["predicates"]) == set(r["relation_phrases"])
+    assert r["block_types"][0] == "tool_output" and r["block_types"][-1] == "prose"
+    assert len(r["triple_forms"]) == 5
+
+    cfg = str(tmp_path / "engine.json")
+    r = coco_main(["init", cfg], spark=None)
+    assert r["ok"] and os.path.exists(cfg)
+    default_hash = r["config_hash"]
+    r = coco_main(["init", cfg], spark=None)
+    assert not r["ok"]  # refuses silent overwrite
+    r = coco_main(["init", cfg, "--force"], spark=None)
+    assert r["ok"]
+    # the written file parses, validates, and hashes to the same identity
+    r = coco_main(["config", cfg], spark=None)
+    assert r["ok"] and r["config_hash"] == default_hash and r["problems"] == []

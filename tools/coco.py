@@ -10,8 +10,13 @@ delete-analog) fronted over the library surface:
   stats   --state DIR
   graph   tree|impact ROOT... --state DIR [--reverse] [--depth N]
   config  PATH [--check] — resolved EngineConfig + identity hash
+  info    — engine capabilities: grammar, predicates, block types, defaults
+  init    PATH [--force] — write a starter config file
   clear   --state DIR --out DIR --force — delete the index
   vacuum  --state DIR --out DIR [--dry-run]
+
+``info``/``init``/``config``/``clear``/``vacuum`` are pure-driver verbs —
+they never start the JVM, so they return in interactive time.
 
 Every verb prints ONE JSON document to stdout (rows as a list for search)
 so the output is scriptable; human formatting is the caller's job — this
@@ -186,6 +191,56 @@ def _cmd_clear(args, spark) -> dict:
     return {"ok": True, "removed": removed}
 
 
+def _cmd_info(args, spark) -> dict:
+    """Static engine capability listing — what the installed engine
+    supports, no state dir needed (reference: cli.py:2986-3009 languages +
+    grammars verbs; here the closed extraction grammar replaces the
+    per-language tree-sitter matrix)."""
+    from coco_search_spark import __version__
+    from coco_search_spark.config import EngineConfig
+    from coco_search_spark.fixtures import PASSIVE_OF, RELATIONS
+    from coco_search_spark.operators.extract import GRAMMAR_VERSION, STOP_IDENTS
+
+    return {
+        "ok": True,
+        "engine_version": __version__,
+        "grammar_version": GRAMMAR_VERSION,
+        "predicates": sorted(pred for pred, _ in RELATIONS),
+        "relation_phrases": {pred: ph for pred, ph in RELATIONS},
+        "passive_phrases": dict(PASSIVE_OF),
+        "triple_forms": [
+            "active",
+            "passive",
+            "appositive",
+            "conjunction",
+            "alias_binding",
+        ],
+        "stop_identifiers": sorted(STOP_IDENTS),
+        # functions/text.py block taxonomy, in precedence order
+        "block_types": [
+            "tool_output",
+            "fenced_code",
+            "log_dump",
+            "inline_tool_call",
+            "prose",
+        ],
+        "config_defaults": EngineConfig().to_dict(),
+    }
+
+
+def _cmd_init(args, spark) -> dict:
+    """Write a starter config file (reference: cli.py:3037-3085 init)."""
+    from coco_search_spark.config import EngineConfig
+
+    if os.path.exists(args.path) and not args.force:
+        return {"ok": False, "error": f"{args.path} exists; pass --force to overwrite"}
+    cfg = EngineConfig()
+    with open(args.path, "w") as f:
+        json.dump(cfg.to_dict(), f, indent=2, sort_keys=True)
+        f.write("\n")
+    return {"ok": True, "path": args.path, "config_hash": cfg.config_hash()}
+
+
 def _cmd_stats(args, spark) -> dict:
     from pyspark.sql import functions as F
 
@@ -276,6 +331,12 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
     pr.add_argument("--out", required=True)
     pr.add_argument("--force", action="store_true")
 
+    sub.add_parser("info", help="engine capabilities: grammar, predicates, defaults")
+
+    pn = sub.add_parser("init", help="write a starter EngineConfig JSON file")
+    pn.add_argument("path")
+    pn.add_argument("--force", action="store_true", help="overwrite an existing file")
+
     pt = sub.add_parser("stats", help="snapshot + state-table summary")
     pt.add_argument("--state", required=True)
 
@@ -285,19 +346,27 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
     pv.add_argument("--dry-run", action="store_true", dest="dry_run")
 
     args = p.parse_args(argv)
+    verbs = {
+        "index": _cmd_index,
+        "search": _cmd_search,
+        "analyze": _cmd_analyze,
+        "list": _cmd_list,
+        "graph": _cmd_graph,
+        "config": _cmd_config,
+        "clear": _cmd_clear,
+        "info": _cmd_info,
+        "init": _cmd_init,
+        "stats": _cmd_stats,
+        "vacuum": _cmd_vacuum,
+    }
+    # pure-driver verbs: no DataFrame work, so no JVM spin-up
+    if args.verb in ("info", "init", "config", "clear", "vacuum"):
+        out = verbs[args.verb](args, None)
+        print(json.dumps(out, default=str))
+        return out
     spark, own = _spark_or(spark, args.cpus)
     try:
-        out = {
-            "index": _cmd_index,
-            "search": _cmd_search,
-            "analyze": _cmd_analyze,
-            "list": _cmd_list,
-            "graph": _cmd_graph,
-            "config": _cmd_config,
-            "clear": _cmd_clear,
-            "stats": _cmd_stats,
-            "vacuum": _cmd_vacuum,
-        }[args.verb](args, spark)
+        out = verbs[args.verb](args, spark)
     finally:
         if own:
             spark.stop()
