@@ -53,6 +53,16 @@ from urllib.parse import unquote, urlparse
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# When more than this fraction of the input files changed, pruning is a
+# net loss: the scoped path list approaches the whole manifest, and the
+# scoping itself costs extra scheduler round-trips (changed-file id scan,
+# home-set explode/collect) that the full scan never pays. Above the
+# threshold plan_pruned_scan declines (returns None) and the caller runs
+# the ordinary full scan — correct either way, this only picks the
+# cheaper plan. New files count as changed, so a bulk historical load
+# (most files new) also takes the full-scan path.
+MAX_DIRTY_FILE_FRACTION = 0.5
+
 
 def _local_path(uri: str) -> str | None:
     """file:// URI (or bare path) → local filesystem path; None when the
@@ -135,6 +145,8 @@ def plan_pruned_scan(
             return None
     changed = sorted(p for p, fp in cur_manifest.items() if prev_manifest.get(p) != fp)
     removed = sorted(set(prev_manifest) - set(cur_manifest))
+    if len(changed) + len(removed) > MAX_DIRTY_FILE_FRACTION * len(cur_manifest):
+        return None
     schema = transcripts.schema
     affected = changed + removed
     if affected:

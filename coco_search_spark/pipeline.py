@@ -1102,6 +1102,22 @@ def run_pipeline(
         snapshot_id = store.commit(state_rows, stage="materialize", extra=extra)
         metrics["snapshot_id"] = snapshot_id
 
+    # Drop the run-scoped state-diff caches. These never outlive the run
+    # (the commit above materialized everything derived from them), and
+    # leaving them cached is a CORRECTNESS hazard for the next run in the
+    # same session: cur_hashes' plan on a full-scan run is just
+    # conversation_hashes(<input scan>) — state-independent — so Spark's
+    # CacheManager would match a later run's identical plan and serve THIS
+    # run's hashes even after the input files changed (diff → all
+    # unchanged, updates silently dropped). Result-exposed caches (triples,
+    # edges, nodes) stay: their plans include the per-run dirty_ids
+    # checkpoint or version-pathed state reads, which never collide.
+    for _df in (cur_hashes, stored):
+        if _df is not None:
+            _df.unpersist()
+    if store is not None and cur_hashes is not None:
+        diff.unpersist()
+
     return PipelineResult(
         triples=triples, links=links_raw, canon=canon, edges=edges, nodes=nodes, metrics=metrics
     )

@@ -296,3 +296,44 @@ def test_quarantine_carries_forward_for_unscanned_files(spark, tmp_path):
         r["conv_id"]: r["errors"] for r in store.read(spark).select("conv_id", "errors").collect()
     }
     assert errs["cq"] == 0
+
+
+def test_majority_dirty_files_decline_pruning_with_parity(spark, tmp_path):
+    """When more than MAX_DIRTY_FILE_FRACTION of the input files changed,
+    pruning declines (the scoped path list would approach the whole
+    manifest and the scoping jobs are pure overhead) and the run takes the
+    ordinary full scan — with identical results."""
+    d = _corpus(tmp_path, FILES)
+    out, state = str(tmp_path / "o"), str(tmp_path / "s")
+    run_pipeline(spark, _read(spark, d), out_dir=out, state_dir=state)
+    # patch 2 of 3 files: 2 > 0.5 * 3 → the gate declines
+    _write_file(
+        os.path.join(d, "a.parquet"),
+        [
+            ("c0", 0, "alpha_svc calls queue0_queue ."),
+            ("c1", 0, "beta_svc uses store1_store ."),
+        ],
+    )
+    _write_file(
+        os.path.join(d, "b.parquet"),
+        [
+            ("c2", 0, "gamma_svc emits cache2_cache ."),
+            ("c3", 0, "delta_svc emits queue3_queue ."),
+        ],
+    )
+    r2 = run_pipeline(spark, _read(spark, d), out_dir=out, state_dir=state)
+    assert r2.metrics["n_files_scanned"] is None  # gate declined — full scan
+    # the full-scan diff still finds exactly the two changed conversations
+    assert r2.metrics["n_edge_dirty_convs"] == 2
+    assert r2.metrics["n_unchanged_convs"] == 4
+    store = StateStore(state)
+    fresh = run_pipeline(
+        spark,
+        _read(spark, d),
+        out_dir=str(tmp_path / "o2"),
+        state_dir=str(tmp_path / "s2"),
+    )
+    assert _facts_rows(store.read_table(spark, "facts")) == _facts_rows(
+        StateStore(str(tmp_path / "s2")).read_table(spark, "facts")
+    )
+    assert _edge_rows(store.read_table(spark, "edges")) == _edge_rows(fresh.edges)
