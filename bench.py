@@ -186,6 +186,23 @@ def run_bench(cpus: int, sf_dir: str) -> dict:
         transcripts.repartition(n_files, "conv_id").write.mode(
             "overwrite"
         ).parquet(corpus_dir)
+        # fresh session for the receipt: the headline pipeline's
+        # localCheckpoint RDDs and shuffle files linger in the JVM past
+        # clearCache (same reason the operator queries run before it) and
+        # were inflating the warm numbers ~2× — the receipt measures the
+        # incremental path, not the residue of earlier benchmark phases
+        spark.stop()
+        spark = get_spark(
+            cpus,
+            app_name=f"bench_incr_local{cpus}",
+            shuffle_partitions=max(cpus, 8),
+            extra_conf={
+                "spark.sql.files.maxPartitionBytes": str(4 * 1024 * 1024),
+            },
+        )
+        catalog = spark.read.parquet(
+            os.path.join(os.path.dirname(fixture_path), "catalog.parquet")
+        )
         disk = spark.read.parquet(corpus_dir)
         t0 = time.perf_counter()
         run_pipeline(
@@ -227,13 +244,20 @@ def run_bench(cpus: int, sf_dir: str) -> dict:
             )
             return round(time.perf_counter() - t0, 3), res
 
+        # best-of-2 single-file warm runs (patch a DIFFERENT file each
+        # time — re-running an unchanged corpus would measure the no-op
+        # carry-forward path instead): this host's steal makes any single
+        # timing untrustworthy, and min is the steady-state signal
         _patch(all_files[:1])
-        warm, res_i = _warm_run()
-        # second warm run at 8× the delta: O(delta)-plus-fixed-floor warm
+        warm_a, res_a = _warm_run()
+        _patch(all_files[1:2])
+        warm_b, res_b = _warm_run()
+        warm, res_i = min((warm_a, res_a), (warm_b, res_b), key=lambda t: t[0])
+        # next warm run at 8× the delta: O(delta)-plus-fixed-floor warm
         # cost means this should rise by far less than 8× the first warm
         # run's delta-proportional share (the floor — diff jobs, global
         # canonicalize input fingerprint, state commit — is constant)
-        _patch(all_files[1:9])
+        _patch(all_files[2:10])
         warm8, res_i8 = _warm_run()
         timings["kg_incremental_cold"] = cold
         timings["kg_incremental_warm"] = warm
