@@ -1993,6 +1993,104 @@ FROM p GROUP BY conv_id ORDER BY conv_id
 """
 
 
+def q_kg_vocab_delta(spark, sf_dir):
+    """Refcounted vocabulary maintenance (round 5 late, vocab_state.py)
+    through the driver gate: run 1 indexes the derived corpus cold
+    (seeding the per-key conversation refcounts); run 2 sees three
+    conversations grown by a turn introducing two NEW surfaces
+    (vocabdelta_svc calls vocabdelta_store) — the warm run maintains the
+    vocabulary arithmetically (old − replaced conversations' previous
+    contributions + their new ones; the indexed facts fetch supplies the
+    subtraction) instead of re-scanning the corpus union. Output = the
+    persisted vocabulary table (vkind ∈ surf/bind/ment, key, refcount)
+    plus the vocab_mode receipt. The oracle recomputes every refcount from
+    the grown corpus in DuckDB (count of conversations per distinct key)
+    and pins vocab_mode='delta' — so a silent fallback to the full
+    recompute, or any drifted count, fails the value check. Reference
+    analog: the re-resolve-all flow (flow.py:343-361) rebuilds these sets
+    every run; the maintained table satisfies it vacuously."""
+    import shutil
+    import tempfile
+
+    from coco_search_spark.pipeline import run_pipeline
+    from coco_search_spark.state import StateStore
+
+    base = derived_transcripts(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="coco_vocab_delta_")
+    try:
+        run_pipeline(spark, base, out_dir=f"{tmp}/out", state_dir=f"{tmp}/state")
+        donor = base.filter(
+            (F.col("conv_id") == "conv-1") & (F.col("turn_idx") == 0)
+        ).drop("conv_id", "turn_idx")
+        grown = base.unionByName(
+            donor.crossJoin(
+                spark.createDataFrame(
+                    [("conv-2",), ("conv-4",), ("conv-6",)], "conv_id string"
+                )
+            )
+            .withColumn("turn_idx", F.lit(901))
+            .withColumn("text", F.lit("vocabdelta_svc calls vocabdelta_store ."))
+        )
+        res = run_pipeline(spark, grown, out_dir=f"{tmp}/out", state_dir=f"{tmp}/state")
+        snap = StateStore(f"{tmp}/state").last_snapshot()
+        return (
+            spark.read.parquet(snap["vocab_path"])
+            .select(
+                "vkind",
+                "k1",
+                "k2",
+                "cnt",
+                F.lit(res.metrics["vocab_mode"]).alias("vocab_mode"),
+            )
+            .orderBy("vkind", "k1", "k2")
+            # materialize before the temp state dir disappears
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _vocab_delta_oracle() -> str:
+    """Full refcount recompute over the grown corpus: per-conversation
+    DISTINCT keys per family (triple endpoints, standalone mentions,
+    binding pairs and their sides), counted across conversations. The
+    pinned vocab_mode='delta' makes the receipt part of the value check."""
+    return f"""WITH gt AS (
+  SELECT 'conv-' || (doc_id % 50) AS conv_id,
+         source || '_svc' AS subj, lang || '_store' AS obj
+  FROM documents WHERE {_FORM_KEY} <= 3
+  UNION ALL
+  SELECT 'conv-' || (doc_id % 50), source || '_svc', lang || '_cache'
+  FROM documents WHERE {_FORM_KEY} = 3
+  UNION ALL
+  SELECT v.cid, 'vocabdelta_svc', 'vocabdelta_store'
+  FROM (VALUES ('conv-2'), ('conv-4'), ('conv-6')) v(cid)
+),
+ment AS (
+  SELECT 'conv-' || (doc_id % 50) AS conv_id,
+         CASE CAST(doc_id % 2 AS INT) WHEN 0 THEN source || '_cli'
+              ELSE lang || '_probe' END AS mention
+  FROM documents
+),
+bind AS (
+  SELECT 'conv-' || (doc_id % 50) AS conv_id,
+         lang || '_store' AS target, lang || '_al' AS alias
+  FROM documents WHERE {_FORM_KEY} = 0 AND CAST(doc_id % 2 AS INT) = 1
+),
+keys AS (
+  SELECT conv_id, 'surf' AS vkind, subj AS k1, '' AS k2 FROM gt
+  UNION SELECT conv_id, 'surf', obj, '' FROM gt
+  UNION SELECT conv_id, 'surf', mention, '' FROM ment
+  UNION SELECT conv_id, 'ment', mention, '' FROM ment
+  UNION SELECT conv_id, 'surf', target, '' FROM bind
+  UNION SELECT conv_id, 'surf', alias, '' FROM bind
+  UNION SELECT conv_id, 'bind', target, alias FROM bind
+)
+SELECT vkind, k1, k2, COUNT(*) AS cnt, 'delta' AS vocab_mode
+FROM keys GROUP BY vkind, k1, k2 ORDER BY vkind, k1, k2
+"""
+
+
 def q_kg_alias_bindings(spark, sf_dir):
     """X2b through the driver gate: in-text alias bindings
     ('X <phrase> TARGET as ALIAS' — the aliased-import analog,
@@ -3101,6 +3199,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Round 5 also RETIRED two redundant relational demos per the verdict
     # (pricing_summary ⊂ rollup_revenue, event_neighbors ⊂ kg_turn_window).
     # --- (1a) new / changed this round -----------------------------------
+    "kg_vocab_delta": q_kg_vocab_delta,
     "kg_edge_delta": q_kg_edge_delta,
     "kg_scan_prune": q_kg_scan_prune,
     "kg_search_filtered": q_kg_search_filtered,
@@ -3178,6 +3277,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 _PORTABLE_HASH = "CAST(('0x' || substr(md5({e}), 1, 15)) AS BIGINT)"
 
 ORACLES: dict[str, str] = {
+    "kg_vocab_delta": _vocab_delta_oracle(),
     "kg_edge_delta": _edge_delta_oracle(),
     "kg_scan_prune": _scan_prune_oracle(),
     "kg_extract_triples": _ORACLE_TRIPLES_CTE

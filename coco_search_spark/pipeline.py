@@ -388,29 +388,116 @@ def run_pipeline(
     # turns the scan dominates, so the pipeline must not pay it per family.
     # The Arrow escape hatch (grammar-in-Python) keeps the per-family scans.
     combined: DataFrame | None = None
+    dirty_facts: DataFrame | None = None
+    vocab: DataFrame | None = None  # refcounted vocabulary (vocab_state)
+    vocab_mode = None  # None (storeless/arrow) | "full" | "delta"
+    prev_kind_totals = snap.get("fact_kind_counts") if snap else None
+    kind_counts: dict | None = None
+    lean_facts = False
     if extractor == "native":
+        # this run's extraction output alone — the FULL corpus facts on a
+        # cold/full run, the dirty conversations' facts on a delta run
+        # (segments are scoped to the dirty set there). One
+        # materialization: localCheckpoint stores the deduped fact rows
+        # once; family splits below are cheap filters over it.
+        dirty_facts = extract_all(segments).localCheckpoint(eager=True)
+        # ---- refcounted vocabulary maintenance (round 5 late) ----------
+        # The surface/binding/standalone sets are per-conversation-distinct
+        # unions over the facts, so a warm run maintains their refcounts
+        # from the delta (vocab_state.py) instead of re-scanning the
+        # corpus union — the same delta rule node degrees already use.
+        # Replaced conversations' previous facts come from the indexed
+        # facts fetch (bounded collect → pushed isin, semi-join above the
+        # cap). Any gate miss → full recompute below.
+        if store is not None and out_dir:
+            from coco_search_spark.operators.vocab_state import (
+                apply_vocab_delta,
+                vocab_contrib,
+            )
+
+            vocab_mode = "full"
+            if (
+                prev_facts is not None
+                and isinstance(prev_kind_totals, dict)
+                and snap.get("vocab_path")
+                and os.path.exists(snap["vocab_path"])
+            ):
+                old_vocab = spark.read.parquet(snap["vocab_path"])
+                replaced = diff.filter(
+                    F.col("status").isin("changed", "deleted")
+                ).select("conv_id")
+                rep_sample = replaced.take(EDGE_FETCH_PUSHDOWN_LIMIT + 1)
+                if len(rep_sample) <= EDGE_FETCH_PUSHDOWN_LIMIT:
+                    old_rep = store.read_table(
+                        spark, "facts", conv_ids=[r["conv_id"] for r in rep_sample]
+                    )
+                else:
+                    old_rep = store.read_table(spark, "facts").join(
+                        replaced, "conv_id", "left_semi"
+                    )
+                # delta-sized; consumed by the contrib agg AND the signed
+                # kind-count aggregation below
+                old_rep = old_rep.localCheckpoint(eager=True)
+                cand = apply_vocab_delta(
+                    old_vocab, vocab_contrib(dirty_facts), vocab_contrib(old_rep)
+                ).localCheckpoint(eager=True)
+                # loud invariant: a negative refcount means the subtracted
+                # facts were not what the snapshot held — recompute from
+                # the corpus rather than persist a corrupt vocabulary
+                if cand.filter(F.col("cnt") < 0).limit(1).count() > 0:
+                    cand.unpersist()
+                else:
+                    vocab = cand.filter(F.col("cnt") > 0)
+                    vocab_mode = "delta"
+                    # per-kind fact totals by the same delta arithmetic —
+                    # ONE signed aggregation instead of a corpus groupBy
+                    net = {
+                        r["kind"]: r["net"]
+                        for r in dirty_facts.select(
+                            "kind", F.lit(1).alias("sgn")
+                        )
+                        .unionAll(old_rep.select("kind", F.lit(-1).alias("sgn")))
+                        .groupBy("kind")
+                        .agg(F.sum("sgn").alias("net"))
+                        .collect()
+                    }
+                    kind_counts = {
+                        k: int(prev_kind_totals.get(k, 0)) + int(net.get(k, 0))
+                        for k in set(prev_kind_totals) | set(net)
+                    }
+        # lean mode: with a delta-maintained vocabulary nothing downstream
+        # needs a materialized corpus-wide fact union — surfaces, binding
+        # pairs, standalone mentions and kind totals all derive from the
+        # vocab table, the facts sink writes the dirty checkpoint, and the
+        # dirty-edge resolve pre-filters from it. Compaction runs fold old
+        # parts into a full one, so they keep the materialized union.
+        lean_facts = (
+            vocab is not None
+            and prev_facts is not None
+            and not (
+                n_dirty > 0 and len(facts_parts) + 1 > cfg.compact_parts_after
+            )
+        )
         if prev_facts is not None:
             # allowMissingColumns: snapshots written before newer fact
             # columns existed reload with NULLs instead of failing (the
             # schema-evolution rule — see state.ensure_columns)
-            combined = extract_all(segments).unionByName(
-                prev_facts, allowMissingColumns=True
-            )
+            combined = dirty_facts.unionByName(prev_facts, allowMissingColumns=True)
+            if not lean_facts:
+                combined = combined.localCheckpoint(eager=True)
         else:
-            combined = extract_all(segments)
-        # ONE materialization: localCheckpoint stores the deduped fact
-        # table once; the family splits below are cheap filters over it
-        # (cache()-ing combined AND the splits would hold the same rows
-        # in executor memory twice)
-        combined = combined.localCheckpoint(eager=True)
+            combined = dirty_facts
         triples, standalone, bindings = split_extracted(combined)
-        # ONE aggregation for both family counts (two filtered counts pay
-        # two scheduler round-trips over the same checkpointed table;
-        # warm-run latency is job-count-bound)
-        kind_counts = {
-            r["kind"]: r["n"]
-            for r in combined.groupBy("kind").agg(F.count(F.lit(1)).alias("n")).collect()
-        }
+        if kind_counts is None:
+            # ONE aggregation for both family counts (two filtered counts
+            # pay two scheduler round-trips over the same table; warm-run
+            # latency is job-count-bound)
+            kind_counts = {
+                r["kind"]: r["n"]
+                for r in combined.groupBy("kind")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
         n_triples = kind_counts.get("triple", 0)
         n_standalone = kind_counts.get("mention", 0)
     else:
@@ -424,25 +511,36 @@ def run_pipeline(
         n_standalone = standalone.count()
     _stamp("extract")
 
-    # vocabulary-sized surface table straight from the cached triples +
-    # standalone mentions: per-column distincts collapse map-side BEFORE
-    # the union, so no occurrence-level shuffle exists anywhere in the
-    # linking path
-    surface_parts = [
-        triples.select(F.col("subj").alias("surface")).distinct(),
-        triples.select(F.col("obj").alias("surface")).distinct(),
-        standalone.select(F.col("mention").alias("surface")).distinct(),
-    ]
-    if bindings is not None:
-        # both binding sides are observed surfaces — an alias bound in text
-        # but never mentioned elsewhere must still canonicalize into its
-        # target's cluster
-        surface_parts.append(bindings.select(F.col("target").alias("surface")).distinct())
-        surface_parts.append(bindings.select(F.col("alias").alias("surface")).distinct())
-    surfaces = surface_parts[0]
-    for p in surface_parts[1:]:
-        surfaces = surfaces.unionByName(p)
-    surfaces = surfaces.distinct().localCheckpoint(eager=True)
+    if vocab is not None and vocab_mode == "delta":
+        # vocabulary straight from the delta-maintained refcounts — a
+        # vocabulary-sized scan; the corpus union is never touched
+        from coco_search_spark.operators.vocab_state import vocab_surfaces
+
+        surfaces = vocab_surfaces(vocab).localCheckpoint(eager=True)
+    else:
+        # vocabulary-sized surface table straight from the cached triples +
+        # standalone mentions: per-column distincts collapse map-side BEFORE
+        # the union, so no occurrence-level shuffle exists anywhere in the
+        # linking path
+        surface_parts = [
+            triples.select(F.col("subj").alias("surface")).distinct(),
+            triples.select(F.col("obj").alias("surface")).distinct(),
+            standalone.select(F.col("mention").alias("surface")).distinct(),
+        ]
+        if bindings is not None:
+            # both binding sides are observed surfaces — an alias bound in
+            # text but never mentioned elsewhere must still canonicalize
+            # into its target's cluster
+            surface_parts.append(
+                bindings.select(F.col("target").alias("surface")).distinct()
+            )
+            surface_parts.append(
+                bindings.select(F.col("alias").alias("surface")).distinct()
+            )
+        surfaces = surface_parts[0]
+        for p in surface_parts[1:]:
+            surfaces = surfaces.unionByName(p)
+        surfaces = surfaces.distinct().localCheckpoint(eager=True)
     # counted once (reused in metrics): gates the count-based broadcast
     # hints below — under the budget the vocabulary tables get an explicit
     # broadcast (no AQE conversion overhead); over it (the 10^9-surface
@@ -525,13 +623,28 @@ def run_pipeline(
     canon_in_fp = None
     canon_reused = False
     prev_canon = None
+    # distinct binding pairs: vocabulary-sized from the maintained
+    # refcounts on delta runs; a corpus-union distinct otherwise. Both
+    # the fingerprint and the CC extra edges consume this — duplicates
+    # carry no information for either (the label function sees sets).
+    binding_pairs = None
+    if vocab is not None and vocab_mode == "delta":
+        from coco_search_spark.operators.vocab_state import vocab_binding_pairs
+
+        binding_pairs = vocab_binding_pairs(vocab)
+    elif bindings is not None:
+        binding_pairs = bindings.select("target", "alias").distinct()
     if store is not None:
         from coco_search_spark.operators.link_state import catalog_fingerprint
 
         tagged = surfaces.select(F.concat(F.lit("s:"), F.col("surface")).alias("k"))
-        if bindings is not None:
+        if binding_pairs is not None:
+            # distinct AFTER the concat: the fingerprint folds the tagged
+            # STRING set, and two distinct pairs can collide as strings —
+            # both derivation modes must fold the identical row set or the
+            # reuse gate would never match across a mode switch
             tagged = tagged.unionByName(
-                bindings.select(
+                binding_pairs.select(
                     F.concat_ws("→", F.lit("b:"), "target", "alias").alias("k")
                 ).distinct()
             )
@@ -553,10 +666,13 @@ def run_pipeline(
             return c
         # in-text alias bindings ("TARGET as ALIAS") are explicit
         # same-entity evidence fed into the similarity graph — they merge
-        # surfaces sharing no shingles/tokens (the aliased-import analog)
+        # surfaces sharing no shingles/tokens (the aliased-import analog).
+        # binding_pairs is the distinct pair set (vocab-derived on delta
+        # runs); connected components see sets, so duplicates carried no
+        # information anyway.
         extra = (
-            bindings.select(F.col("target").alias("a"), F.col("alias").alias("b"))
-            if bindings is not None
+            binding_pairs.select(F.col("target").alias("a"), F.col("alias").alias("b"))
+            if binding_pairs is not None
             else None
         )
         c = canonicalize_surfaces(
@@ -594,9 +710,16 @@ def run_pipeline(
     # Broadcast is count-gated (links_small), never unconditionally forced:
     # at the 10^9-surface contingency in SCALE.md the link map cannot
     # broadcast and the join must keep its sort-merge fallback.
+    if vocab is not None and vocab_mode == "delta":
+        # distinct standalone-mention surfaces from the maintained
+        # refcounts — vocabulary-sized, no corpus scan
+        from coco_search_spark.operators.vocab_state import vocab_standalone_mentions
+
+        standalone_mention_set = vocab_standalone_mentions(vocab)
+    else:
+        standalone_mention_set = standalone.select(F.col("mention")).distinct()
     standalone_ids = (
-        standalone.select(F.col("mention"))
-        .distinct()
+        standalone_mention_set
         .join(F.broadcast(link_map) if links_small else link_map, "mention")
         .select(F.col("canon_id").alias("entity_id"))
         .distinct()
@@ -694,15 +817,32 @@ def run_pipeline(
     # (triples pre-filtered BEFORE the link join, so the resolve never
     # touches the unchanged corpus); used by the delta sink and the
     # incremental node update
-    edges_dirty = (
-        resolve_edges(
-            triples.join(edge_dirty_ids, "conv_id", "left_semi"),
-            link_map,
-            links_small=links_small,
-        )
-        if edge_dirty_ids is not None
-        else None
-    )
+    edges_dirty = None
+    if edge_dirty_ids is not None:
+        if lean_facts:
+            # lean: dirty conversations' triples come straight from this
+            # run's extraction checkpoint (delta-sized) — never a semi-join
+            # over the corpus union. When surfaces moved, the extra
+            # (unchanged) affected conversations' triples come from the
+            # indexed facts fetch, same pushdown as the node-delta path.
+            dirty_triple_src = split_extracted(dirty_facts)[0]
+            if n_moved:
+                extra_ids = edge_dirty_ids.join(dirty_ids, "conv_id", "left_anti")
+                ex_sample = extra_ids.take(EDGE_FETCH_PUSHDOWN_LIMIT + 1)
+                if len(ex_sample) <= EDGE_FETCH_PUSHDOWN_LIMIT:
+                    extra_facts = store.read_table(
+                        spark, "facts", conv_ids=[r["conv_id"] for r in ex_sample]
+                    )
+                else:
+                    extra_facts = store.read_table(spark, "facts").join(
+                        extra_ids, "conv_id", "left_semi"
+                    )
+                dirty_triple_src = dirty_triple_src.unionByName(
+                    split_extracted(extra_facts)[0], allowMissingColumns=True
+                )
+        else:
+            dirty_triple_src = triples.join(edge_dirty_ids, "conv_id", "left_semi")
+        edges_dirty = resolve_edges(dirty_triple_src, link_map, links_small=links_small)
 
     # ---- node resolution: carry / incremental / full --------------------
     # Degrees are pure sums over edge rows, so warm runs maintain the node
@@ -803,6 +943,7 @@ def run_pipeline(
     edges_parts_new = None
     linkmap_path = None
     canon_path = None
+    vocab_path = None
     if out_dir:
         # versioned paths: never overwrite the snapshot a lazy prev_* plan
         # may still be reading (Iceberg snapshots give this for free)
@@ -860,6 +1001,30 @@ def run_pipeline(
                 # the link map)
                 canon_path = f"{out_dir}/canon_v{version:06d}"
                 canon.write.mode("overwrite").parquet(canon_path)
+            if combined is not None:
+                if (
+                    noop_delta
+                    and n_deleted == 0
+                    and snap is not None
+                    and snap.get("vocab_path")
+                    and isinstance(prev_kind_totals, dict)
+                ):
+                    # identical corpus (no dirty, no deleted): the
+                    # persisted vocabulary is value-identical — carry the
+                    # pointer instead of rewriting the same bytes
+                    vocab_path = snap["vocab_path"]
+                else:
+                    # refcounted vocabulary for next-run delta maintenance:
+                    # vocabulary-sized, full rewrite per run (same policy
+                    # as the link map); seeded from the corpus union on
+                    # full/fallback runs, carried forward arithmetically on
+                    # delta runs
+                    from coco_search_spark.operators.vocab_state import vocab_contrib
+
+                    vocab_path = f"{out_dir}/vocab_v{version:06d}"
+                    (
+                        vocab if vocab is not None else vocab_contrib(combined)
+                    ).write.mode("overwrite").parquet(vocab_path)
             if n_moved == 0:
                 # the link map is value-identical to the persisted copy —
                 # carry the pointer instead of rewriting the same bytes
@@ -881,7 +1046,11 @@ def run_pipeline(
                 facts_path = f"{out_dir}/facts_v{version:06d}"
                 new_part = {"path": facts_path, "version": version}
                 if delta_mode and not compact:
-                    facts_out = combined.join(dirty_ids, "conv_id", "left_semi")
+                    # the delta IS the extraction checkpoint: segments were
+                    # scoped to the dirty conversations, so this equals the
+                    # old corpus-union semi-join row for row without the
+                    # corpus scan
+                    facts_out = dirty_facts
                     facts_parts_new = list(facts_parts) + [new_part]
                 else:
                     facts_out = combined
@@ -975,6 +1144,13 @@ def run_pipeline(
             else nodes.count()
         ),
         "nodes_mode": nodes_mode,
+        # vocabulary receipt: "delta" ⇒ surfaces/bindings/standalone sets
+        # and kind totals were maintained from the delta (no corpus-union
+        # scan); "full" ⇒ recomputed; None ⇒ storeless or arrow extractor
+        "vocab_mode": vocab_mode,
+        # lean ⇒ the corpus-wide fact union was never materialized this
+        # run (dirty checkpoint + lazy part reads only)
+        "lean_facts": lean_facts,
         "stage_timings": timings,
     }
 
@@ -1083,6 +1259,11 @@ def run_pipeline(
         if canon_path:
             extra["canon_path"] = canon_path
             extra["canon_fp"] = canon_in_fp
+        if vocab_path:
+            # the refcounted vocabulary + per-kind fact totals the next
+            # run's delta maintenance starts from (vocab_state.py)
+            extra["vocab_path"] = vocab_path
+            extra["fact_kind_counts"] = {k: int(v) for k, v in kind_counts.items()}
         if cur_manifest is not None:
             # per-file (size, mtime_ns) fingerprints: the next run's scan-
             # pruning baseline (Iceberg-snapshot analog — one entry per data

@@ -293,7 +293,7 @@ class StateStore:
             for kind in ("facts", "chunks", "edges"):
                 for p in self.table_parts(kind) or []:
                     keep.add(os.path.realpath(p["path"]))
-            for key in ("links_path", "linkmap_path", "canon_path"):
+            for key in ("links_path", "linkmap_path", "canon_path", "vocab_path"):
                 if snap.get(key):
                     keep.add(os.path.realpath(snap[key]))
         victims = []
@@ -310,6 +310,7 @@ class StateStore:
                 or name.startswith("links_v")
                 or name.startswith("linkmap_v")
                 or name.startswith("canon_v")
+                or name.startswith("vocab_v")
                 or name.startswith("edges_v")
             ):
                 continue

@@ -415,9 +415,9 @@ def test_vacuum_removes_superseded_and_orphaned_parts(spark, tmp_path):
     names = {os.path.basename(v) for v in victims}
     assert names == {
         "facts_v000001", "chunks_v000001", "links_v000001",
-        # superseded by the run-2 full rewrite (edge/canon sinks are
+        # superseded by the run-2 full rewrite (edge/canon/vocab sinks are
         # versioned parts since round 5)
-        "edges_v000001", "linkmap_v000001", "canon_v000001",
+        "edges_v000001", "linkmap_v000001", "canon_v000001", "vocab_v000001",
     }, names
     # the possibly-in-flight newer part survives
     assert os.path.exists(os.path.join(out, "facts_v000009"))
