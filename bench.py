@@ -278,9 +278,14 @@ def run_bench(cpus: int, sf_dir: str) -> dict:
             # edge-delta receipt: the warm run rewrites only the dirty
             # conversations' edges as a versioned part
             "n_edge_dirty_convs": res_i.metrics["n_edge_dirty_convs"],
-            # node/canon incremental receipts (round 5)
+            # node/canon/vocab incremental receipts (round 5)
             "nodes_mode": res_i.metrics.get("nodes_mode"),
             "canon_reused": res_i.metrics.get("canon_reused"),
+            # vocab_mode == "delta" + lean_facts ⇒ the warm run maintained
+            # the vocabulary by refcounts and never materialized the
+            # corpus-wide fact union (vocab_state.py)
+            "vocab_mode": res_i.metrics.get("vocab_mode"),
+            "lean_facts": res_i.metrics.get("lean_facts"),
             # the warm wall decomposes into delta-scaling stages (extract,
             # chunk embed+write, edge delta) and the semantically-global
             # remainder (canonicalize — the reference's own "re-resolve
