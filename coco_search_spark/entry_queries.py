@@ -3185,6 +3185,168 @@ FROM walk GROUP BY root ORDER BY root
 """
 
 
+_COOCCUR_PAIRS_SQL = """
+  SELECT DISTINCT least(CAST(x.l_partkey AS VARCHAR), CAST(y.l_partkey AS VARCHAR)) AS a,
+                  greatest(CAST(x.l_partkey AS VARCHAR), CAST(y.l_partkey AS VARCHAR)) AS b
+  FROM lineitem x JOIN lineitem y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+  WHERE x.l_orderkey % 50 = 0 AND y.l_orderkey % 50 = 0
+"""
+
+
+def _cooccur_pairs(spark):
+    """Part-co-occurrence graph (same subset as graph_triangles)."""
+    li = (
+        spark.table("lineitem")
+        .filter(F.col("l_orderkey") % 50 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    return (
+        li.alias("x")
+        .join(li.alias("y"), "l_orderkey")
+        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .select(
+            F.col("x.l_partkey").cast("string").alias("src"),
+            F.col("y.l_partkey").cast("string").alias("dst"),
+        )
+        .distinct()
+    )
+
+
+def q_graph_kcore(spark, sf_dir):
+    """k-core decomposition (cohesion analytics beyond the reference's
+    surface, like PageRank / triangles) over the part-co-occurrence graph:
+    synchronous peel until no node's in-core degree is < k. The oracle
+    unrolls the identical synchronous rounds, so every intermediate state
+    is engine-portable — parity holds whether the loop converges early
+    (extra unrolled rounds are identity) or both sides stop at the cap."""
+    from coco_search_spark.operators.graph import k_core
+
+    load_views(spark, sf_dir)
+    return k_core(_cooccur_pairs(spark), k=3, max_iters=12).orderBy("node")
+
+
+def _kcore_oracle(k: int = 3, max_iters: int = 12) -> str:
+    # AS MATERIALIZED: DuckDB inlines plain CTEs, so 12 unrolled rounds
+    # would re-open the parquet scan dozens of times (observed EMFILE)
+    parts = [
+        f"""
+WITH e AS MATERIALIZED ({_COOCCUR_PAIRS_SQL}),
+s0 AS MATERIALIZED (SELECT a AS n FROM e UNION SELECT b FROM e)"""
+    ]
+    for i in range(1, max_iters + 1):
+        parts.append(
+            f""",
+e{i} AS MATERIALIZED (SELECT a, b FROM e
+         WHERE a IN (SELECT n FROM s{i - 1}) AND b IN (SELECT n FROM s{i - 1})),
+d{i} AS MATERIALIZED (SELECT n, COUNT(*) AS deg
+         FROM (SELECT a AS n FROM e{i} UNION ALL SELECT b AS n FROM e{i}) GROUP BY n),
+s{i} AS MATERIALIZED (SELECT n FROM d{i} WHERE deg >= {k})"""
+        )
+    parts.append(
+        f"""
+SELECT n AS node, CAST(deg AS BIGINT) AS core_degree
+FROM d{max_iters} WHERE deg >= {k} ORDER BY node
+"""
+    )
+    return "".join(parts)
+
+
+def q_graph_adamic_adar(spark, sf_dir):
+    """Adamic-Adar link prediction (beyond the reference's surface): top-50
+    non-adjacent part pairs by Σ 1/ln(deg) over shared co-occurrence
+    neighbors, hub buckets capped at degree 60 (the cap is part of the
+    declared semantics — the oracle replays it). Scores are float sums, so
+    both engines round to 6 dp BEFORE the top-k ordering; ties break on
+    (node_u, node_v)."""
+    from coco_search_spark.operators.graph import adamic_adar
+
+    load_views(spark, sf_dir)
+    return adamic_adar(_cooccur_pairs(spark), top_k=50, max_hub_degree=60)
+
+
+def _adamic_adar_oracle(top_k: int = 50, max_hub_degree: int = 60) -> str:
+    return f"""
+WITH e AS ({_COOCCUR_PAIRS_SQL}),
+adj AS (SELECT a AS z, b AS x FROM e UNION ALL SELECT b AS z, a AS x FROM e),
+deg AS (SELECT z, COUNT(*) AS zdeg FROM adj GROUP BY z),
+zs AS (SELECT adj.z, adj.x, deg.zdeg FROM adj JOIN deg USING (z)
+       WHERE zdeg >= 2 AND zdeg <= {max_hub_degree}),
+pairs AS (SELECT p.x AS u, q.x AS v, CAST(1.0 AS DOUBLE) / ln(p.zdeg) AS w
+          FROM zs p JOIN zs q ON p.z = q.z AND p.x < q.x),
+scored AS (SELECT u, v, ROUND(SUM(w), 6) AS aa_score FROM pairs GROUP BY u, v),
+nonadj AS (SELECT s.* FROM scored s LEFT JOIN e ON e.a = s.u AND e.b = s.v
+           WHERE e.a IS NULL)
+SELECT u AS node_u, v AS node_v, aa_score FROM nonadj
+ORDER BY aa_score DESC, node_u ASC, node_v ASC LIMIT {top_k}
+"""
+
+
+def q_graph_shortest_paths(spark, sf_dir):
+    """Weighted bounded shortest paths (the weighted upgrade of
+    graph_reach): cheapest route from each sampled part to its reachable
+    suppliers / nations / regions, where part→supplier costs the MIN
+    l_quantity shipped on that lane and containment hops cost 1. Frontier-
+    pruned Bellman-Ford vs a recursive-CTE walk enumeration + MIN — all
+    weights are small integers in doubles, so every path cost is exact in
+    both engines."""
+    from coco_search_spark.operators.graph import shortest_paths
+
+    load_views(spark, sf_dir)
+    li = spark.table("lineitem")
+    s = spark.table("supplier")
+    n = spark.table("nation")
+    edges = (
+        li.select(
+            F.concat(F.lit("p-"), F.col("l_partkey")).alias("src"),
+            F.concat(F.lit("s-"), F.col("l_suppkey")).alias("dst"),
+            F.col("l_quantity").cast("double").alias("w"),
+        )
+        .unionByName(
+            s.select(
+                F.concat(F.lit("s-"), F.col("s_suppkey")).alias("src"),
+                F.concat(F.lit("n-"), F.col("s_nationkey")).alias("dst"),
+                F.lit(1.0).alias("w"),
+            )
+        )
+        .unionByName(
+            n.select(
+                F.concat(F.lit("n-"), F.col("n_nationkey")).alias("src"),
+                F.concat(F.lit("r-"), F.col("n_regionkey")).alias("dst"),
+                F.lit(1.0).alias("w"),
+            )
+        )
+    )
+    roots = (
+        spark.table("part")
+        .filter(F.col("p_partkey") % 40 == 0)
+        .select(F.concat(F.lit("p-"), F.col("p_partkey")).alias("node"))
+    )
+    return shortest_paths(edges, roots, max_hops=4).orderBy("node")
+
+
+ORACLE_SHORTEST_PATHS = """
+WITH RECURSIVE e AS (
+  SELECT src, dst, MIN(w) AS w FROM (
+    SELECT 'p-' || l_partkey AS src, 's-' || l_suppkey AS dst,
+           CAST(l_quantity AS DOUBLE) AS w FROM lineitem
+    UNION ALL
+    SELECT 's-' || s_suppkey, 'n-' || s_nationkey, CAST(1 AS DOUBLE) FROM supplier
+    UNION ALL
+    SELECT 'n-' || n_nationkey, 'r-' || n_regionkey, CAST(1 AS DOUBLE) FROM nation
+  ) GROUP BY src, dst
+),
+walk(node, dist, hops) AS (
+  SELECT 'p-' || p_partkey, CAST(0 AS DOUBLE), 0 FROM part WHERE p_partkey % 40 = 0
+  UNION ALL
+  SELECT e.dst, w.dist + e.w, w.hops + 1
+  FROM walk w JOIN e ON e.src = w.node
+  WHERE w.hops < 4
+)
+SELECT node, ROUND(MIN(dist), 6) AS dist FROM walk GROUP BY node ORDER BY node
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- ORDER POLICY (round 4, rotation added round 5): the driver's
     # correctness gate checks the FIRST 50 entries, so the registry is
@@ -3199,6 +3361,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Round 5 also RETIRED two redundant relational demos per the verdict
     # (pricing_summary ⊂ rollup_revenue, event_neighbors ⊂ kg_turn_window).
     # --- (1a) new / changed this round -----------------------------------
+    "graph_kcore": q_graph_kcore,
+    "graph_adamic_adar": q_graph_adamic_adar,
+    "graph_shortest_paths": q_graph_shortest_paths,
     "kg_vocab_delta": q_kg_vocab_delta,
     "kg_edge_delta": q_kg_edge_delta,
     "kg_scan_prune": q_kg_scan_prune,
@@ -3277,6 +3442,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 _PORTABLE_HASH = "CAST(('0x' || substr(md5({e}), 1, 15)) AS BIGINT)"
 
 ORACLES: dict[str, str] = {
+    "graph_kcore": _kcore_oracle(),
+    "graph_adamic_adar": _adamic_adar_oracle(),
+    "graph_shortest_paths": ORACLE_SHORTEST_PATHS,
     "kg_vocab_delta": _vocab_delta_oracle(),
     "kg_edge_delta": _edge_delta_oracle(),
     "kg_scan_prune": _scan_prune_oracle(),

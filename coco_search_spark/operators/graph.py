@@ -244,6 +244,233 @@ def pagerank(
     return ranks.select("node", F.round("rank", 6).alias("rank"))
 
 
+def k_core(
+    edges: DataFrame,
+    k: int = 2,
+    max_iters: int = 20,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """k-core decomposition of the undirected simple graph of ``edges``:
+    the maximal subgraph in which every node has degree ≥ k. Returns
+    (node, core_degree) — the surviving nodes with their degree INSIDE the
+    core subgraph.
+
+    Beyond the reference's graph surface (like PageRank / triangles):
+    cohesion analytics — the k-core strips noisy low-degree periphery from
+    the KG, the standard precursor to community detection and hub ranking.
+
+    Synchronous peel: every round removes ALL nodes whose degree within the
+    current surviving subgraph is < k, until a round removes nothing (the
+    survivor count is monotonically shrinking, so count equality IS set
+    equality — the convergence check is one scalar per round, same rule as
+    the CC loop). Removal order never changes the k-core, and the
+    synchronous rule makes every intermediate state engine-portable: the
+    DuckDB oracle unrolls the identical rounds, so parity holds whether the
+    loop converges early (extra unrolled rounds are identity) or hits
+    ``max_iters`` (both sides stop at the same round).
+
+    Scale: each round is two left_semi joins (edges ⋉ survivors, both
+    endpoints) + one map-side-combined degree aggregate — all keyed on node
+    id, no fan-out anywhere; the survivor set is localCheckpointed per
+    round so the plan stays flat (same rule as the BFS loops). Peel rounds
+    on real graphs are few (each round removes the whole current periphery
+    layer, not one node)."""
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)  # re-joined every peel round
+    )
+    surv = (
+        e.select(F.col("a").alias("n"))
+        .unionByName(e.select(F.col("b").alias("n")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_prev = surv.count()
+    deg = None
+    for _ in range(max_iters):
+        kept = e.join(
+            surv.select(F.col("n").alias("a")), "a", "left_semi"
+        ).join(surv.select(F.col("n").alias("b")), "b", "left_semi")
+        deg = (
+            kept.select(F.col("a").alias("n"))
+            .unionByName(kept.select(F.col("b").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("core_degree"))
+        )
+        surv = deg.filter(F.col("core_degree") >= k).select("n").localCheckpoint(
+            eager=True
+        )
+        n_cur = surv.count()
+        if n_cur == n_prev:
+            break
+        n_prev = n_cur
+    if deg is None:  # max_iters == 0: degenerate, full graph counts as core
+        deg = (
+            e.select(F.col("a").alias("n"))
+            .unionByName(e.select(F.col("b").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("core_degree"))
+        )
+    # at the break, surv == previous survivors, so deg (computed within the
+    # previous-survivor-induced subgraph) restricted to >= k IS the core
+    return deg.filter(F.col("core_degree") >= k).select(
+        F.col("n").alias("node"), F.col("core_degree").cast("bigint").alias("core_degree")
+    )
+
+
+def adamic_adar(
+    edges: DataFrame,
+    top_k: int = 100,
+    max_hub_degree: int | None = None,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Adamic-Adar link prediction over the undirected simple graph of
+    ``edges``: for every NON-adjacent node pair (u, v) sharing at least one
+    neighbor, score = Σ_{z ∈ N(u) ∩ N(v)} 1 / ln(deg(z)) — common neighbors
+    weighted inversely by how promiscuous they are. Returns the top
+    ``top_k`` pairs (node_u, node_v, aa_score), u < v.
+
+    Beyond the reference's graph surface: the classic "which entities
+    should probably be linked" query over the KG — candidate edges for
+    review, missing-alias detection.
+
+    Enumeration is bucketed AT the common neighbor z (one equi-join on z),
+    so the fan-out per z is deg(z)² — the same hub problem as triangle
+    wedges, defended the same way: ``max_hub_degree`` drops super-hub
+    buckets before the pair join (a z adjacent to everything carries ~zero
+    signal anyway — 1/ln(deg) vanishes — so capping is the standard
+    approximation). The cap is part of the declared semantics and the
+    oracle replays it, so the result stays value-checkable. A z needs ≥ 2
+    neighbors to emit a pair, so deg(z) ≥ 2 and ln(deg) > 0 — no division
+    hazard.
+
+    Determinism: per-pair scores are float SUMS whose addition order varies
+    with partitioning, so the score is rounded to 6 dp BEFORE the top-k
+    ordering (both engines rank the identical rounded keys), ties broken by
+    (node_u, node_v)."""
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)  # consumed by adj AND the anti-join
+    )
+    adj = e.select(F.col("a").alias("z"), F.col("b").alias("x")).unionByName(
+        e.select(F.col("b").alias("z"), F.col("a").alias("x"))
+    )
+    deg = adj.groupBy("z").agg(F.count(F.lit(1)).alias("zdeg"))
+    # a z needs >= 2 neighbors to emit a pair; filtering BEFORE the weight
+    # projection also keeps ln(zdeg) away from ln(1) = 0 under ANSI mode
+    zs = adj.join(deg, "z").filter(F.col("zdeg") >= 2)
+    if max_hub_degree is not None:
+        zs = zs.filter(F.col("zdeg") <= max_hub_degree)
+    pairs = (
+        zs.select("z", F.col("x").alias("u"), (1.0 / F.log("zdeg")).alias("w"))
+        .join(zs.select("z", F.col("x").alias("v")), "z")
+        .filter(F.col("u") < F.col("v"))
+    )
+    scored = (
+        pairs.groupBy("u", "v")
+        .agg(F.round(F.sum("w"), 6).alias("aa_score"))
+        .join(e, (F.col("u") == F.col("a")) & (F.col("v") == F.col("b")), "left_anti")
+    )
+    return (
+        scored.select(
+            F.col("u").alias("node_u"), F.col("v").alias("node_v"), "aa_score"
+        )
+        .orderBy(F.desc("aa_score"), F.asc("node_u"), F.asc("node_v"))
+        .limit(top_k)
+    )
+
+
+def shortest_paths(
+    edges: DataFrame,
+    roots: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    max_hops: int = MAX_DEPTH,
+) -> DataFrame:
+    """Weighted single-source-set shortest paths, bounded at ``max_hops``
+    edges: returns (node, dist) = the minimum path cost from ANY root over
+    directed paths of at most ``max_hops`` edges (roots at 0.0). The
+    weighted upgrade of ``transitive_closure`` — "cheapest way to reach",
+    not just "reachable within N hops".
+
+    Frontier-pruned Bellman-Ford: each round relaxes only from nodes whose
+    distance improved last round. Equivalent to full relaxation (if a
+    prefix's min was reached at an earlier round, its extension was already
+    emitted then), so after round j every node holds the exact min over
+    ≤ j-hop paths — which is what the DuckDB oracle computes by enumerating
+    ≤ max_hops-hop walks with a recursive CTE and taking the min. Every
+    path cost is the same IEEE double in both engines (identical
+    left-to-right accumulation), min is order-independent, and the 6 dp
+    rounding at the END is display-pinning only.
+
+    Parallel edges collapse to their min weight up front (one aggregate),
+    so relaxation joins carry one row per (src, dst). Scale: per round, one
+    equi-join frontier ⋈ edges + one map-side-combined min aggregate +
+    one full-outer merge on node id — no fan-out beyond out-degree; the
+    distance table is localCheckpointed per round (flat plans, same rule
+    as the BFS loops). Negative weights are tolerated (it is Bellman-Ford)
+    but the hop bound is then a semantic cap, not an optimization."""
+    step = (
+        edges.select(
+            F.col(src).alias("src"), F.col(dst).alias("dst"), F.col(weight).alias("w")
+        )
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.min("w").cast("double").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    dist = (
+        roots.select(F.col("node"), F.lit(0.0).alias("dist"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist
+    for _ in range(max_hops):
+        cand = (
+            step.join(
+                frontier.select(F.col("node").alias("src"), "dist"), "src"
+            )
+            .select(F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("d"))
+            .groupBy("node")
+            .agg(F.min("d").alias("d"))
+        )
+        merged = (
+            dist.join(cand, "node", "full_outer")
+            .select(
+                "node",
+                F.least(
+                    F.coalesce("dist", F.lit(float("inf"))),
+                    F.coalesce("d", F.lit(float("inf"))),
+                ).alias("new_dist"),
+                F.col("dist").alias("old_dist"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        improved = merged.filter(
+            F.col("old_dist").isNull() | (F.col("new_dist") < F.col("old_dist"))
+        ).select("node", F.col("new_dist").alias("dist"))
+        if improved.isEmpty():
+            break
+        dist = merged.select("node", F.col("new_dist").alias("dist")).localCheckpoint(
+            eager=True
+        )
+        frontier = improved
+    return dist.select("node", F.round("dist", 6).alias("dist"))
+
+
 def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """Per-node triangle counts + local clustering coefficient over the
     undirected simple graph of ``edges`` → (node, degree, triangles,

@@ -122,3 +122,80 @@ def test_triangle_stats_star_hub_is_triangle_free_and_cheap(spark):
     assert out.filter("triangles > 0").count() == 0
     hub = out.filter("node = 'hub'").first()
     assert hub["degree"] == 40 and hub["clustering_coeff"] == 0.0
+
+
+def test_k_core_peels_periphery(spark):
+    """Triangle a-b-c plus pendant chain c-d-e: the 2-core is exactly the
+    triangle (synchronous peel: round 1 drops e (deg 1), round 2 drops d —
+    its degree WITHIN the survivors fell to 1). Duplicate and reversed
+    edges must not inflate degrees."""
+    from coco_search_spark.operators.graph import k_core
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e"),
+         ("b", "a"), ("c", "d")],  # reversed dup + exact dup
+        "src string, dst string",
+    )
+    got = {(r["node"], r["core_degree"]) for r in k_core(e, k=2).collect()}
+    assert got == {("a", 2), ("b", 2), ("c", 2)}
+    # 3-core of a triangle is empty; 3-core of K4 is everything at degree 3
+    assert k_core(e, k=3).count() == 0
+    k4 = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")],
+        "src string, dst string",
+    )
+    got4 = {(r["node"], r["core_degree"]) for r in k_core(k4, k=3).collect()}
+    assert got4 == {("a", 3), ("b", 3), ("c", 3), ("d", 3)}
+
+
+def test_adamic_adar_known_scores(spark):
+    """Two shared hubs x,y between a,b → score 2/ln 2; single hub z shared
+    by u,v,w → 1/ln 3 per pair; the EXISTING edge u-v must be excluded."""
+    import math
+
+    from coco_search_spark.operators.graph import adamic_adar
+
+    e = spark.createDataFrame(
+        [("x", "a"), ("x", "b"), ("y", "a"), ("y", "b"),
+         ("z", "u"), ("z", "v"), ("z", "w"), ("u", "v")],
+        "src string, dst string",
+    )
+    got = {(r["node_u"], r["node_v"]): r["aa_score"] for r in adamic_adar(e).collect()}
+    # a and b also act as shared neighbors FOR the pair (x, y)
+    assert got == {
+        ("a", "b"): round(2 / math.log(2), 6),
+        ("x", "y"): round(2 / math.log(2), 6),
+        ("u", "w"): round(1 / math.log(3), 6),
+        ("v", "w"): round(1 / math.log(3), 6),
+    }
+    # capping at hub degree 2 drops the z bucket (deg 3), keeping x/y/a/b
+    capped = {
+        (r["node_u"], r["node_v"])
+        for r in adamic_adar(e, max_hub_degree=2).collect()
+    }
+    assert capped == {("a", "b"), ("x", "y")}
+    # top-k tie-break: equal rounded scores order by (node_u, node_v)
+    top = adamic_adar(e, top_k=1).collect()
+    assert [(r["node_u"], r["node_v"]) for r in top] == [("a", "b")]
+
+
+def test_shortest_paths_prefers_cheap_long_path(spark):
+    """a→b direct costs 5 but a→c→b costs 2: the weighted min must take the
+    longer-hop path; a parallel a→c edge at weight 7 must collapse to the
+    min. Hop cap 1 falls back to the direct edge."""
+    from coco_search_spark.operators.graph import shortest_paths
+
+    e = spark.createDataFrame(
+        [("a", "b", 5.0), ("a", "c", 1.0), ("a", "c", 7.0),
+         ("c", "b", 1.0), ("b", "d", 1.0)],
+        "src string, dst string, w double",
+    )
+    roots = spark.createDataFrame([("a",)], "node string")
+    got = {(r["node"], r["dist"]) for r in shortest_paths(e, roots).collect()}
+    assert got == {("a", 0.0), ("c", 1.0), ("b", 2.0), ("d", 3.0)}
+    capped = {(r["node"], r["dist"]) for r in shortest_paths(e, roots, max_hops=1).collect()}
+    assert capped == {("a", 0.0), ("b", 5.0), ("c", 1.0)}
+    # multi-root: the min over roots wins per node
+    roots2 = spark.createDataFrame([("a",), ("b",)], "node string")
+    got2 = {(r["node"], r["dist"]) for r in shortest_paths(e, roots2).collect()}
+    assert got2 == {("a", 0.0), ("b", 0.0), ("c", 1.0), ("d", 1.0)}
