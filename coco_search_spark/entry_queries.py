@@ -3347,6 +3347,45 @@ SELECT node, ROUND(MIN(dist), 6) AS dist FROM walk GROUP BY node ORDER BY node
 """
 
 
+def q_graph_label_prop(spark, sf_dir):
+    """Synchronous label-propagation communities (beyond the reference's
+    surface): after exactly 4 rounds of every node simultaneously adopting
+    its neighbors' most frequent label (ties → smallest label), over the
+    part-co-occurrence graph. Each round is a pure function of the previous
+    labeling, so the oracle unrolls the identical rounds — parity holds
+    regardless of convergence (both engines oscillate identically if the
+    graph asks them to; the round count is declared semantics)."""
+    from coco_search_spark.operators.graph import label_propagation
+
+    load_views(spark, sf_dir)
+    return label_propagation(_cooccur_pairs(spark), rounds=4).orderBy("node")
+
+
+def _label_prop_oracle(rounds: int = 4) -> str:
+    # AS MATERIALIZED for the same reason as the k-core oracle: DuckDB
+    # inlines plain CTEs, and unrolled rounds would re-open the scan per use
+    parts = [
+        f"""
+WITH e AS MATERIALIZED ({_COOCCUR_PAIRS_SQL}),
+adj AS MATERIALIZED (SELECT a AS n, b AS m FROM e UNION ALL SELECT b, a FROM e),
+l0 AS MATERIALIZED (SELECT DISTINCT n, n AS label FROM adj)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+c{i} AS MATERIALIZED (SELECT adj.n, l.label, COUNT(*) AS cnt
+         FROM adj JOIN l{i - 1} l ON adj.m = l.n GROUP BY adj.n, l.label),
+l{i} AS MATERIALIZED (SELECT n, label FROM (
+         SELECT n, label,
+                ROW_NUMBER() OVER (PARTITION BY n ORDER BY cnt DESC, label ASC) AS rn
+         FROM c{i}) WHERE rn = 1)"""
+        )
+    parts.append(f"""
+SELECT n AS node, label FROM l{rounds} ORDER BY node
+""")
+    return "".join(parts)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- ORDER POLICY (round 4, rotation added round 5): the driver's
     # correctness gate checks the FIRST 50 entries, so the registry is
@@ -3364,6 +3403,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_kcore": q_graph_kcore,
     "graph_adamic_adar": q_graph_adamic_adar,
     "graph_shortest_paths": q_graph_shortest_paths,
+    "graph_label_prop": q_graph_label_prop,
     "kg_vocab_delta": q_kg_vocab_delta,
     "kg_edge_delta": q_kg_edge_delta,
     "kg_scan_prune": q_kg_scan_prune,
@@ -3445,6 +3485,7 @@ ORACLES: dict[str, str] = {
     "graph_kcore": _kcore_oracle(),
     "graph_adamic_adar": _adamic_adar_oracle(),
     "graph_shortest_paths": ORACLE_SHORTEST_PATHS,
+    "graph_label_prop": _label_prop_oracle(),
     "kg_vocab_delta": _vocab_delta_oracle(),
     "kg_edge_delta": _edge_delta_oracle(),
     "kg_scan_prune": _scan_prune_oracle(),

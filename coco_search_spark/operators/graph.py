@@ -471,6 +471,69 @@ def shortest_paths(
     return dist.select("node", F.round("dist", 6).alias("dist"))
 
 
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Community detection by synchronous label propagation over the
+    undirected simple graph of ``edges``: every node starts labeled with
+    its own id; each round, EVERY node simultaneously adopts the most
+    frequent label among its neighbors (ties → smallest label). Returns
+    (node, label) after exactly ``rounds`` rounds.
+
+    Beyond the reference's graph surface (like PageRank / k-core):
+    communities group co-referenced entities into topics — the KG-level
+    clustering the canonicalizer's surface-level CC deliberately does not
+    do.
+
+    Determinism and parity: asynchronous LPA is order-dependent (the
+    classic objection), so this is the SYNCHRONOUS variant with a total
+    tie-break (count desc, label asc) and a FIXED round count — every
+    round is a pure function of the previous labeling, so the DuckDB
+    oracle unrolls the identical rounds and the states match row-for-row
+    regardless of convergence or the bipartite oscillation sync LPA
+    permits (both engines oscillate identically; ``rounds`` is declared
+    semantics, not a convergence knob).
+
+    Scale: per round, one equi-join labels ⋈ adjacency (keyed on node id,
+    fan-out = degree) + one map-side-combined count + one min(struct)
+    arg-max — no windows, no fan-out beyond adjacency; labels are
+    localCheckpointed per round (flat plans, same rule as the BFS loops).
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)  # re-joined every round
+    )
+    adj = e.select(F.col("a").alias("n"), F.col("b").alias("m")).unionByName(
+        e.select(F.col("b").alias("n"), F.col("a").alias("m"))
+    )
+    labels = (
+        adj.select("n").distinct().select("n", F.col("n").alias("label"))
+    ).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        cnt = (
+            adj.join(labels.select(F.col("n").alias("m"), "label"), "m")
+            .groupBy("n", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        # arg-max via one aggregate: min over (-count, label) structs picks
+        # the highest count, then the smallest label — no window shuffle
+        labels = (
+            cnt.groupBy("n")
+            .agg(F.min(F.struct((-F.col("cnt")).alias("nc"), "label")).alias("t"))
+            .select("n", F.col("t.label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    return labels.select(F.col("n").alias("node"), "label")
+
+
 def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """Per-node triangle counts + local clustering coefficient over the
     undirected simple graph of ``edges`` → (node, degree, triangles,

@@ -199,3 +199,30 @@ def test_shortest_paths_prefers_cheap_long_path(spark):
     roots2 = spark.createDataFrame([("a",), ("b",)], "node string")
     got2 = {(r["node"], r["dist"]) for r in shortest_paths(e, roots2).collect()}
     assert got2 == {("a", 0.0), ("b", 0.0), ("c", 1.0), ("d", 1.0)}
+
+
+def test_label_propagation_two_triangles_bridge(spark):
+    """Two triangles a-b-c and x-y-z joined by bridge c-x: 4 synchronous
+    rounds settle on two communities (label a / label c — hand-traced round
+    by round, incl. the round-2 tie y:{c,x}→c via the smallest-label rule).
+    A duplicate reversed edge must not inflate neighbor label counts."""
+    from coco_search_spark.operators.graph import label_propagation
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"),
+         ("x", "y"), ("y", "z"), ("z", "x"),
+         ("c", "x"), ("b", "a")],  # reversed dup
+        "src string, dst string",
+    )
+    got = {(r["node"], r["label"]) for r in label_propagation(e, rounds=4).collect()}
+    assert got == {
+        ("a", "a"), ("b", "a"), ("c", "a"),
+        ("x", "c"), ("y", "c"), ("z", "c"),
+    }
+    # round 1 from identity labels: every node takes its smallest neighbor
+    # id (all neighbor labels are distinct, so the tie-break decides)
+    r1 = {(r["node"], r["label"]) for r in label_propagation(e, rounds=1).collect()}
+    assert r1 == {
+        ("a", "b"), ("b", "a"), ("c", "a"),
+        ("x", "c"), ("y", "x"), ("z", "x"),
+    }
