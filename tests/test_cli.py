@@ -174,6 +174,39 @@ def test_cli_extended_verbs(spark, tmp_path):
     assert not r["ok"]
 
 
+def test_cli_graph_analytics_modes(spark, tmp_path):
+    """graph pagerank / communities / kcore / suggest — the whole-graph
+    analytics front over the materialized edge table; tree/impact without
+    roots must fail loudly instead of walking an empty frontier."""
+    corpus = str(tmp_path / "t.parquet")
+    _write_corpus(corpus)
+    out_dir, state = str(tmp_path / "o"), str(tmp_path / "s")
+    coco_main(["index", corpus, "--out", out_dir, "--state", state], spark=spark)
+
+    r = coco_main(["graph", "pagerank", "--state", state, "--top", "5"], spark=spark)
+    assert r["ok"] and r["n"] >= 1
+    ranks = [row["rank"] for row in r["rows"]]
+    assert ranks == sorted(ranks, reverse=True) and all(x > 0 for x in ranks)
+
+    r = coco_main(["graph", "communities", "--state", state], spark=spark)
+    assert r["ok"] and r["n"] >= 1
+    assert all(row["size"] >= 1 and row["label"] for row in r["rows"])
+
+    # k=1 core = every non-isolated node; a huge k is a valid empty result
+    r = coco_main(["graph", "kcore", "--state", state, "-k", "1"], spark=spark)
+    assert r["ok"] and r["n"] >= 1
+    assert all(row["core_degree"] >= 1 for row in r["rows"])
+    r = coco_main(["graph", "kcore", "--state", state, "-k", "99"], spark=spark)
+    assert r["ok"] and r["n"] == 0
+
+    r = coco_main(["graph", "suggest", "--state", state], spark=spark)
+    assert r["ok"]  # tiny fixture graphs may have no non-adjacent pairs
+    assert all(row["node_u"] < row["node_v"] for row in r["rows"])
+
+    r = coco_main(["graph", "tree", "--state", state], spark=spark)
+    assert not r["ok"] and "root" in r["error"]
+
+
 def test_cli_info_and_init_no_jvm(tmp_path):
     """info / init are pure-driver verbs (reference: cli.py:2986 languages,
     :2999 grammars, :3037 init) — they must work with NO SparkSession, and

@@ -9,6 +9,8 @@ delete-analog) fronted over the library surface:
   list    --state DIR [--limit N] — indexed conversations
   stats   --state DIR
   graph   tree|impact ROOT... --state DIR [--reverse] [--depth N]
+  graph   pagerank|communities|kcore|suggest --state DIR [--top N]
+          [--rounds R] [-k K] [--max-hub D] — whole-graph analytics
   config  PATH [--check] — resolved EngineConfig + identity hash
   info    — engine capabilities: grammar, predicates, block types, defaults
   init    PATH [--force] — write a starter config file
@@ -126,22 +128,59 @@ def _cmd_list(args, spark) -> dict:
 
 
 def _cmd_graph(args, spark) -> dict:
-    """Dependency-graph queries over the materialized edge table
-    (reference: cli.py:3221-3263 deps tree / deps impact)."""
-    from coco_search_spark.operators.graph import blast_radius, transitive_tree
+    """Dependency-graph queries + whole-graph analytics over the
+    materialized edge table (reference: cli.py:3221-3263 deps tree / deps
+    impact; the analytics modes expose the beyond-reference suite)."""
+    from pyspark.sql import functions as F
+
+    from coco_search_spark.operators.graph import (
+        adamic_adar,
+        blast_radius,
+        k_core,
+        label_propagation,
+        pagerank,
+        transitive_tree,
+    )
     from coco_search_spark.state import StateStore
 
     edges = StateStore(args.state).read_table(spark, "edges")
-    roots = spark.createDataFrame([(r,) for r in args.roots], "node string")
-    if args.mode == "tree":
-        df = transitive_tree(
-            edges,
-            roots,
-            direction="reverse" if args.reverse else "forward",
-            max_depth=args.depth,
-        ).orderBy("depth", "node")
+    if args.mode in ("tree", "impact"):
+        if not args.roots:
+            return {"ok": False, "error": f"graph {args.mode} requires root ids"}
+        roots = spark.createDataFrame([(r,) for r in args.roots], "node string")
+        if args.mode == "tree":
+            df = transitive_tree(
+                edges,
+                roots,
+                direction="reverse" if args.reverse else "forward",
+                max_depth=args.depth,
+            ).orderBy("depth", "node")
+        else:
+            df = blast_radius(edges, roots, max_depth=args.depth).orderBy("root")
+    elif args.mode == "pagerank":
+        df = pagerank(edges).orderBy(F.desc("rank"), "node").limit(args.top)
     else:
-        df = blast_radius(edges, roots, max_depth=args.depth).orderBy("root")
+        # the undirected analytics ignore unresolved (null-object) edges
+        und = edges.filter(F.col("obj_id").isNotNull())
+        if args.mode == "kcore":
+            df = (
+                k_core(und, k=args.k, src="subj_id", dst="obj_id")
+                .orderBy(F.desc("core_degree"), "node")
+                .limit(args.top)
+            )
+        elif args.mode == "communities":
+            df = (
+                label_propagation(und, rounds=args.rounds, src="subj_id", dst="obj_id")
+                .groupBy("label")
+                .agg(F.count(F.lit(1)).alias("size"))
+                .orderBy(F.desc("size"), "label")
+                .limit(args.top)
+            )
+        else:  # suggest: Adamic-Adar candidate links
+            df = adamic_adar(
+                und, top_k=args.top, max_hub_degree=args.max_hub,
+                src="subj_id", dst="obj_id",
+            )
     rows = [r.asDict() for r in df.collect()]
     return {"ok": True, "mode": args.mode, "n": len(rows), "rows": rows}
 
@@ -315,12 +354,23 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
     pl.add_argument("--state", required=True)
     pl.add_argument("--limit", type=int, default=100)
 
-    pg = sub.add_parser("graph", help="dependency tree / impact over the edge table")
-    pg.add_argument("mode", choices=("tree", "impact"))
-    pg.add_argument("roots", nargs="+", help="root entity id(s)")
+    pg = sub.add_parser(
+        "graph", help="dependency tree / impact + whole-graph analytics"
+    )
+    pg.add_argument(
+        "mode", choices=("tree", "impact", "pagerank", "communities", "kcore", "suggest")
+    )
+    pg.add_argument("roots", nargs="*", help="root entity id(s) (tree/impact only)")
     pg.add_argument("--state", required=True)
     pg.add_argument("--reverse", action="store_true", help="walk edges backwards (tree)")
     pg.add_argument("--depth", type=int, default=20)
+    pg.add_argument("--top", type=int, default=20, help="rows returned (analytics)")
+    pg.add_argument("-k", type=int, default=2, help="kcore: minimum core degree")
+    pg.add_argument("--rounds", type=int, default=4, help="communities: LPA rounds")
+    pg.add_argument(
+        "--max-hub", type=int, default=1000, dest="max_hub",
+        help="suggest: drop shared-neighbor buckets above this degree",
+    )
 
     pc = sub.add_parser("config", help="resolved EngineConfig + identity hash")
     pc.add_argument("path", nargs="?", default=None, help="JSON/YAML config file")
