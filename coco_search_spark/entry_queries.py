@@ -3044,6 +3044,134 @@ r{i + 1} AS (
     return "".join(parts)
 
 
+def q_graph_ppr(spark, sf_dir):
+    """Personalized PageRank (beyond the reference's surface, round 5):
+    rank mass teleports to a ROOT SET instead of uniformly — the "entities
+    related to X" graph-recommendation query. Run over the symmetrized
+    part-co-occurrence graph with roots = the two lexicographically
+    smallest nodes (deterministic, engine-portable root choice). The
+    oracle unrolls the identical iterations (teleport vector, dangling
+    term — zero here since symmetrization leaves no sinks, but replayed
+    anyway); 6 dp rounding only at the end, same float policy as
+    graph_pagerank."""
+    from coco_search_spark.operators.graph import personalized_pagerank
+
+    load_views(spark, sf_dir)
+    pairs = _cooccur_pairs(spark)
+    sym = pairs.select(
+        F.col("src").alias("subj_id"), F.col("dst").alias("obj_id")
+    ).unionByName(
+        pairs.select(F.col("dst").alias("subj_id"), F.col("src").alias("obj_id"))
+    )
+    roots = (
+        sym.select(F.col("subj_id").alias("node")).distinct().orderBy("node").limit(2)
+    )
+    return personalized_pagerank(sym, roots, n_iters=3, damping=0.85).orderBy("node")
+
+
+def _ppr_oracle(n_iters: int = 3, damping: float = 0.85) -> str:
+    d = f"CAST({damping} AS DOUBLE)"
+    parts = [
+        f"""
+WITH p0 AS MATERIALIZED ({_COOCCUR_PAIRS_SQL}),
+e AS MATERIALIZED (SELECT a AS s, b AS o FROM p0 UNION ALL SELECT b AS s, a AS o FROM p0),
+nodes AS MATERIALIZED (SELECT DISTINCT s AS node FROM e),
+rt AS MATERIALIZED (SELECT node FROM nodes ORDER BY node LIMIT 2),
+nr AS (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM rt),
+od AS MATERIALIZED (SELECT s, CAST(COUNT(*) AS DOUBLE) AS deg FROM e GROUP BY s),
+pv AS MATERIALIZED (
+  SELECT n.node,
+         CASE WHEN n.node IN (SELECT node FROM rt)
+              THEN CAST(1.0 AS DOUBLE) / nr.c ELSE CAST(0 AS DOUBLE) END AS p
+  FROM nodes n CROSS JOIN nr
+),
+r0 AS (SELECT node, p AS r FROM pv)"""
+    ]
+    for i in range(n_iters):
+        parts.append(
+            f""",
+c{i} AS MATERIALIZED (
+  SELECT e.o AS node, SUM(r{i}.r / od.deg) AS inflow
+  FROM e JOIN r{i} ON r{i}.node = e.s JOIN od ON od.s = e.s
+  GROUP BY e.o
+),
+d{i} AS (
+  SELECT COALESCE(SUM(r), CAST(0 AS DOUBLE)) AS dm
+  FROM r{i} WHERE node NOT IN (SELECT s FROM od)
+),
+r{i + 1} AS MATERIALIZED (
+  SELECT pv.node,
+         (CAST(1.0 AS DOUBLE) - {d}) * pv.p
+           + {d} * (COALESCE(c{i}.inflow, CAST(0 AS DOUBLE)) + d{i}.dm * pv.p) AS r
+  FROM pv CROSS JOIN d{i} LEFT JOIN c{i} ON c{i}.node = pv.node
+)"""
+        )
+    parts.append(
+        f"\nSELECT node, ROUND(r, 6) AS rank FROM r{n_iters} ORDER BY node\n"
+    )
+    return "".join(parts)
+
+
+def q_graph_hits(spark, sf_dir):
+    """HITS hubs-and-authorities (beyond the reference's surface, round 5)
+    over the directed containment graph — authorities are entities many
+    good hubs point at (nations, regions), hubs point at good authorities
+    (suppliers, nations); plain PageRank conflates the two roles. Fixed
+    synchronous rounds with L1 normalization (plain SUMs, no sqrt — the
+    scale-free scores only change reported scale), the oracle unrolls the
+    identical rounds; 6 dp at the end."""
+    from coco_search_spark.operators.graph import hits
+
+    load_views(spark, sf_dir)
+    return hits(_containment_edges(spark), n_iters=3).orderBy("node")
+
+
+def _hits_oracle(n_iters: int = 3) -> str:
+    parts = [
+        """
+WITH edges AS MATERIALIZED (
+  SELECT 's-' || s_suppkey AS s, 'n-' || s_nationkey AS o FROM supplier
+  UNION ALL
+  SELECT 'n-' || n_nationkey, 'r-' || n_regionkey FROM nation
+),
+nodes AS MATERIALIZED (
+  SELECT DISTINCT s AS node FROM edges UNION SELECT DISTINCT o FROM edges
+),
+h0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS h FROM nodes)"""
+    ]
+    for i in range(n_iters):
+        parts.append(
+            f""",
+ar{i} AS MATERIALIZED (
+  SELECT e.o AS node, SUM(h{i}.h) AS a
+  FROM edges e JOIN h{i} ON h{i}.node = e.s GROUP BY e.o
+),
+at{i} AS (SELECT COALESCE(SUM(a), CAST(1.0 AS DOUBLE)) AS t FROM ar{i}),
+a{i + 1} AS MATERIALIZED (
+  SELECT n.node, COALESCE(ar{i}.a, CAST(0 AS DOUBLE)) / at{i}.t AS a
+  FROM nodes n CROSS JOIN at{i} LEFT JOIN ar{i} ON ar{i}.node = n.node
+),
+hr{i} AS MATERIALIZED (
+  SELECT e.s AS node, SUM(a{i + 1}.a) AS h
+  FROM edges e JOIN a{i + 1} ON a{i + 1}.node = e.o GROUP BY e.s
+),
+ht{i} AS (SELECT COALESCE(SUM(h), CAST(1.0 AS DOUBLE)) AS t FROM hr{i}),
+h{i + 1} AS MATERIALIZED (
+  SELECT n.node, COALESCE(hr{i}.h, CAST(0 AS DOUBLE)) / ht{i}.t AS h
+  FROM nodes n CROSS JOIN ht{i} LEFT JOIN hr{i} ON hr{i}.node = n.node
+)"""
+        )
+    parts.append(
+        f"""
+SELECT h{n_iters}.node, ROUND(h{n_iters}.h, 6) AS hub,
+       ROUND(a{n_iters}.a, 6) AS authority
+FROM h{n_iters} JOIN a{n_iters} ON a{n_iters}.node = h{n_iters}.node
+ORDER BY h{n_iters}.node
+"""
+    )
+    return "".join(parts)
+
+
 def q_graph_stats(spark, sf_dir):
     """Management-stats analog (reference: src/cocosearch/management/stats.py
     — its most heavily tested surface, tests/unit/management/test_stats.py
@@ -3400,6 +3528,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Round 5 also RETIRED two redundant relational demos per the verdict
     # (pricing_summary ⊂ rollup_revenue, event_neighbors ⊂ kg_turn_window).
     # --- (1a) new / changed this round -----------------------------------
+    "graph_ppr": q_graph_ppr,
+    "graph_hits": q_graph_hits,
     "graph_kcore": q_graph_kcore,
     "graph_adamic_adar": q_graph_adamic_adar,
     "graph_shortest_paths": q_graph_shortest_paths,
@@ -3482,6 +3612,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 _PORTABLE_HASH = "CAST(('0x' || substr(md5({e}), 1, 15)) AS BIGINT)"
 
 ORACLES: dict[str, str] = {
+    "graph_ppr": _ppr_oracle(),
+    "graph_hits": _hits_oracle(),
     "graph_kcore": _kcore_oracle(),
     "graph_adamic_adar": _adamic_adar_oracle(),
     "graph_shortest_paths": ORACLE_SHORTEST_PATHS,

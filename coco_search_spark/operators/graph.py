@@ -244,6 +244,176 @@ def pagerank(
     return ranks.select("node", F.round("rank", 6).alias("rank"))
 
 
+def personalized_pagerank(
+    edges: DataFrame,
+    roots: DataFrame,
+    n_iters: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Personalized PageRank over edges(subj_id, obj_id): PageRank whose
+    teleport vector is concentrated on ``roots`` (one column ``node``)
+    instead of uniform —
+
+        rank = (1-d)·p + d·(Σ incoming rank/deg + dangling_mass·p),
+        p(v) = 1/|roots| for root nodes, 0 elsewhere
+
+    — so rank mass measures proximity to the root set: the standard
+    "entities related to X" / graph-recommendation query over the KG
+    (beyond the reference's graph surface, like PageRank / k-core).
+    Dangling mass returns to the roots (the personalized formulation),
+    keeping Σrank = 1.0 every iteration.
+
+    Same determinism/scale contract as :func:`pagerank`: a FIXED number of
+    unrolled power iterations (each a pure function of the previous state,
+    so the DuckDB oracle replays them identically), per-iteration
+    localCheckpoint, scalar dangling aggregate broadcast as a 1-row frame,
+    6 dp rounding only at the END. Per iteration: one equi-join on node id
+    + one map-side-combined sum — the classic PR shape, no fan-out beyond
+    out-degree. Roots outside the graph still seed mass (they join the
+    node set); rank0 = p, the standard personalized start."""
+    e = edges.select("subj_id", "obj_id").filter(
+        F.col("subj_id").isNotNull() & F.col("obj_id").isNotNull()
+    )
+    r = roots.select("node").distinct().localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("subj_id").alias("node"))
+        .unionByName(e.select(F.col("obj_id").alias("node")))
+        .unionByName(r)
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_roots = r.agg(F.count(F.lit(1)).alias("_nr"))
+    out_deg = e.groupBy("subj_id").agg(F.count(F.lit(1)).alias("deg"))
+    dangling = nodes.join(
+        out_deg.select(F.col("subj_id").alias("node")), "node", "left_anti"
+    ).localCheckpoint(eager=True)
+    # teleport vector: iteration-invariant, vocabulary-sized
+    pvec = (
+        nodes.join(r.withColumn("_isroot", F.lit(True)), "node", "left")
+        .crossJoin(F.broadcast(n_roots))
+        .select(
+            "node",
+            F.when(F.col("_isroot"), 1.0 / F.col("_nr"))
+            .otherwise(F.lit(0.0))
+            .alias("p"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    ranks = pvec.select("node", F.col("p").alias("rank"))
+    for _ in range(n_iters):
+        contrib = (
+            e.join(ranks, e.subj_id == ranks.node)
+            .join(out_deg, "subj_id")
+            .select(
+                F.col("obj_id").alias("node"),
+                (F.col("rank") / F.col("deg")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        dang = ranks.join(dangling, "node", "left_semi").agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm")
+        )
+        ranks = (
+            pvec.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node",
+                (
+                    (1.0 - damping) * F.col("p")
+                    + damping
+                    * (
+                        F.coalesce(F.col("inflow"), F.lit(0.0))
+                        + F.col("_dm") * F.col("p")
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+def hits(
+    edges: DataFrame,
+    n_iters: int = 3,
+) -> DataFrame:
+    """HITS hubs-and-authorities over edges(subj_id, obj_id) → (node, hub,
+    authority). Beyond the reference's graph surface (like PageRank): the
+    two-sided centrality for directed KGs — authorities are entities many
+    good hubs point AT, hubs are entities pointing at many good
+    authorities (containment graphs and citation-like predicates are
+    exactly this shape; plain PageRank conflates the two roles).
+
+    Deterministic synchronous iteration with L1 normalization: hub0 = 1
+    for every node; each round auth(v) = Σ_{u→v} hub(u) then auth /= Σauth,
+    hub(u) = Σ_{u→v} auth(v) then hub /= Σhub. Scores are scale-free, so
+    the normalization choice (L1 here vs the textbook L2) only picks the
+    reported scale — L1 keeps both engines on plain SUMs with no sqrt and
+    makes each side sum to 1.0. A FIXED round count, every round a pure
+    function of the previous state → the DuckDB oracle unrolls identical
+    rounds; 6 dp rounding only at the END (float addition order differs at
+    ~1e-15 between engines).
+
+    Scale: per half-round one equi-join on node id + one map-side-combined
+    sum + one scalar normalizer broadcast as a 1-row frame — the PR shape;
+    scores are localCheckpointed per round so plans stay flat."""
+    e = (
+        edges.select("subj_id", "obj_id")
+        .filter(F.col("subj_id").isNotNull() & F.col("obj_id").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)  # re-joined twice per round
+    )
+    nodes = (
+        e.select(F.col("subj_id").alias("node"))
+        .unionByName(e.select(F.col("obj_id").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    hub = nodes.select("node", F.lit(1.0).alias("hub"))
+    auth = None
+    for _ in range(n_iters):
+        a_raw = (
+            e.join(hub.withColumnRenamed("node", "subj_id"), "subj_id")
+            .groupBy(F.col("obj_id").alias("node"))
+            .agg(F.sum("hub").alias("a"))
+        )
+        a_tot = a_raw.agg(F.coalesce(F.sum("a"), F.lit(1.0)).alias("_ta"))
+        auth = (
+            nodes.join(a_raw, "node", "left")
+            .crossJoin(F.broadcast(a_tot))
+            .select(
+                "node",
+                (F.coalesce(F.col("a"), F.lit(0.0)) / F.col("_ta")).alias("authority"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        h_raw = (
+            e.join(
+                auth.select(F.col("node").alias("obj_id"), "authority"), "obj_id"
+            )
+            .groupBy(F.col("subj_id").alias("node"))
+            .agg(F.sum("authority").alias("h"))
+        )
+        h_tot = h_raw.agg(F.coalesce(F.sum("h"), F.lit(1.0)).alias("_th"))
+        hub = (
+            nodes.join(h_raw, "node", "left")
+            .crossJoin(F.broadcast(h_tot))
+            .select(
+                "node",
+                (F.coalesce(F.col("h"), F.lit(0.0)) / F.col("_th")).alias("hub"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        hub.join(auth, "node")
+        .select(
+            "node",
+            F.round("hub", 6).alias("hub"),
+            F.round("authority", 6).alias("authority"),
+        )
+    )
+
+
 def k_core(
     edges: DataFrame,
     k: int = 2,

@@ -203,7 +203,29 @@ def test_cli_graph_analytics_modes(spark, tmp_path):
     assert r["ok"]  # tiny fixture graphs may have no non-adjacent pairs
     assert all(row["node_u"] < row["node_v"] for row in r["rows"])
 
+    # related: personalized PageRank from a real edge subject — the root
+    # itself is excluded (it is the query), everything returned scored > 0
+    from coco_search_spark.state import StateStore
+
+    root = (
+        StateStore(state)
+        .read_table(spark, "edges")
+        .select("subj_id")
+        .orderBy("subj_id")
+        .first()["subj_id"]
+    )
+    r = coco_main(["graph", "related", root, "--state", state], spark=spark)
+    assert r["ok"] and r["n"] >= 1
+    assert all(row["node"] != root and row["rank"] > 0 for row in r["rows"])
+
+    r = coco_main(["graph", "hits", "--state", state, "--top", "5"], spark=spark)
+    assert r["ok"] and r["n"] >= 1
+    auths = [row["authority"] for row in r["rows"]]
+    assert auths == sorted(auths, reverse=True)
+
     r = coco_main(["graph", "tree", "--state", state], spark=spark)
+    assert not r["ok"] and "root" in r["error"]
+    r = coco_main(["graph", "related", "--state", state], spark=spark)
     assert not r["ok"] and "root" in r["error"]
 
 

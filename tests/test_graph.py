@@ -226,3 +226,85 @@ def test_label_propagation_two_triangles_bridge(spark):
         ("a", "b"), ("b", "a"), ("c", "a"),
         ("x", "c"), ("y", "x"), ("z", "x"),
     }
+
+
+def test_personalized_pagerank_matches_numpy(spark):
+    """3-iteration PPR on a→b→c with roots={a}: checked against an
+    explicit numpy-style iteration of the personalized update (teleport
+    AND dangling mass both return to the root), plus Σrank = 1 and
+    partition invariance. Node c is a sink, so the dangling term is
+    exercised; a non-root node with no inflow must hold rank 0."""
+    from coco_search_spark.operators.graph import personalized_pagerank
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c")], "subj_id string, obj_id string"
+    )
+    roots = spark.createDataFrame([("a",)], "node string")
+    got = {r["node"]: r["rank"] for r in personalized_pagerank(e, roots, n_iters=3).collect()}
+
+    nodes = ["a", "b", "c"]
+    deg = {"a": 2, "b": 1}
+    p = {"a": 1.0, "b": 0.0, "c": 0.0}
+    r = dict(p)
+    for _ in range(3):
+        inflow = {n: 0.0 for n in nodes}
+        for s, o in [("a", "b"), ("b", "c"), ("a", "c")]:
+            inflow[o] += r[s] / deg[s]
+        dm = sum(r[n] for n in nodes if n not in deg)
+        r = {n: 0.15 * p[n] + 0.85 * (inflow[n] + dm * p[n]) for n in nodes}
+    for n in nodes:
+        assert abs(got[n] - r[n]) <= 5.000001e-7, (n, got[n], r[n])
+    assert abs(sum(got.values()) - 1.0) <= 3e-6
+    # the root holds strictly more rank than anything it doesn't feed twice
+    assert got["a"] > got["b"]
+    got2 = {
+        r2["node"]: r2["rank"]
+        for r2 in personalized_pagerank(e.repartition(7), roots, n_iters=3).collect()
+    }
+    assert got2 == got
+    # a root disconnected from the graph still seeds mass (joins the node
+    # set); with ONLY disconnected roots everything else scores 0
+    lone = spark.createDataFrame([("q",)], "node string")
+    got3 = {r3["node"]: r3["rank"] for r3 in personalized_pagerank(e, lone, n_iters=2).collect()}
+    assert got3["q"] > 0.99  # teleport + dangling return everything to q
+    assert got3["a"] == 0.0 and got3["b"] == 0.0
+
+
+def test_hits_matches_numpy(spark):
+    """3-round HITS on the bipartite-ish graph a→x, b→x, b→y checked
+    against an explicit L1-normalized iteration: x (pointed at by both
+    hubs) must out-rank y as an authority, b (pointing at both
+    authorities) must out-rank a as a hub; pure sinks have hub 0, pure
+    sources authority 0. Partition invariance pins determinism."""
+    from coco_search_spark.operators.graph import hits
+
+    edges = [("a", "x"), ("b", "x"), ("b", "y")]
+    e = spark.createDataFrame(edges, "subj_id string, obj_id string")
+    got = {r["node"]: (r["hub"], r["authority"]) for r in hits(e, n_iters=3).collect()}
+
+    nodes = ["a", "b", "x", "y"]
+    h = {n: 1.0 for n in nodes}
+    a = {}
+    for _ in range(3):
+        a = {n: 0.0 for n in nodes}
+        for s, o in edges:
+            a[o] += h[s]
+        ta = sum(a.values()) or 1.0
+        a = {n: v / ta for n, v in a.items()}
+        h = {n: 0.0 for n in nodes}
+        for s, o in edges:
+            h[s] += a[o]
+        th = sum(h.values()) or 1.0
+        h = {n: v / th for n, v in h.items()}
+    for n in nodes:
+        assert abs(got[n][0] - h[n]) <= 5.000001e-7, (n, got[n], h[n])
+        assert abs(got[n][1] - a[n]) <= 5.000001e-7, (n, got[n], a[n])
+    assert got["b"][0] > got["a"][0]  # b points at both authorities
+    assert got["x"][1] > got["y"][1]  # x is pointed at by both hubs
+    assert got["x"][0] == 0.0 and got["y"][0] == 0.0  # sinks: no hub mass
+    assert got["a"][1] == 0.0 and got["b"][1] == 0.0  # sources: no authority
+    got2 = {
+        r2["node"]: (r2["hub"], r2["authority"])
+        for r2 in hits(e.repartition(5), n_iters=3).collect()
+    }
+    assert got2 == got

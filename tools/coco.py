@@ -9,7 +9,7 @@ delete-analog) fronted over the library surface:
   list    --state DIR [--limit N] — indexed conversations
   stats   --state DIR
   graph   tree|impact ROOT... --state DIR [--reverse] [--depth N]
-  graph   pagerank|communities|kcore|suggest --state DIR [--top N]
+  graph   pagerank|related|hits|communities|kcore|suggest --state DIR [--top N]
           [--rounds R] [-k K] [--max-hub D] — whole-graph analytics
   config  PATH [--check] — resolved EngineConfig + identity hash
   info    — engine capabilities: grammar, predicates, block types, defaults
@@ -159,6 +159,29 @@ def _cmd_graph(args, spark) -> dict:
             df = blast_radius(edges, roots, max_depth=args.depth).orderBy("root")
     elif args.mode == "pagerank":
         df = pagerank(edges).orderBy(F.desc("rank"), "node").limit(args.top)
+    elif args.mode == "related":
+        # personalized PageRank: rank mass teleports to the given roots —
+        # "entities related to X" over the KG
+        if not args.roots:
+            return {"ok": False, "error": "graph related requires root ids"}
+        from coco_search_spark.operators.graph import personalized_pagerank
+
+        roots = spark.createDataFrame([(r,) for r in args.roots], "node string")
+        df = (
+            personalized_pagerank(edges, roots)
+            .join(roots, "node", "left_anti")  # the roots themselves are given
+            .filter(F.col("rank") > 0)
+            .orderBy(F.desc("rank"), "node")
+            .limit(args.top)
+        )
+    elif args.mode == "hits":
+        from coco_search_spark.operators.graph import hits as _hits
+
+        df = (
+            _hits(edges)
+            .orderBy(F.desc("authority"), F.desc("hub"), "node")
+            .limit(args.top)
+        )
     else:
         # the undirected analytics ignore unresolved (null-object) edges
         und = edges.filter(F.col("obj_id").isNotNull())
@@ -358,9 +381,9 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
         "graph", help="dependency tree / impact + whole-graph analytics"
     )
     pg.add_argument(
-        "mode", choices=("tree", "impact", "pagerank", "communities", "kcore", "suggest")
+        "mode", choices=("tree", "impact", "pagerank", "related", "hits", "communities", "kcore", "suggest")
     )
-    pg.add_argument("roots", nargs="*", help="root entity id(s) (tree/impact only)")
+    pg.add_argument("roots", nargs="*", help="root entity id(s) (tree/impact/related)")
     pg.add_argument("--state", required=True)
     pg.add_argument("--reverse", action="store_true", help="walk edges backwards (tree)")
     pg.add_argument("--depth", type=int, default=20)
