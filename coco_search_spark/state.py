@@ -160,6 +160,52 @@ class StateStore:
     def _manifest_path(self) -> str:
         return os.path.join(self.path, "manifest.json")
 
+    def _archive_path(self, version: int) -> str:
+        return os.path.join(self.path, f"manifest_v{version:06d}.json")
+
+    @staticmethod
+    def _load_json(path: str) -> dict | None:
+        try:
+            with open(path) as f:
+                return json.load(f)
+        except (json.JSONDecodeError, OSError):
+            return None
+
+    def snapshots(self) -> list[dict]:
+        """Snapshot history, oldest first — the Iceberg snapshot-log analog
+        (reference twin: the per-commit tracking rows, flow.py:436-448).
+        Each ``commit`` archives its manifest as ``manifest_vNNNNNN.json``
+        next to the ``manifest.json`` pointer, so the chain of commits
+        stays enumerable (version, stage, committed_at, config provenance,
+        table parts) and any listed snapshot is time-travel readable via
+        ``read``/``read_table(version=)`` until ``vacuum`` expires it.
+        Archives with a version NEWER than the current pointer (a crash
+        between the archive write and the pointer swap) are ignored — the
+        same in-flight rule vacuum applies. Legacy stores (pre-archive
+        commits) list only the current snapshot."""
+        import glob
+
+        cur = self.last_snapshot()
+        if cur is None:
+            return []
+        out = []
+        for p in sorted(glob.glob(os.path.join(self.path, "manifest_v*.json"))):
+            snap = self._load_json(p)
+            if snap is not None and snap.get("version", 0) <= cur["version"]:
+                out.append(snap)
+        if not any(s.get("version") == cur["version"] for s in out):
+            out.append(cur)
+        return sorted(out, key=lambda s: s.get("version", 0))
+
+    def snapshot(self, version: int) -> dict | None:
+        """The manifest of a specific committed version: the current one,
+        or an archived (still unexpired) historical one; None when that
+        version was never committed or ``vacuum`` expired it."""
+        cur = self.last_snapshot()
+        if cur is not None and cur.get("version") == version:
+            return cur
+        return self._load_json(self._archive_path(version))
+
     def last_snapshot(self) -> dict | None:
         mp = self._manifest_path()
         if not os.path.exists(mp):
@@ -181,20 +227,34 @@ class StateStore:
             )
             return None
 
-    def read(self, spark: SparkSession) -> DataFrame:
-        snap = self.last_snapshot()
+    def _resolve_snapshot(self, version: int | None) -> dict | None:
+        """Current manifest, or — time travel — a specific archived one.
+        A requested version that is unknown or vacuum-expired raises
+        (silently reading the current state instead would be wrong)."""
+        if version is None:
+            return self.last_snapshot()
+        snap = self.snapshot(version)
+        if snap is None:
+            raise FileNotFoundError(
+                f"snapshot v{version} unknown or expired in {self.path}"
+            )
+        return snap
+
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        snap = self._resolve_snapshot(version)
         if snap is None:
             return spark.createDataFrame([], STATE_SCHEMA)
         # ensureSchema on read: snapshots from an older engine version gain
         # any newer columns as typed NULLs (schema_migration.py analog)
         return ensure_columns(spark.read.parquet(snap["data_path"]), STATE_SCHEMA)
 
-    def table_parts(self, kind: str) -> list[dict] | None:
+    def table_parts(self, kind: str, version: int | None = None) -> list[dict] | None:
         """Version-dir list for a delta-written table (``facts`` /
         ``chunks``): ``[{"path": ..., "version": int}, ...]``. Falls back
         to the legacy single-path manifest key as a one-element list; None
-        when the snapshot carries neither."""
-        snap = self.last_snapshot()
+        when the snapshot carries neither. ``version``: resolve against a
+        historical snapshot instead of the current one (time travel)."""
+        snap = self._resolve_snapshot(version)
         if snap is None:
             return None
         parts = snap.get(f"{kind}_parts")
@@ -206,7 +266,11 @@ class StateStore:
         return None
 
     def read_table(
-        self, spark: SparkSession, kind: str, conv_ids: list[str] | None = None
+        self,
+        spark: SparkSession,
+        kind: str,
+        conv_ids: list[str] | None = None,
+        version: int | None = None,
     ) -> DataFrame:
         """Resolve a delta-written table (``facts`` / ``chunks``) to its
         CURRENT full contents — the external-reader contract.
@@ -225,15 +289,23 @@ class StateStore:
         write_edges sorts within partitions by conv_id precisely to keep
         those stats tight. This is how a delta run fetches the replaced
         conversations' previous edges as an indexed read instead of an
-        O(all-edges) scan (the Iceberg metadata-pruned MERGE source analog)."""
-        parts = self.table_parts(kind)
+        O(all-edges) scan (the Iceberg metadata-pruned MERGE source analog).
+
+        ``version``: resolve the table AS OF a historical snapshot (time
+        travel) — pointer resolution runs against THAT snapshot's state
+        table and part list, so the result is exactly what read_table
+        returned when that snapshot was current; valid until ``vacuum``
+        expires the snapshot (the Iceberg expire_snapshots trade)."""
+        parts = self.table_parts(kind, version=version)
         if not parts:
             raise FileNotFoundError(f"snapshot carries no {kind} table")
         restrict = (
             F.col("conv_id").isin(conv_ids) if conv_ids is not None else F.lit(True)
         )
         pointer = POINTER_COLS.get(kind, "written_version")
-        versions = self.read(spark).select("conv_id", F.col(pointer).alias("_wv"))
+        versions = self.read(spark, version=version).select(
+            "conv_id", F.col(pointer).alias("_wv")
+        )
         if conv_ids is not None:
             versions = versions.filter(restrict)
         if len(parts) == 1:
@@ -278,11 +350,20 @@ class StateStore:
         (ADVICE r4: an in-flight run writes its part dirs BEFORE committing
         its manifest — deleting them would corrupt that run's snapshot);
         only dirs the manifest chain has provably superseded are removed.
-        Never touches the state directory itself, paths outside ``out_dir``,
-        or non-versioned sinks (nodes/quarantine; a legacy unversioned
+        Never touches paths outside ``out_dir``/the state dir, or
+        non-versioned sinks (nodes/quarantine; a legacy unversioned
         ``edges`` dir is removed only once the manifest carries versioned
         ``edges_parts`` that supersede it). Returns the deleted (or, with
-        ``dry_run``, deletable) paths."""
+        ``dry_run``, deletable) paths.
+
+        Snapshot expiry: vacuum also retires TIME TRAVEL to pre-current
+        snapshots — the out_dir parts they reference are being deleted, so
+        their archived manifests (``manifest_vNNNNNN.json``) and state data
+        dirs (``state_vNNNNNN``) older than the current version go with
+        them (exactly Iceberg's expire_snapshots trade: history reads are
+        valid until expiry, never silently wrong after it — ``snapshot()``
+        returns None once expired). The current snapshot's archive, data
+        and any in-flight (newer) versions are kept."""
         import re
         import shutil
 
@@ -321,9 +402,31 @@ class StateStore:
             full = os.path.realpath(os.path.join(out_dir, name))
             if full not in keep:
                 victims.append(full)
+        # snapshot expiry: archived manifests + state data dirs older than
+        # the current version (their out_dir parts are going away above)
+        expired_files = []
+        if snap is not None:
+            cur_data = os.path.realpath(snap.get("data_path", ""))
+            for name in sorted(os.listdir(self.path)):
+                m = re.fullmatch(r"manifest_v(\d+)\.json", name) or re.fullmatch(
+                    r"state_v(\d+)", name
+                )
+                if m is None or int(m.group(1)) >= cur_version:
+                    continue
+                full = os.path.realpath(os.path.join(self.path, name))
+                if full != cur_data:
+                    victims.append(full)
+                    if name.endswith(".json"):
+                        expired_files.append(full)
         if not dry_run:
             for v in victims:
-                shutil.rmtree(v, ignore_errors=True)
+                if v in expired_files:
+                    try:
+                        os.remove(v)
+                    except OSError:
+                        pass
+                else:
+                    shutil.rmtree(v, ignore_errors=True)
         return victims
 
     def staleness_seconds(self) -> float | None:
@@ -367,8 +470,14 @@ class StateStore:
                 "committed_at": time.time(),
             }
         )
-        fd, tmp = tempfile.mkstemp(dir=self.path, suffix=".json")
-        with os.fdopen(fd, "w") as f:
-            json.dump(manifest, f)
-        os.replace(tmp, self._manifest_path())
+        # archive FIRST, pointer swap second: a crash in between leaves an
+        # orphan archive with version > the current pointer, which
+        # snapshots()/vacuum ignore under the in-flight rule — the reverse
+        # order would leave a committed snapshot missing from the history
+        body = json.dumps(manifest)
+        for target in (self._archive_path(version), self._manifest_path()):
+            fd, tmp = tempfile.mkstemp(dir=self.path, suffix=".json")
+            with os.fdopen(fd, "w") as f:
+                f.write(body)
+            os.replace(tmp, target)
         return snapshot_id

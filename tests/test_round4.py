@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 
 from pyspark.sql import functions as F
 
@@ -23,8 +24,15 @@ def test_facts_path_written_in_same_atomic_commit(spark, fx, tmp_path):
     # one atomic write carries BOTH the snapshot fields and facts_path
     assert snap["facts_path"] and os.path.exists(snap["facts_path"])
     assert snap["snapshot_id"] == "v000001"
-    # no stray tempfiles left behind by the commit
-    assert not [f for f in os.listdir(state) if f.endswith(".json") and f != "manifest.json"]
+    # no stray tempfiles left behind by the commit (the snapshot archive
+    # manifest_vNNNNNN.json is a round-5 time-travel artifact, not a stray)
+    assert not [
+        f
+        for f in os.listdir(state)
+        if f.endswith(".json")
+        and f != "manifest.json"
+        and not re.fullmatch(r"manifest_v\d+\.json", f)
+    ]
 
 
 def test_corrupt_manifest_degrades_to_full_reextract(spark, fx, tmp_path, recwarn):
@@ -418,9 +426,15 @@ def test_vacuum_removes_superseded_and_orphaned_parts(spark, tmp_path):
         # superseded by the run-2 full rewrite (edge/canon/vocab sinks are
         # versioned parts since round 5)
         "edges_v000001", "linkmap_v000001", "canon_v000001", "vocab_v000001",
+        # snapshot expiry (round 5, Iceberg expire_snapshots): the v1
+        # archive + state data retire with the parts they reference
+        "manifest_v000001.json", "state_v000001",
     }, names
     # the possibly-in-flight newer part survives
     assert os.path.exists(os.path.join(out, "facts_v000009"))
+    # the expired snapshot is unknown; the current one stays listed
+    assert store.snapshot(1) is None
+    assert [s["version"] for s in store.snapshots()] == [2]
     # current snapshot untouched and still fully readable
     snap = store.last_snapshot()
     assert os.path.exists(snap["facts_path"]) and os.path.exists(snap["chunks_path"])

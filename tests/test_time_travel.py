@@ -1,0 +1,108 @@
+"""Snapshot history + time travel (round 5 — Iceberg snapshot-log analog).
+
+- commit archives every manifest → StateStore.snapshots() enumerates the
+  chain, snapshot(v) fetches one;
+- read/read_table(version=) resolve tables AS OF an older snapshot,
+  value-identical to what the reader saw when it was current;
+- vacuum expires history (snapshot() → None, read_table(version=) raises);
+- legacy stores (pre-archive) degrade to a single-entry history.
+"""
+
+import datetime
+import os
+
+import pytest
+
+from coco_search_spark.pipeline import run_pipeline
+from coco_search_spark.state import StateStore
+
+TS = datetime.datetime(2025, 1, 1)
+
+
+def _tdf(spark, texts):
+    return spark.createDataFrame(
+        [(c, 0, "user", x, None, TS) for c, x in sorted(texts.items())],
+        "conv_id string, turn_idx int, role string, text string, tool string,"
+        " ts timestamp",
+    )
+
+
+def _facts_set(df):
+    return {
+        (r["conv_id"], r["kind"], r["subj"], r["pred"], r["obj"])
+        for r in df.select("conv_id", "kind", "subj", "pred", "obj").collect()
+    }
+
+
+def test_snapshot_history_and_time_travel_read(spark, tmp_path):
+    out, state = str(tmp_path / "o"), str(tmp_path / "s")
+    texts = {
+        "c0": "alpha_svc calls beta_store .",
+        "c1": "gamma_svc uses delta_store .",
+    }
+    run_pipeline(spark, _tdf(spark, texts), out_dir=out, state_dir=state)
+    store = StateStore(state)
+    v1_facts = _facts_set(store.read_table(spark, "facts"))
+
+    texts["c0"] = "alpha_svc emits new_cache ."
+    del texts["c1"]
+    run_pipeline(spark, _tdf(spark, texts), out_dir=out, state_dir=state)
+
+    # history: both commits enumerable, with stage + provenance fields
+    snaps = store.snapshots()
+    assert [s["version"] for s in snaps] == [1, 2]
+    assert all(s["stage"] == "materialize" and "config_hash" in s for s in snaps)
+    assert store.snapshot(1)["version"] == 1
+    assert store.snapshot(2) == store.last_snapshot()
+
+    # time travel: the v1 facts table is reproduced exactly — including
+    # the since-deleted conversation and the pre-edit c0 rows
+    old = _facts_set(store.read_table(spark, "facts", version=1))
+    assert old == v1_facts
+    assert any(r[0] == "c1" for r in old)
+    cur = _facts_set(store.read_table(spark, "facts"))
+    assert not any(r[0] == "c1" for r in cur)
+    assert cur != old
+
+    # the as-of state table matches too (c1 still has a row at v1)
+    v1_state = store.read(spark, version=1)
+    assert v1_state.filter(v1_state.conv_id == "c1").count() == 1
+    assert store.read(spark).filter("conv_id = 'c1'").count() == 0
+
+    # conv_ids pushdown composes with time travel
+    only_c1 = store.read_table(spark, "facts", conv_ids=["c1"], version=1)
+    assert {r["conv_id"] for r in only_c1.select("conv_id").collect()} == {"c1"}
+
+    # unknown version: loud, never a silent fallback to current
+    with pytest.raises(FileNotFoundError):
+        store.read_table(spark, "facts", version=7)
+
+    # expiry: vacuum retires v1 (Iceberg expire_snapshots trade)
+    store.vacuum(out)
+    assert store.snapshot(1) is None
+    assert [s["version"] for s in store.snapshots()] == [2]
+    with pytest.raises(FileNotFoundError):
+        store.read(spark, version=1)
+    # the current snapshot stays fully readable
+    assert _facts_set(store.read_table(spark, "facts")) == cur
+
+
+def test_legacy_store_without_archives_lists_current_only(spark, tmp_path):
+    out, state = str(tmp_path / "o"), str(tmp_path / "s")
+    run_pipeline(
+        spark,
+        _tdf(spark, {"c0": "alpha_svc calls beta_store ."}),
+        out_dir=out,
+        state_dir=state,
+    )
+    store = StateStore(state)
+    # simulate a pre-archive store: drop the archive, keep the pointer
+    os.remove(os.path.join(state, "manifest_v000001.json"))
+    assert [s["version"] for s in store.snapshots()] == [1]
+    assert store.snapshot(1) == store.last_snapshot()
+    # an orphan archive NEWER than the pointer (crash between archive and
+    # pointer swap) is invisible — the in-flight rule
+    with open(os.path.join(state, "manifest_v000009.json"), "w") as f:
+        f.write('{"version": 9}')
+    assert [s["version"] for s in store.snapshots()] == [1]
+    assert StateStore(str(tmp_path / "empty")).snapshots() == []
