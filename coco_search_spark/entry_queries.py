@@ -1890,6 +1890,99 @@ ORDER BY conv_id, turn_idx, subj_id, pred, obj_id
     )
 
 
+def q_kg_time_travel(spark, sf_dir):
+    """Snapshot history + time travel (round 5) through the driver gate:
+    run 1 indexes the derived corpus; run 2 grows five conversations by a
+    turn copied verbatim from conv-1 turn 0 (the kg_edge_delta corpus, so
+    run 2 exercises the REAL delta path — two edge parts, not a rewrite).
+    Output = the edge table read AS OF snapshot v1
+    (``StateStore.read_table(version=1)``) unioned with the current table,
+    tagged per snapshot, plus the history length from
+    ``StateStore.snapshots()``. The oracle recomputes the v1 rows from the
+    BASE corpus and the v2 rows from the grown corpus independently —
+    value-checking that time travel reproduces the pre-edit table exactly
+    even though the store has since delta-written a v2 part on top of it
+    (the Iceberg snapshot-log/as-of-read analog; reference twin: the
+    per-commit tracking rows, flow.py:436-448, which the reference can
+    only replay forward)."""
+    import shutil
+    import tempfile
+
+    from coco_search_spark.pipeline import run_pipeline
+    from coco_search_spark.state import StateStore
+
+    base = derived_transcripts(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="coco_time_travel_")
+    try:
+        run_pipeline(spark, base, out_dir=f"{tmp}/out", state_dir=f"{tmp}/state")
+        donor = base.filter(
+            (F.col("conv_id") == "conv-1") & (F.col("turn_idx") == 0)
+        ).drop("conv_id", "turn_idx")
+        grown = base.unionByName(
+            donor.crossJoin(
+                spark.createDataFrame([(c,) for c in _DELTA_CONVS], "conv_id string")
+            ).withColumn("turn_idx", F.lit(900))
+        )
+        run_pipeline(spark, grown, out_dir=f"{tmp}/out", state_dir=f"{tmp}/state")
+        store = StateStore(f"{tmp}/state")
+        n_snapshots = len(store.snapshots())
+        cols = ["conv_id", "turn_idx", "subj_id", "pred", "obj_id", "subj", "obj"]
+        v1 = store.read_table(spark, "edges", version=1).select(
+            *cols, F.lit("v1").alias("as_of")
+        )
+        v2 = store.read_table(spark, "edges").select(
+            *cols, F.lit("v2").alias("as_of")
+        )
+        return (
+            v1.unionByName(v2)
+            .withColumn("n_snapshots", F.lit(n_snapshots).cast("int"))
+            .orderBy("as_of", "conv_id", "turn_idx", "subj_id", "pred", "obj_id")
+            # materialize before the temp state dir disappears
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _time_travel_oracle() -> str:
+    """Independent recompute of BOTH snapshots' edge tables: v1 from the
+    base occurrences, v2 from the grown ones (same vocabulary by
+    construction — the grown turn is copied verbatim — so one canon CTE
+    serves both). History length is pinned to 2: exactly two commits."""
+    values = ", ".join(f"('{c}')" for c in _DELTA_CONVS)
+    return (
+        _canon_cte(include_bindings=True, include_standalone=True)
+        + f""",
+occ AS (
+  SELECT 'conv-' || (doc_id % 50) AS conv_id,
+         CAST(FLOOR(doc_id / 50.0) AS INT) AS turn_idx,
+         source || '_svc' AS subj, {_PRED_CASE} AS pred, lang || '_store' AS obj
+  FROM documents WHERE {_FORM_KEY} <= 3
+  UNION ALL
+  SELECT 'conv-' || (doc_id % 50), CAST(FLOOR(doc_id / 50.0) AS INT),
+         source || '_svc', {_PRED_CASE}, lang || '_cache'
+  FROM documents WHERE {_FORM_KEY} = 3
+),
+snap AS (
+  SELECT *, 'v1' AS as_of FROM occ
+  UNION ALL
+  SELECT *, 'v2' AS as_of FROM occ
+  UNION ALL
+  SELECT v.cid, 900, occ.subj, occ.pred, occ.obj, 'v2'
+  FROM occ CROSS JOIN (VALUES {values}) v(cid)
+  WHERE occ.conv_id = 'conv-1' AND occ.turn_idx = 0
+)
+SELECT snap.conv_id, snap.turn_idx, cs.canon_id AS subj_id, snap.pred,
+       co.canon_id AS obj_id, snap.subj, snap.obj, snap.as_of,
+       CAST(2 AS INT) AS n_snapshots
+FROM snap
+JOIN canon cs ON cs.surface = snap.subj
+JOIN canon co ON co.surface = snap.obj
+ORDER BY as_of, conv_id, turn_idx, subj_id, pred, obj_id
+"""
+    )
+
+
 def q_kg_scan_prune(spark, sf_dir):
     """Input-manifest scan pruning (round 5, VERDICT r4 #2) through the
     driver gate: the derived corpus lands on disk as 8 bucket files
@@ -3528,6 +3621,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Round 5 also RETIRED two redundant relational demos per the verdict
     # (pricing_summary ⊂ rollup_revenue, event_neighbors ⊂ kg_turn_window).
     # --- (1a) new / changed this round -----------------------------------
+    "kg_time_travel": q_kg_time_travel,
     "graph_ppr": q_graph_ppr,
     "graph_hits": q_graph_hits,
     "graph_kcore": q_graph_kcore,
@@ -3620,6 +3714,7 @@ ORACLES: dict[str, str] = {
     "graph_label_prop": _label_prop_oracle(),
     "kg_vocab_delta": _vocab_delta_oracle(),
     "kg_edge_delta": _edge_delta_oracle(),
+    "kg_time_travel": _time_travel_oracle(),
     "kg_scan_prune": _scan_prune_oracle(),
     "kg_extract_triples": _ORACLE_TRIPLES_CTE
     + "SELECT conv_id, turn_idx, subj, pred, obj FROM gt",

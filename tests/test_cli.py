@@ -250,3 +250,61 @@ def test_cli_info_and_init_no_jvm(tmp_path):
     # the written file parses, validates, and hashes to the same identity
     r = coco_main(["config", cfg], spark=None)
     assert r["ok"] and r["config_hash"] == default_hash and r["problems"] == []
+
+
+def test_cli_history_and_as_of(spark, tmp_path):
+    """history + --as-of (round 5 time travel): two index runs commit two
+    snapshots; history lists both (no JVM), list/stats --as-of read the
+    v1 state exactly, an unknown version fails loudly, and vacuum expires
+    the history down to the current snapshot."""
+    corpus = str(tmp_path / "t.parquet")
+    _write_corpus(corpus)
+    out_dir, state = str(tmp_path / "o"), str(tmp_path / "s")
+    r = coco_main(["index", corpus, "--out", out_dir, "--state", state], spark=spark)
+    assert r["ok"]
+
+    # grow the corpus by one conversation → snapshot v2
+    rows = [("c2", 0, "zeta_svc imports eta_store .")]
+    pq.write_table(
+        pa.table(
+            {
+                "conv_id": pa.array([r[0] for r in rows], pa.string()),
+                "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+                "role": pa.array(["user"] * len(rows), pa.string()),
+                "text": pa.array([r[2] for r in rows], pa.string()),
+                "tool": pa.array([None] * len(rows), pa.string()),
+                "ts": pa.array([TS] * len(rows), pa.timestamp("us")),
+            }
+        ),
+        str(tmp_path / "t2.parquet"),
+    )
+    corpus2 = str(tmp_path / "c2dir")
+    os.makedirs(corpus2)
+    os.link(corpus, os.path.join(corpus2, "t.parquet"))
+    os.link(str(tmp_path / "t2.parquet"), os.path.join(corpus2, "t2.parquet"))
+    r = coco_main(["index", corpus2, "--out", out_dir, "--state", state], spark=spark)
+    assert r["ok"]
+
+    # history: pure-driver snapshot log, both commits enumerable
+    h = coco_main(["history", "--state", state], spark=None)
+    assert h["ok"] and h["n_snapshots"] == 2
+    assert [s["version"] for s in h["snapshots"]] == [1, 2]
+    assert all(s["stage"] == "materialize" for s in h["snapshots"])
+
+    # list --as-of 1: the pre-growth state table (2 conversations, not 3)
+    cur = coco_main(["list", "--state", state], spark=spark)
+    old = coco_main(["list", "--state", state, "--as-of", "1"], spark=spark)
+    assert cur["n_conversations"] == 3 and old["n_conversations"] == 2
+    assert {r["conv_id"] for r in old["rows"]} == {"c0", "c1"}
+
+    # stats --as-of: historical snapshot identity; unknown version is loud
+    s1 = coco_main(["stats", "--state", state, "--as-of", "1"], spark=spark)
+    assert s1["ok"] and s1["version"] == 1 and s1["n_conversations"] == 2
+    bad = coco_main(["stats", "--state", state, "--as-of", "9"], spark=spark)
+    assert not bad["ok"] and "unknown or expired" in bad["error"]
+
+    # vacuum expires history: only the current snapshot remains listed
+    r = coco_main(["vacuum", "--state", state, "--out", out_dir], spark=None)
+    assert r["ok"]
+    h = coco_main(["history", "--state", state], spark=None)
+    assert h["ok"] and [s["version"] for s in h["snapshots"]] == [2]

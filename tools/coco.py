@@ -6,8 +6,9 @@ delete-analog) fronted over the library surface:
   index   transcripts.parquet --out DIR --state DIR [--catalog P] [--config P]
   search  "query" --state DIR [-k N] [--min-score X] [--context] [--transcripts P]
   analyze "query" --state DIR [-k N] — per-stage search diagnostics
-  list    --state DIR [--limit N] — indexed conversations
-  stats   --state DIR
+  list    --state DIR [--limit N] [--as-of V] — indexed conversations
+  stats   --state DIR [--as-of V]
+  history --state DIR — snapshot log (time-travel targets for --as-of)
   graph   tree|impact ROOT... --state DIR [--reverse] [--depth N]
   graph   pagerank|related|hits|communities|kcore|suggest --state DIR [--top N]
           [--rounds R] [-k K] [--max-hub D] — whole-graph analytics
@@ -17,7 +18,7 @@ delete-analog) fronted over the library surface:
   clear   --state DIR --out DIR --force — delete the index
   vacuum  --state DIR --out DIR [--dry-run]
 
-``info``/``init``/``config``/``clear``/``vacuum`` are pure-driver verbs —
+``info``/``init``/``config``/``clear``/``vacuum``/``history`` are pure-driver verbs —
 they never start the JVM, so they return in interactive time.
 
 Every verb prints ONE JSON document to stdout (rows as a list for search)
@@ -32,6 +33,7 @@ import argparse
 import json
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -110,10 +112,12 @@ def _cmd_analyze(args, spark) -> dict:
 
 def _cmd_list(args, spark) -> dict:
     """Indexed conversations (reference: cli.py:2918-2929 list verb —
-    per-index inventory; here per-conversation state rows)."""
+    per-index inventory; here per-conversation state rows). --as-of N
+    lists the state table as an older snapshot committed it (time
+    travel; raises loudly if N is unknown or vacuum-expired)."""
     from coco_search_spark.state import StateStore
 
-    state = StateStore(args.state).read(spark)
+    state = StateStore(args.state).read(spark, version=args.as_of)
     total = state.count()
     rows = [
         r.asDict()
@@ -303,16 +307,52 @@ def _cmd_init(args, spark) -> dict:
     return {"ok": True, "path": args.path, "config_hash": cfg.config_hash()}
 
 
+def _cmd_history(args, spark) -> dict:
+    """Snapshot history (round 5 — the Iceberg snapshot-log verb): one row
+    per committed version, oldest first. Any listed version is readable
+    via `list --as-of` / `stats --as-of` until `vacuum` expires it. Pure
+    driver-side: manifest JSONs only, no Spark session."""
+    from coco_search_spark.state import StateStore
+
+    snaps = StateStore(args.state).snapshots()
+    if not snaps:
+        return {"ok": False, "error": "no snapshot committed"}
+    rows = [
+        {
+            "version": s.get("version"),
+            "snapshot_id": s.get("snapshot_id"),
+            "stage": s.get("stage"),
+            "committed_at": s.get("committed_at"),
+            "config_hash": s.get("config_hash"),
+            "parts": {
+                kind: len(s.get(f"{kind}_parts") or ([1] if s.get(f"{kind}_path") else []))
+                for kind in ("facts", "chunks", "edges")
+            },
+            "input_files": len(s.get("input_manifest") or {}) or None,
+        }
+        for s in snaps
+    ]
+    return {"ok": True, "n_snapshots": len(rows), "snapshots": rows}
+
+
 def _cmd_stats(args, spark) -> dict:
     from pyspark.sql import functions as F
 
     from coco_search_spark.state import StateStore
 
     store = StateStore(args.state)
-    snap = store.last_snapshot()
+    if args.as_of is not None:
+        snap = store.snapshot(args.as_of)
+        if snap is None:
+            return {
+                "ok": False,
+                "error": f"snapshot v{args.as_of} unknown or expired",
+            }
+    else:
+        snap = store.last_snapshot()
     if snap is None:
         return {"ok": False, "error": "no snapshot committed"}
-    state = store.read(spark)
+    state = store.read(spark, version=args.as_of)
     agg = state.agg(
         F.count(F.lit(1)).alias("n_conversations"),
         F.sum("rows_in").alias("n_turns"),
@@ -323,12 +363,14 @@ def _cmd_stats(args, spark) -> dict:
         "snapshot_id": snap.get("snapshot_id"),
         "version": snap.get("version"),
         "config_hash": snap.get("config_hash"),
-        "staleness_seconds": store.staleness_seconds(),
+        # staleness is age-of-THIS-snapshot: for --as-of that is the
+        # historical commit's age, not the store's
+        "staleness_seconds": max(0.0, time.time() - float(snap["committed_at"])),
         "n_conversations": agg["n_conversations"],
         "n_turns": agg["n_turns"],
         "n_errors": agg["n_errors"],
         "parts": {
-            kind: len(store.table_parts(kind) or [])
+            kind: len(store.table_parts(kind, version=args.as_of) or [])
             for kind in ("facts", "chunks", "edges")
         },
         "input_files": len(snap.get("input_manifest") or {}) or None,
@@ -376,6 +418,10 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
     pl = sub.add_parser("list", help="indexed conversations")
     pl.add_argument("--state", required=True)
     pl.add_argument("--limit", type=int, default=100)
+    pl.add_argument(
+        "--as-of", type=int, default=None, dest="as_of",
+        help="read the state table as of snapshot version V (see history)",
+    )
 
     pg = sub.add_parser(
         "graph", help="dependency tree / impact + whole-graph analytics"
@@ -412,6 +458,13 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
 
     pt = sub.add_parser("stats", help="snapshot + state-table summary")
     pt.add_argument("--state", required=True)
+    pt.add_argument(
+        "--as-of", type=int, default=None, dest="as_of",
+        help="summarize a historical snapshot version V (see history)",
+    )
+
+    ph = sub.add_parser("history", help="snapshot log (time-travel targets)")
+    ph.add_argument("--state", required=True)
 
     pv = sub.add_parser("vacuum", help="remove superseded/orphaned version dirs")
     pv.add_argument("--state", required=True)
@@ -430,10 +483,11 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
         "info": _cmd_info,
         "init": _cmd_init,
         "stats": _cmd_stats,
+        "history": _cmd_history,
         "vacuum": _cmd_vacuum,
     }
     # pure-driver verbs: no DataFrame work, so no JVM spin-up
-    if args.verb in ("info", "init", "config", "clear", "vacuum"):
+    if args.verb in ("info", "init", "config", "clear", "vacuum", "history"):
         out = verbs[args.verb](args, None)
         print(json.dumps(out, default=str))
         return out
