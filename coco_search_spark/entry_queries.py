@@ -1983,6 +1983,118 @@ ORDER BY as_of, conv_id, turn_idx, subj_id, pred, obj_id
     )
 
 
+# v2 corpus for kg_snapshot_diff: keeps the donor turn in conv-0/conv-10
+# (pointer-equal → pruned from the diff), drops it from conv-20/30/40
+# (deletes), adds it to conv-5/conv-15 (inserts)
+_DIFF_V2_CONVS = ("conv-0", "conv-10", "conv-5", "conv-15")
+
+
+def q_kg_snapshot_diff(spark, sf_dir):
+    """Snapshot CDC changelog (round 5 — ``StateStore.diff_table``, the
+    Iceberg changelog-read / create_changelog_view analog; the reference's
+    tracking table, flow.py:436-448, can only be replayed forward, never
+    diffed between two arbitrary commits) through the driver gate: run 1
+    grows five conversations by a turn copied verbatim from conv-1 turn 0;
+    run 2 keeps the copy in two of them, drops it from three, and adds it
+    to two fresh ones — vocabulary-preserving throughout, so run 2 takes
+    the real edge-delta path. Output = ``diff_table("edges", v_from=1)``:
+    the turn-900 edge set appears as ``insert`` rows for the two new hosts
+    and ``delete`` rows for the three that lost it, nothing else. The
+    receipt column pins ``changed_convs`` to exactly 5 — the 45 other
+    conversations are pointer-equal in both snapshots and were pruned
+    without reading a single edge row (the O(delta) claim). The oracle
+    recomputes the donor edge set from the corpus and cross-joins it with
+    the literal (conv, change) plan."""
+    import shutil
+    import tempfile
+
+    from coco_search_spark.pipeline import run_pipeline
+    from coco_search_spark.state import StateStore
+
+    base = derived_transcripts(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="coco_snapshot_diff_")
+    try:
+        donor = base.filter(
+            (F.col("conv_id") == "conv-1") & (F.col("turn_idx") == 0)
+        ).drop("conv_id", "turn_idx")
+
+        def grow(convs):
+            return base.unionByName(
+                donor.crossJoin(
+                    spark.createDataFrame([(c,) for c in convs], "conv_id string")
+                ).withColumn("turn_idx", F.lit(900))
+            )
+
+        run_pipeline(
+            spark, grow(_DELTA_CONVS), out_dir=f"{tmp}/out", state_dir=f"{tmp}/state"
+        )
+        run_pipeline(
+            spark, grow(_DIFF_V2_CONVS), out_dir=f"{tmp}/out", state_dir=f"{tmp}/state"
+        )
+        store = StateStore(f"{tmp}/state")
+        n_changed = store.changed_convs(spark, "edges", 1, 2).count()
+        return (
+            store.diff_table(spark, "edges", v_from=1)
+            .select(
+                "conv_id",
+                "turn_idx",
+                "subj_id",
+                "pred",
+                "obj_id",
+                "subj",
+                "obj",
+                "change",
+                F.lit(n_changed).cast("int").alias("n_changed_convs"),
+            )
+            .orderBy("change", "conv_id", "turn_idx", "subj_id", "pred", "obj_id")
+            # materialize before the temp state dir disappears
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _snapshot_diff_oracle() -> str:
+    """Independent recompute: the donor (conv-1 turn 0) edge set, canon-
+    resolved from the corpus, cross-joined with the literal change plan.
+    changed_convs pinned to 5 (2 inserts + 3 deletes; every pointer-equal
+    conversation pruned)."""
+    plan = ", ".join(
+        f"('{c}', '{chg}')"
+        for c, chg in (
+            ("conv-5", "insert"),
+            ("conv-15", "insert"),
+            ("conv-20", "delete"),
+            ("conv-30", "delete"),
+            ("conv-40", "delete"),
+        )
+    )
+    return (
+        _canon_cte(include_bindings=True, include_standalone=True)
+        + f""",
+occ AS (
+  SELECT 'conv-' || (doc_id % 50) AS conv_id,
+         CAST(FLOOR(doc_id / 50.0) AS INT) AS turn_idx,
+         source || '_svc' AS subj, {_PRED_CASE} AS pred, lang || '_store' AS obj
+  FROM documents WHERE {_FORM_KEY} <= 3
+  UNION ALL
+  SELECT 'conv-' || (doc_id % 50), CAST(FLOOR(doc_id / 50.0) AS INT),
+         source || '_svc', {_PRED_CASE}, lang || '_cache'
+  FROM documents WHERE {_FORM_KEY} = 3
+)
+SELECT v.cid AS conv_id, 900 AS turn_idx, cs.canon_id AS subj_id, occ.pred,
+       co.canon_id AS obj_id, occ.subj, occ.obj, v.chg AS change,
+       CAST(5 AS INT) AS n_changed_convs
+FROM occ
+JOIN canon cs ON cs.surface = occ.subj
+JOIN canon co ON co.surface = occ.obj
+CROSS JOIN (VALUES {plan}) v(cid, chg)
+WHERE occ.conv_id = 'conv-1' AND occ.turn_idx = 0
+ORDER BY change, conv_id, turn_idx, subj_id, pred, obj_id
+"""
+    )
+
+
 def q_kg_scan_prune(spark, sf_dir):
     """Input-manifest scan pruning (round 5, VERDICT r4 #2) through the
     driver gate: the derived corpus lands on disk as 8 bucket files
@@ -3621,6 +3733,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Round 5 also RETIRED two redundant relational demos per the verdict
     # (pricing_summary ⊂ rollup_revenue, event_neighbors ⊂ kg_turn_window).
     # --- (1a) new / changed this round -----------------------------------
+    "kg_snapshot_diff": q_kg_snapshot_diff,
     "kg_time_travel": q_kg_time_travel,
     "graph_ppr": q_graph_ppr,
     "graph_hits": q_graph_hits,
@@ -3714,6 +3827,7 @@ ORACLES: dict[str, str] = {
     "graph_label_prop": _label_prop_oracle(),
     "kg_vocab_delta": _vocab_delta_oracle(),
     "kg_edge_delta": _edge_delta_oracle(),
+    "kg_snapshot_diff": _snapshot_diff_oracle(),
     "kg_time_travel": _time_travel_oracle(),
     "kg_scan_prune": _scan_prune_oracle(),
     "kg_extract_triples": _ORACLE_TRIPLES_CTE

@@ -49,6 +49,11 @@ POINTER_COLS = {
     "edges": "edges_wv",
 }
 
+# Max changed-conversation ids collected to the driver for diff_table's
+# pushed `conv_id isin(...)` predicate — same bound and fallback rule as
+# pipeline.py's EDGE_FETCH_PUSHDOWN_LIMIT.
+DIFF_PUSHDOWN_LIMIT = 100_000
+
 # Delta-written tables (facts, chunks) fold back into one full part once
 # the part list reaches this length: bounds reader fan-in (and file-listing
 # cost) at a constant, amortizing today's full-rewrite cost over
@@ -74,6 +79,42 @@ def ensure_columns(df: DataFrame, schema: str) -> DataFrame:
     ordered = [f.name for f in target.fields]
     extras = [c for c in df.columns if c not in ordered]
     return out.select(*ordered, *extras)
+
+
+def _map_cols(df: DataFrame) -> list[str]:
+    from pyspark.sql.types import MapType
+
+    return [f.name for f in df.schema.fields if isinstance(f.dataType, MapType)]
+
+
+def _encode_maps(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Spark set operations (exceptAll) reject MAP columns — maps have no
+    canonical order. Encode each as a key-sorted entries array (orderable,
+    set-op-safe, value-faithful); :func:`_decode_maps` restores the type."""
+    for c in cols:
+        df = df.withColumn(c, F.array_sort(F.map_entries(F.col(c))))
+    return df
+
+
+def _decode_maps(df: DataFrame, cols: list[str]) -> DataFrame:
+    for c in cols:
+        df = df.withColumn(c, F.map_from_entries(F.col(c)))
+    return df
+
+
+def _align_columns(a: DataFrame, b: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Align two frames to the union of their columns (missing ones become
+    typed NULLs, typed from the side that has them) in one shared order —
+    the pairwise form of :func:`ensure_columns`, used by ``diff_table`` so
+    ``exceptAll`` works across snapshots whose schemas evolved."""
+    for f in b.schema.fields:
+        if f.name not in a.columns:
+            a = a.withColumn(f.name, F.lit(None).cast(f.dataType))
+    for f in a.schema.fields:
+        if f.name not in b.columns:
+            b = b.withColumn(f.name, F.lit(None).cast(f.dataType))
+    cols = b.columns + [c for c in a.columns if c not in b.columns]
+    return a.select(*cols), b.select(*cols)
 
 
 def conversation_hashes(transcripts: DataFrame, with_files: bool = False) -> DataFrame:
@@ -335,6 +376,101 @@ class StateStore:
                 else out.unionByName(rows, allowMissingColumns=True)
             )
         return out
+
+    def changed_convs(
+        self, spark: SparkSession, kind: str, v_from: int, v_to: int | None = None
+    ) -> DataFrame:
+        """Conversations whose ``kind`` rows can differ between two
+        snapshots — the pruning core of :meth:`diff_table`.
+
+        A conversation whose version pointer is EQUAL and NON-NULL in both
+        snapshots resolves to the same version dir in both reads, hence
+        byte-identical rows — it cannot contribute diff rows and is pruned
+        without touching the table. Everything else survives: convs present
+        on only one side (created/deleted), pointer moved (rewritten), or a
+        NULL pointer on either side (pre-upgrade snapshots carry no pointer
+        → conservative full comparison for that conv)."""
+        pointer = POINTER_COLS.get(kind, "written_version")
+        s_from = self.read(spark, version=v_from).select(
+            "conv_id", F.col(pointer).alias("_pf"), F.lit(True).alias("_inf")
+        )
+        s_to = self.read(spark, version=v_to).select(
+            "conv_id", F.col(pointer).alias("_pt"), F.lit(True).alias("_int")
+        )
+        j = s_from.join(s_to, "conv_id", "full_outer")
+        same = (
+            F.col("_inf").isNotNull()
+            & F.col("_int").isNotNull()
+            & F.col("_pf").isNotNull()
+            & F.col("_pt").isNotNull()
+            & (F.col("_pf") == F.col("_pt"))
+        )
+        return j.filter(~same).select("conv_id")
+
+    def diff_table(
+        self, spark: SparkSession, kind: str, v_from: int, v_to: int | None = None
+    ) -> DataFrame:
+        """CDC changelog between two committed snapshots: the ``kind`` rows
+        inserted or deleted going from ``v_from`` to ``v_to`` (default: the
+        current snapshot), tagged with a ``change`` column
+        (``'insert'``/``'delete'``; an updated row appears as delete +
+        insert). The Iceberg changelog-read / ``create_changelog_view``
+        analog — the reference's tracking table (flow.py:436-448) can only
+        be replayed forward, never diffed between two arbitrary commits.
+
+        O(delta), not O(table): pointer-equal conversations are pruned up
+        front (:meth:`changed_convs` — same part dir on both sides, so
+        byte-identical rows), the survivors are fetched with the indexed
+        ``conv_ids`` pushdown (bounded collect, semi-join fallback above
+        the cap), and only those delta-sized frames are ``exceptAll``-ed.
+        Schema evolution between the snapshots is absorbed by aligning both
+        sides to the union of their columns with typed NULLs (the
+        ensure-columns rule applied pairwise); MAP columns (which Spark set
+        operations reject) are compared as key-sorted entry arrays and
+        restored afterwards."""
+        if v_to is None:
+            cur = self.last_snapshot()
+            if cur is None:
+                raise FileNotFoundError(f"no snapshot committed in {self.path}")
+            v_to = cur["version"]
+        empty = (
+            self.read_table(spark, kind, conv_ids=[], version=v_to)
+            .withColumn("change", F.lit(""))
+            .limit(0)
+        )
+        if v_from == v_to:
+            return empty
+        changed = self.changed_convs(spark, kind, v_from, v_to)
+        # bounded collect → pushed isin predicate on the part scans (row
+        # groups whose conv_id stats miss the set are skipped unread);
+        # above the cap the semi-join form reads the parts in full —
+        # correct, just not pruned (same rule as the pipeline's
+        # previous-edges fetch, pipeline.py EDGE_FETCH_PUSHDOWN_LIMIT)
+        sample = changed.take(DIFF_PUSHDOWN_LIMIT + 1)
+        if len(sample) <= DIFF_PUSHDOWN_LIMIT:
+            ids = [r["conv_id"] for r in sample]
+            if not ids:
+                return empty
+            rows_from = self.read_table(spark, kind, conv_ids=ids, version=v_from)
+            rows_to = self.read_table(spark, kind, conv_ids=ids, version=v_to)
+        else:
+            rows_from = self.read_table(spark, kind, version=v_from).join(
+                changed, "conv_id", "left_semi"
+            )
+            rows_to = self.read_table(spark, kind, version=v_to).join(
+                changed, "conv_id", "left_semi"
+            )
+        rows_from, rows_to = _align_columns(rows_from, rows_to)
+        maps = _map_cols(rows_to)
+        rows_from, rows_to = _encode_maps(rows_from, maps), _encode_maps(rows_to, maps)
+        return _decode_maps(
+            rows_to.exceptAll(rows_from)
+            .withColumn("change", F.lit("insert"))
+            .unionByName(
+                rows_from.exceptAll(rows_to).withColumn("change", F.lit("delete"))
+            ),
+            maps,
+        )
 
     def vacuum(self, out_dir: str, dry_run: bool = False) -> list[str]:
         """Delete version dirs in ``out_dir`` that the current manifest no

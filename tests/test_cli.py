@@ -303,6 +303,16 @@ def test_cli_history_and_as_of(spark, tmp_path):
     bad = coco_main(["stats", "--state", state, "--as-of", "9"], spark=spark)
     assert not bad["ok"] and "unknown or expired" in bad["error"]
 
+    # diff: the CDC changelog between the two snapshots is exactly the
+    # grown conversation's edges as inserts — nothing deleted, and the two
+    # untouched conversations pruned (n_changed_convs == 1)
+    d = coco_main(["diff", "--state", state, "--from", "1"], spark=spark)
+    assert d["ok"] and d["table"] == "edges" and (d["v_from"], d["v_to"]) == (1, 2)
+    assert d["n_delete"] == 0 and d["n_insert"] >= 1
+    assert d["n_changed_convs"] == 1
+    assert {r["conv_id"] for r in d["rows"]} == {"c2"}
+    assert all(r["change"] == "insert" for r in d["rows"])
+
     # vacuum expires history: only the current snapshot remains listed
     r = coco_main(["vacuum", "--state", state, "--out", out_dir], spark=None)
     assert r["ok"]

@@ -9,6 +9,8 @@ delete-analog) fronted over the library surface:
   list    --state DIR [--limit N] [--as-of V] — indexed conversations
   stats   --state DIR [--as-of V]
   history --state DIR — snapshot log (time-travel targets for --as-of)
+  diff    --state DIR --from V [--to V] [--table facts|chunks|edges] [--limit N]
+          — CDC changelog between two snapshots (insert/delete rows)
   graph   tree|impact ROOT... --state DIR [--reverse] [--depth N]
   graph   pagerank|related|hits|communities|kcore|suggest --state DIR [--top N]
           [--rounds R] [-k K] [--max-hub D] — whole-graph analytics
@@ -335,6 +337,46 @@ def _cmd_history(args, spark) -> dict:
     return {"ok": True, "n_snapshots": len(rows), "snapshots": rows}
 
 
+def _cmd_diff(args, spark) -> dict:
+    """CDC changelog between two committed snapshots (round 5 — the
+    Iceberg changelog-read / create_changelog_view verb; the reference's
+    tracking table, flow.py:436-448, can only be replayed forward): the
+    rows of one state-pointed table inserted or deleted going
+    --from → --to, tagged in a `change` column. O(delta): conversations
+    whose version pointer is equal in both snapshots are pruned without
+    reading a row (StateStore.diff_table)."""
+    from pyspark.sql import functions as F
+
+    from coco_search_spark.state import StateStore
+
+    store = StateStore(args.state)
+    cur = store.last_snapshot()
+    if cur is None:
+        return {"ok": False, "error": "no snapshot committed"}
+    v_to = args.v_to if args.v_to is not None else cur["version"]
+    diff = store.diff_table(spark, args.table, v_from=args.v_from, v_to=v_to)
+    n_changed = store.changed_convs(spark, args.table, args.v_from, v_to).count()
+    counts = {
+        r["change"]: r["n"]
+        for r in diff.groupBy("change").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    rows = [
+        r.asDict()
+        for r in diff.orderBy("change", "conv_id").limit(args.limit).collect()
+    ]
+    return {
+        "ok": True,
+        "table": args.table,
+        "v_from": args.v_from,
+        "v_to": v_to,
+        "n_insert": counts.get("insert", 0),
+        "n_delete": counts.get("delete", 0),
+        "n_changed_convs": n_changed,
+        "shown": len(rows),
+        "rows": rows,
+    }
+
+
 def _cmd_stats(args, spark) -> dict:
     from pyspark.sql import functions as F
 
@@ -466,6 +508,21 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
     ph = sub.add_parser("history", help="snapshot log (time-travel targets)")
     ph.add_argument("--state", required=True)
 
+    pdf = sub.add_parser(
+        "diff", help="changelog between two snapshots (insert/delete rows)"
+    )
+    pdf.add_argument("--state", required=True)
+    pdf.add_argument(
+        "--from", type=int, required=True, dest="v_from",
+        help="older snapshot version (see history)",
+    )
+    pdf.add_argument(
+        "--to", type=int, default=None, dest="v_to",
+        help="newer snapshot version (default: current)",
+    )
+    pdf.add_argument("--table", default="edges", choices=("facts", "chunks", "edges"))
+    pdf.add_argument("--limit", type=int, default=100)
+
     pv = sub.add_parser("vacuum", help="remove superseded/orphaned version dirs")
     pv.add_argument("--state", required=True)
     pv.add_argument("--out", required=True)
@@ -484,6 +541,7 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
         "init": _cmd_init,
         "stats": _cmd_stats,
         "history": _cmd_history,
+        "diff": _cmd_diff,
         "vacuum": _cmd_vacuum,
     }
     # pure-driver verbs: no DataFrame work, so no JVM spin-up
