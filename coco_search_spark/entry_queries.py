@@ -1983,6 +1983,93 @@ ORDER BY as_of, conv_id, turn_idx, subj_id, pred, obj_id
     )
 
 
+def q_kg_rollback(spark, sf_dir):
+    """Snapshot rollback (round 5 — ``StateStore.rollback``, the Iceberg
+    rollback_to_snapshot analog; the reference has no revert at all — a bad
+    ingest must be deleted and re-run, management/delete.py) through the
+    driver gate: run 1 indexes the derived corpus, run 2 grows five
+    conversations by a donor turn (the real delta path — two edge parts),
+    then the store is rolled back to snapshot v1. Output = the CURRENT
+    edge table after rollback — value-checked to be exactly the pre-growth
+    table — plus receipt columns: the history is now THREE commits
+    (rollback never rewrites history), the head commit's stage is
+    ``rollback``, and its provenance records 2 → 1. The oracle recomputes
+    the v1 table from the base corpus; any turn-900 row leaking through
+    (a partial revert) is a hash mismatch."""
+    import shutil
+    import tempfile
+
+    from coco_search_spark.pipeline import run_pipeline
+    from coco_search_spark.state import StateStore
+
+    base = derived_transcripts(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="coco_rollback_")
+    try:
+        run_pipeline(spark, base, out_dir=f"{tmp}/out", state_dir=f"{tmp}/state")
+        donor = base.filter(
+            (F.col("conv_id") == "conv-1") & (F.col("turn_idx") == 0)
+        ).drop("conv_id", "turn_idx")
+        grown = base.unionByName(
+            donor.crossJoin(
+                spark.createDataFrame([(c,) for c in _DELTA_CONVS], "conv_id string")
+            ).withColumn("turn_idx", F.lit(900))
+        )
+        run_pipeline(spark, grown, out_dir=f"{tmp}/out", state_dir=f"{tmp}/state")
+        store = StateStore(f"{tmp}/state")
+        head = store.rollback(1)
+        n_snapshots = len(store.snapshots())
+        return (
+            store.read_table(spark, "edges")
+            .select(
+                "conv_id",
+                "turn_idx",
+                "subj_id",
+                "pred",
+                "obj_id",
+                "subj",
+                "obj",
+                F.lit(n_snapshots).cast("int").alias("n_snapshots"),
+                F.lit(head["stage"]).alias("head_stage"),
+                F.lit(head["rolled_back_to"]).cast("int").alias("rolled_back_to"),
+                F.lit(head["rolled_back_from"]).cast("int").alias("rolled_back_from"),
+            )
+            .orderBy("conv_id", "turn_idx", "subj_id", "pred", "obj_id")
+            # materialize before the temp state dir disappears
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _rollback_oracle() -> str:
+    """Independent recompute of the PRE-GROWTH (v1) edge table from the
+    base corpus — the state the rollback must restore exactly. Receipt
+    literals pinned: 3 commits in history, head stage 'rollback', 2 → 1."""
+    return (
+        _canon_cte(include_bindings=True, include_standalone=True)
+        + f""",
+occ AS (
+  SELECT 'conv-' || (doc_id % 50) AS conv_id,
+         CAST(FLOOR(doc_id / 50.0) AS INT) AS turn_idx,
+         source || '_svc' AS subj, {_PRED_CASE} AS pred, lang || '_store' AS obj
+  FROM documents WHERE {_FORM_KEY} <= 3
+  UNION ALL
+  SELECT 'conv-' || (doc_id % 50), CAST(FLOOR(doc_id / 50.0) AS INT),
+         source || '_svc', {_PRED_CASE}, lang || '_cache'
+  FROM documents WHERE {_FORM_KEY} = 3
+)
+SELECT occ.conv_id, occ.turn_idx, cs.canon_id AS subj_id, occ.pred,
+       co.canon_id AS obj_id, occ.subj, occ.obj,
+       CAST(3 AS INT) AS n_snapshots, 'rollback' AS head_stage,
+       CAST(1 AS INT) AS rolled_back_to, CAST(2 AS INT) AS rolled_back_from
+FROM occ
+JOIN canon cs ON cs.surface = occ.subj
+JOIN canon co ON co.surface = occ.obj
+ORDER BY conv_id, turn_idx, subj_id, pred, obj_id
+"""
+    )
+
+
 # v2 corpus for kg_snapshot_diff: keeps the donor turn in conv-0/conv-10
 # (pointer-equal → pruned from the diff), drops it from conv-20/30/40
 # (deletes), adds it to conv-5/conv-15 (inserts)
@@ -3733,6 +3820,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Round 5 also RETIRED two redundant relational demos per the verdict
     # (pricing_summary ⊂ rollup_revenue, event_neighbors ⊂ kg_turn_window).
     # --- (1a) new / changed this round -----------------------------------
+    "kg_rollback": q_kg_rollback,
     "kg_snapshot_diff": q_kg_snapshot_diff,
     "kg_time_travel": q_kg_time_travel,
     "graph_ppr": q_graph_ppr,
@@ -3827,6 +3915,7 @@ ORACLES: dict[str, str] = {
     "graph_label_prop": _label_prop_oracle(),
     "kg_vocab_delta": _vocab_delta_oracle(),
     "kg_edge_delta": _edge_delta_oracle(),
+    "kg_rollback": _rollback_oracle(),
     "kg_snapshot_diff": _snapshot_diff_oracle(),
     "kg_time_travel": _time_travel_oracle(),
     "kg_scan_prune": _scan_prune_oracle(),

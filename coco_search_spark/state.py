@@ -579,6 +579,71 @@ class StateStore:
         snap = self.last_snapshot()
         return (snap["version"] + 1) if snap else 1
 
+    def rollback(self, version: int) -> dict:
+        """Roll the CURRENT pointer back to an earlier committed snapshot —
+        the Iceberg ``rollback_to_snapshot`` analog. Never rewrites
+        history: rollback is a NEW commit (``stage='rollback'``, version =
+        ``next_version()``) whose table references — state ``data_path``,
+        part lists, reuse fingerprints — are the target snapshot's,
+        verbatim. Readers see exactly what the target committed (including
+        every warm-run reuse gate: the next pipeline run diffs against the
+        rolled-back world); the rolled-past snapshots stay in the history,
+        time-travel readable until ``vacuum`` expires them (after which
+        their now-unreferenced parts are deleted).
+
+        Loud failure modes: rolling back to the current version (no-op ≠
+        rollback — ValueError), to an unknown/expired version, or to a
+        snapshot whose data dirs vacuum already removed (both
+        FileNotFoundError) — never a silent partial revert."""
+        cur = self.last_snapshot()
+        if cur is None:
+            raise FileNotFoundError(f"no snapshot committed in {self.path}")
+        if version == cur["version"]:
+            raise ValueError(f"snapshot v{version} is already current")
+        target = self.snapshot(version)
+        if target is None:
+            raise FileNotFoundError(
+                f"snapshot v{version} unknown or expired in {self.path}"
+            )
+        missing = [
+            p
+            for p in (
+                [target.get("data_path")]
+                + [
+                    part["path"]
+                    for kind in ("facts", "chunks", "edges")
+                    for part in (self.table_parts(kind, version=version) or [])
+                ]
+                + [
+                    target[key]
+                    for key in (
+                        "links_path", "linkmap_path", "canon_path", "vocab_path"
+                    )
+                    if target.get(key)
+                ]
+            )
+            if p and not os.path.isdir(p)
+        ]
+        if missing:
+            raise FileNotFoundError(
+                f"snapshot v{version} data no longer on disk "
+                f"(vacuumed or damaged): {missing}"
+            )
+        new_version = cur["version"] + 1
+        manifest = dict(target)
+        manifest.update(
+            {
+                "version": new_version,
+                "snapshot_id": f"v{new_version:06d}",
+                "stage": "rollback",
+                "committed_at": time.time(),
+                "rolled_back_to": version,
+                "rolled_back_from": cur["version"],
+            }
+        )
+        self._write_manifest(manifest)
+        return manifest
+
     def commit(
         self, state_rows: DataFrame, stage: str, extra: dict | None = None
     ) -> str:
@@ -606,14 +671,18 @@ class StateStore:
                 "committed_at": time.time(),
             }
         )
-        # archive FIRST, pointer swap second: a crash in between leaves an
-        # orphan archive with version > the current pointer, which
-        # snapshots()/vacuum ignore under the in-flight rule — the reverse
-        # order would leave a committed snapshot missing from the history
+        self._write_manifest(manifest)
+        return snapshot_id
+
+    def _write_manifest(self, manifest: dict) -> None:
+        """Archive FIRST, pointer swap second: a crash in between leaves an
+        orphan archive with version > the current pointer, which
+        snapshots()/vacuum ignore under the in-flight rule — the reverse
+        order would leave a committed snapshot missing from the history.
+        Both writes are atomic via tempfile + os.replace."""
         body = json.dumps(manifest)
-        for target in (self._archive_path(version), self._manifest_path()):
+        for target in (self._archive_path(manifest["version"]), self._manifest_path()):
             fd, tmp = tempfile.mkstemp(dir=self.path, suffix=".json")
             with os.fdopen(fd, "w") as f:
                 f.write(body)
             os.replace(tmp, target)
-        return snapshot_id

@@ -313,8 +313,21 @@ def test_cli_history_and_as_of(spark, tmp_path):
     assert {r["conv_id"] for r in d["rows"]} == {"c2"}
     assert all(r["change"] == "insert" for r in d["rows"])
 
+    # rollback (pure-driver): back to the v1 world — a NEW commit v3
+    rb = coco_main(["rollback", "--state", state, "--to", "1"], spark=None)
+    assert rb["ok"] and rb["version"] == 3
+    assert (rb["rolled_back_to"], rb["rolled_back_from"]) == (1, 2)
+    back = coco_main(["list", "--state", state], spark=spark)
+    assert back["n_conversations"] == 2
+    # ...and forward again: rollback targets ANY committed snapshot
+    rf = coco_main(["rollback", "--state", state, "--to", "2"], spark=None)
+    assert rf["ok"] and rf["version"] == 4
+    assert coco_main(["list", "--state", state], spark=spark)["n_conversations"] == 3
+    bad = coco_main(["rollback", "--state", state, "--to", "4"], spark=None)
+    assert not bad["ok"] and "already current" in bad["error"]
+
     # vacuum expires history: only the current snapshot remains listed
     r = coco_main(["vacuum", "--state", state, "--out", out_dir], spark=None)
     assert r["ok"]
     h = coco_main(["history", "--state", state], spark=None)
-    assert h["ok"] and [s["version"] for s in h["snapshots"]] == [2]
+    assert h["ok"] and [s["version"] for s in h["snapshots"]] == [4]

@@ -87,6 +87,58 @@ def test_snapshot_history_and_time_travel_read(spark, tmp_path):
     assert _facts_set(store.read_table(spark, "facts")) == cur
 
 
+def test_rollback_restores_tables_and_keeps_history(spark, tmp_path):
+    """StateStore.rollback (Iceberg rollback_to_snapshot analog): a NEW
+    commit whose table references are the target snapshot's — readers see
+    the old world, history is never rewritten, and the store stays fully
+    functional (a later pipeline run diffs against the rolled-back state)."""
+    out, state = str(tmp_path / "o"), str(tmp_path / "s")
+    texts = {
+        "c0": "alpha_svc calls beta_store .",
+        "c1": "gamma_svc uses delta_store .",
+    }
+    run_pipeline(spark, _tdf(spark, texts), out_dir=out, state_dir=state)
+    store = StateStore(state)
+    v1_facts = _facts_set(store.read_table(spark, "facts"))
+
+    texts["c0"] = "alpha_svc emits new_cache ."
+    texts["c2"] = "eps_svc imports zeta_store ."
+    run_pipeline(spark, _tdf(spark, texts), out_dir=out, state_dir=state)
+    v2_facts = _facts_set(store.read_table(spark, "facts"))
+    assert v2_facts != v1_facts
+
+    # rollback → new commit (v3), content identical to v1
+    m = store.rollback(1)
+    assert (m["version"], m["stage"]) == (3, "rollback")
+    assert (m["rolled_back_to"], m["rolled_back_from"]) == (1, 2)
+    assert _facts_set(store.read_table(spark, "facts")) == v1_facts
+    assert store.read(spark).filter("conv_id = 'c2'").count() == 0
+    # history: all three commits enumerable; v2 still time-travel readable
+    assert [s["version"] for s in store.snapshots()] == [1, 2, 3]
+    assert _facts_set(store.read_table(spark, "facts", version=2)) == v2_facts
+
+    # loud failure modes: current version, unknown version
+    with pytest.raises(ValueError):
+        store.rollback(3)
+    with pytest.raises(FileNotFoundError):
+        store.rollback(9)
+
+    # the store is functional after rollback: re-running the v2-shaped
+    # corpus diffs against the rolled-back world and lands on v2's content
+    run_pipeline(spark, _tdf(spark, texts), out_dir=out, state_dir=state)
+    assert store.last_snapshot()["version"] == 4
+    assert _facts_set(store.read_table(spark, "facts")) == v2_facts
+
+    # vacuum expires the rolled-past history; the current snapshot (and
+    # the v1 parts it still references via rollback lineage) stay readable
+    store.rollback(1)  # v5, back to the v1 world again
+    store.vacuum(out)
+    assert [s["version"] for s in store.snapshots()] == [5]
+    assert _facts_set(store.read_table(spark, "facts")) == v1_facts
+    with pytest.raises(FileNotFoundError):
+        store.rollback(2)  # expired → loud
+
+
 def test_legacy_store_without_archives_lists_current_only(spark, tmp_path):
     out, state = str(tmp_path / "o"), str(tmp_path / "s")
     run_pipeline(

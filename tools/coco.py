@@ -11,6 +11,8 @@ delete-analog) fronted over the library surface:
   history --state DIR — snapshot log (time-travel targets for --as-of)
   diff    --state DIR --from V [--to V] [--table facts|chunks|edges] [--limit N]
           — CDC changelog between two snapshots (insert/delete rows)
+  rollback --state DIR --to V — roll the current pointer back to snapshot V
+          (a NEW commit; history is never rewritten)
   graph   tree|impact ROOT... --state DIR [--reverse] [--depth N]
   graph   pagerank|related|hits|communities|kcore|suggest --state DIR [--top N]
           [--rounds R] [-k K] [--max-hub D] — whole-graph analytics
@@ -20,8 +22,9 @@ delete-analog) fronted over the library surface:
   clear   --state DIR --out DIR --force — delete the index
   vacuum  --state DIR --out DIR [--dry-run]
 
-``info``/``init``/``config``/``clear``/``vacuum``/``history`` are pure-driver verbs —
-they never start the JVM, so they return in interactive time.
+``info``/``init``/``config``/``clear``/``vacuum``/``history``/``rollback``
+are pure-driver verbs — they never start the JVM, so they return in
+interactive time.
 
 Every verb prints ONE JSON document to stdout (rows as a list for search)
 so the output is scriptable; human formatting is the caller's job — this
@@ -377,6 +380,27 @@ def _cmd_diff(args, spark) -> dict:
     }
 
 
+def _cmd_rollback(args, spark) -> dict:
+    """Roll the current pointer back to an earlier snapshot (round 5 —
+    Iceberg rollback_to_snapshot analog): a NEW commit reusing the target
+    snapshot's table references verbatim; history is never rewritten, the
+    rolled-past snapshots stay time-travel readable until vacuum. Pure
+    driver-side (manifest JSONs only) — no JVM."""
+    from coco_search_spark.state import StateStore
+
+    try:
+        m = StateStore(args.state).rollback(args.to)
+    except (ValueError, FileNotFoundError) as e:
+        return {"ok": False, "error": str(e)}
+    return {
+        "ok": True,
+        "version": m["version"],
+        "snapshot_id": m["snapshot_id"],
+        "rolled_back_to": m["rolled_back_to"],
+        "rolled_back_from": m["rolled_back_from"],
+    }
+
+
 def _cmd_stats(args, spark) -> dict:
     from pyspark.sql import functions as F
 
@@ -523,6 +547,15 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
     pdf.add_argument("--table", default="edges", choices=("facts", "chunks", "edges"))
     pdf.add_argument("--limit", type=int, default=100)
 
+    prb = sub.add_parser(
+        "rollback", help="roll the current pointer back to an earlier snapshot"
+    )
+    prb.add_argument("--state", required=True)
+    prb.add_argument(
+        "--to", type=int, required=True,
+        help="target snapshot version (see history); commits a new snapshot",
+    )
+
     pv = sub.add_parser("vacuum", help="remove superseded/orphaned version dirs")
     pv.add_argument("--state", required=True)
     pv.add_argument("--out", required=True)
@@ -542,10 +575,13 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
         "stats": _cmd_stats,
         "history": _cmd_history,
         "diff": _cmd_diff,
+        "rollback": _cmd_rollback,
         "vacuum": _cmd_vacuum,
     }
     # pure-driver verbs: no DataFrame work, so no JVM spin-up
-    if args.verb in ("info", "init", "config", "clear", "vacuum", "history"):
+    if args.verb in (
+        "info", "init", "config", "clear", "vacuum", "history", "rollback"
+    ):
         out = verbs[args.verb](args, None)
         print(json.dumps(out, default=str))
         return out
