@@ -238,14 +238,83 @@ class StateStore:
             out.append(cur)
         return sorted(out, key=lambda s: s.get("version", 0))
 
-    def snapshot(self, version: int) -> dict | None:
+    def snapshot(self, version: int | str) -> dict | None:
         """The manifest of a specific committed version: the current one,
         or an archived (still unexpired) historical one; None when that
-        version was never committed or ``vacuum`` expired it."""
+        version was never committed or ``vacuum`` expired it. A string is
+        resolved as a tag name (or a digit string); an unknown tag is None
+        — same contract as an unknown version."""
+        if isinstance(version, str):
+            try:
+                version = self.resolve_version(version)
+            except FileNotFoundError:
+                return None
         cur = self.last_snapshot()
         if cur is not None and cur.get("version") == version:
             return cur
         return self._load_json(self._archive_path(version))
+
+    def _tags_path(self) -> str:
+        return os.path.join(self.path, "tags.json")
+
+    def tags(self) -> dict[str, int]:
+        """Named snapshots — the Iceberg tag analog: ``{name: version}``.
+        A tagged snapshot is PROTECTED from ``vacuum``'s history expiry
+        (its archive, state dir and referenced parts are all kept), so a
+        tag pins a known-good version for as-of reads and ``rollback``
+        indefinitely; ``untag`` releases it to the next vacuum."""
+        raw = self._load_json(self._tags_path()) or {}
+        return {str(k): int(v) for k, v in raw.items()}
+
+    def _write_tags(self, tags: dict[str, int]) -> None:
+        fd, tmp = tempfile.mkstemp(dir=self.path, suffix=".json")
+        with os.fdopen(fd, "w") as f:
+            f.write(json.dumps(tags))
+        os.replace(tmp, self._tags_path())
+
+    def tag(self, name: str, version: int | None = None) -> int:
+        """Name a committed snapshot (default: the current one); returns
+        the pinned version. Re-tagging an existing name moves it; tagging
+        an unknown/expired version raises — a tag must always be
+        dereferenceable the moment it is created."""
+        if version is None:
+            cur = self.last_snapshot()
+            if cur is None:
+                raise FileNotFoundError(f"no snapshot committed in {self.path}")
+            version = cur["version"]
+        if name.isdigit():
+            raise ValueError(f"tag name {name!r} would shadow a version number")
+        if self.snapshot(version) is None:
+            raise FileNotFoundError(
+                f"snapshot v{version} unknown or expired in {self.path}"
+            )
+        tags = self.tags()
+        tags[name] = int(version)
+        self._write_tags(tags)
+        return int(version)
+
+    def untag(self, name: str) -> int:
+        """Drop a tag (returns the version it pinned); the snapshot stays
+        readable until the next ``vacuum`` expires it like any other."""
+        tags = self.tags()
+        if name not in tags:
+            raise KeyError(f"unknown tag {name!r} in {self.path}")
+        version = tags.pop(name)
+        self._write_tags(tags)
+        return version
+
+    def resolve_version(self, ref: int | str) -> int:
+        """Tag name or version literal → version int. Digit strings pass
+        through as versions; an unknown tag raises (never a silent
+        fallback to current)."""
+        if isinstance(ref, int):
+            return ref
+        tags = self.tags()
+        if ref in tags:
+            return tags[ref]
+        if ref.isdigit():
+            return int(ref)
+        raise FileNotFoundError(f"unknown tag {ref!r} in {self.path}")
 
     def last_snapshot(self) -> dict | None:
         mp = self._manifest_path()
@@ -268,12 +337,15 @@ class StateStore:
             )
             return None
 
-    def _resolve_snapshot(self, version: int | None) -> dict | None:
-        """Current manifest, or — time travel — a specific archived one.
-        A requested version that is unknown or vacuum-expired raises
-        (silently reading the current state instead would be wrong)."""
+    def _resolve_snapshot(self, version: int | str | None) -> dict | None:
+        """Current manifest, or — time travel — a specific archived one
+        (by version int, digit string, or tag name). A requested version
+        that is unknown or vacuum-expired raises (silently reading the
+        current state instead would be wrong)."""
         if version is None:
             return self.last_snapshot()
+        if isinstance(version, str):
+            version = self.resolve_version(version)  # unknown tag raises
         snap = self.snapshot(version)
         if snap is None:
             raise FileNotFoundError(
@@ -427,12 +499,16 @@ class StateStore:
         sides to the union of their columns with typed NULLs (the
         ensure-columns rule applied pairwise); MAP columns (which Spark set
         operations reject) are compared as key-sorted entry arrays and
-        restored afterwards."""
+        restored afterwards. Either endpoint may be a tag name."""
+        if isinstance(v_from, str):
+            v_from = self.resolve_version(v_from)
         if v_to is None:
             cur = self.last_snapshot()
             if cur is None:
                 raise FileNotFoundError(f"no snapshot committed in {self.path}")
             v_to = cur["version"]
+        elif isinstance(v_to, str):
+            v_to = self.resolve_version(v_to)
         empty = (
             self.read_table(spark, kind, conv_ids=[], version=v_to)
             .withColumn("change", F.lit(""))
@@ -499,20 +575,31 @@ class StateStore:
         them (exactly Iceberg's expire_snapshots trade: history reads are
         valid until expiry, never silently wrong after it — ``snapshot()``
         returns None once expired). The current snapshot's archive, data
-        and any in-flight (newer) versions are kept."""
+        and any in-flight (newer) versions are kept, and so is every
+        TAGGED snapshot (``StateStore.tag`` — the Iceberg tag retention
+        rule): its archive, state dir and referenced parts survive until
+        ``untag`` releases them."""
         import re
         import shutil
 
         snap = self.last_snapshot()
         keep: set[str] = set()
         cur_version = snap["version"] if snap else 0
-        if snap:
+        # tagged snapshots are protected from expiry (the Iceberg tag
+        # retention rule): their archives, state dirs and referenced parts
+        # all survive until untagged
+        protected: dict[int, dict] = {}
+        for v in set(self.tags().values()):
+            tagged = self.snapshot(v)
+            if tagged is not None and v != cur_version:
+                protected[v] = tagged
+        for live in ([snap] if snap else []) + list(protected.values()):
             for kind in ("facts", "chunks", "edges"):
-                for p in self.table_parts(kind) or []:
+                for p in self.table_parts(kind, version=live["version"]) or []:
                     keep.add(os.path.realpath(p["path"]))
             for key in ("links_path", "linkmap_path", "canon_path", "vocab_path"):
-                if snap.get(key):
-                    keep.add(os.path.realpath(snap[key]))
+                if live.get(key):
+                    keep.add(os.path.realpath(live[key]))
         victims = []
         for name in sorted(os.listdir(out_dir)):
             if name == "edges" and snap and snap.get("edges_parts"):
@@ -547,7 +634,11 @@ class StateStore:
                 m = re.fullmatch(r"manifest_v(\d+)\.json", name) or re.fullmatch(
                     r"state_v(\d+)", name
                 )
-                if m is None or int(m.group(1)) >= cur_version:
+                if (
+                    m is None
+                    or int(m.group(1)) >= cur_version
+                    or int(m.group(1)) in protected
+                ):
                     continue
                 full = os.path.realpath(os.path.join(self.path, name))
                 if full != cur_data:
@@ -579,7 +670,7 @@ class StateStore:
         snap = self.last_snapshot()
         return (snap["version"] + 1) if snap else 1
 
-    def rollback(self, version: int) -> dict:
+    def rollback(self, version: int | str) -> dict:
         """Roll the CURRENT pointer back to an earlier committed snapshot —
         the Iceberg ``rollback_to_snapshot`` analog. Never rewrites
         history: rollback is a NEW commit (``stage='rollback'``, version =
@@ -594,10 +685,13 @@ class StateStore:
         Loud failure modes: rolling back to the current version (no-op ≠
         rollback — ValueError), to an unknown/expired version, or to a
         snapshot whose data dirs vacuum already removed (both
-        FileNotFoundError) — never a silent partial revert."""
+        FileNotFoundError) — never a silent partial revert. ``version``
+        may be a tag name (``StateStore.tag``)."""
         cur = self.last_snapshot()
         if cur is None:
             raise FileNotFoundError(f"no snapshot committed in {self.path}")
+        if isinstance(version, str):
+            version = self.resolve_version(version)
         if version == cur["version"]:
             raise ValueError(f"snapshot v{version} is already current")
         target = self.snapshot(version)

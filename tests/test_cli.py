@@ -326,6 +326,23 @@ def test_cli_history_and_as_of(spark, tmp_path):
     bad = coco_main(["rollback", "--state", state, "--to", "4"], spark=None)
     assert not bad["ok"] and "already current" in bad["error"]
 
+    # tag (pure-driver): pin v1, resolve it anywhere a version is accepted
+    t = coco_main(["tag", "golden", "--state", state, "--at", "1"], spark=None)
+    assert t["ok"] and t["version"] == 1
+    assert coco_main(["tag", "--state", state], spark=None)["tags"] == {"golden": 1}
+    by_tag = coco_main(["list", "--state", state, "--as-of", "golden"], spark=spark)
+    assert by_tag["n_conversations"] == 2
+    assert coco_main(["history", "--state", state], spark=None)["tags"] == {
+        "golden": 1
+    }
+    d2 = coco_main(
+        ["diff", "--state", state, "--from", "golden", "--to", "2"], spark=spark
+    )
+    assert d2["ok"] and (d2["v_from"], d2["v_to"]) == (1, 2)
+    gone = coco_main(["tag", "golden", "--state", state, "--delete"], spark=None)
+    assert gone["ok"] and gone["version"] == 1
+    assert coco_main(["tag", "--state", state], spark=None)["tags"] == {}
+
     # vacuum expires history: only the current snapshot remains listed
     r = coco_main(["vacuum", "--state", state, "--out", out_dir], spark=None)
     assert r["ok"]

@@ -139,6 +139,62 @@ def test_rollback_restores_tables_and_keeps_history(spark, tmp_path):
         store.rollback(2)  # expired → loud
 
 
+def test_tags_pin_snapshots_and_survive_vacuum(spark, tmp_path):
+    """Named snapshots (Iceberg tag analog): a tag resolves anywhere a
+    version does, protects its snapshot from vacuum expiry, and releasing
+    it (untag) lets the next vacuum expire the history as usual."""
+    out, state = str(tmp_path / "o"), str(tmp_path / "s")
+    texts = {
+        "c0": "alpha_svc calls beta_store .",
+        "c1": "gamma_svc uses delta_store .",
+    }
+    run_pipeline(spark, _tdf(spark, texts), out_dir=out, state_dir=state)
+    store = StateStore(state)
+    v1_facts = _facts_set(store.read_table(spark, "facts"))
+
+    texts["c0"] = "alpha_svc emits new_cache ."
+    texts["c2"] = "eps_svc imports zeta_store ."
+    run_pipeline(spark, _tdf(spark, texts), out_dir=out, state_dir=state)
+
+    # create: explicit version, and default-to-current
+    assert store.tag("golden", 1) == 1
+    assert store.tag("latest") == 2
+    assert store.tags() == {"golden": 1, "latest": 2}
+    # loud failure modes
+    with pytest.raises(ValueError):
+        store.tag("7", 1)  # digit name would shadow a version literal
+    with pytest.raises(FileNotFoundError):
+        store.tag("nope", 9)  # unknown version
+    with pytest.raises(KeyError):
+        store.untag("missing")
+    with pytest.raises(FileNotFoundError):
+        store.read_table(spark, "facts", version="no_such_tag")
+
+    # a tag resolves anywhere a version does
+    assert _facts_set(store.read_table(spark, "facts", version="golden")) == v1_facts
+    assert store.snapshot("golden")["version"] == 1
+    assert store.snapshot("no_such_tag") is None
+
+    # vacuum keeps the tagged snapshot: golden (v1) survives expiry
+    store.vacuum(out)
+    assert [s["version"] for s in store.snapshots()] == [1, 2]
+    assert _facts_set(store.read_table(spark, "facts", version="golden")) == v1_facts
+
+    # rollback by tag: v3, content == v1
+    m = store.rollback("golden")
+    assert (m["version"], m["rolled_back_to"]) == (3, 1)
+    assert _facts_set(store.read_table(spark, "facts")) == v1_facts
+
+    # untag releases it: the next vacuum expires v1's history entry
+    # (the v1 PARTS survive — the current rollback commit references them)
+    assert store.untag("golden") == 1
+    store.vacuum(out)
+    assert [s["version"] for s in store.snapshots()] == [2, 3]  # latest still pins 2
+    with pytest.raises(FileNotFoundError):
+        store.read(spark, version=1)
+    assert _facts_set(store.read_table(spark, "facts")) == v1_facts
+
+
 def test_legacy_store_without_archives_lists_current_only(spark, tmp_path):
     out, state = str(tmp_path / "o"), str(tmp_path / "s")
     run_pipeline(

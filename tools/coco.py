@@ -13,6 +13,8 @@ delete-analog) fronted over the library surface:
           — CDC changelog between two snapshots (insert/delete rows)
   rollback --state DIR --to V — roll the current pointer back to snapshot V
           (a NEW commit; history is never rewritten)
+  tag     [NAME] --state DIR [--at V] [--delete] — named snapshots
+          (vacuum-protected; accepted anywhere a version is)
   graph   tree|impact ROOT... --state DIR [--reverse] [--depth N]
   graph   pagerank|related|hits|communities|kcore|suggest --state DIR [--top N]
           [--rounds R] [-k K] [--max-hub D] — whole-graph analytics
@@ -22,8 +24,8 @@ delete-analog) fronted over the library surface:
   clear   --state DIR --out DIR --force — delete the index
   vacuum  --state DIR --out DIR [--dry-run]
 
-``info``/``init``/``config``/``clear``/``vacuum``/``history``/``rollback``
-are pure-driver verbs — they never start the JVM, so they return in
+``info``/``init``/``config``/``clear``/``vacuum``/``history``/``rollback``/
+``tag`` are pure-driver verbs — they never start the JVM, so they return in
 interactive time.
 
 Every verb prints ONE JSON document to stdout (rows as a list for search)
@@ -319,7 +321,8 @@ def _cmd_history(args, spark) -> dict:
     driver-side: manifest JSONs only, no Spark session."""
     from coco_search_spark.state import StateStore
 
-    snaps = StateStore(args.state).snapshots()
+    store = StateStore(args.state)
+    snaps = store.snapshots()
     if not snaps:
         return {"ok": False, "error": "no snapshot committed"}
     rows = [
@@ -337,7 +340,31 @@ def _cmd_history(args, spark) -> dict:
         }
         for s in snaps
     ]
-    return {"ok": True, "n_snapshots": len(rows), "snapshots": rows}
+    return {
+        "ok": True,
+        "n_snapshots": len(rows),
+        "tags": store.tags(),
+        "snapshots": rows,
+    }
+
+
+def _cmd_tag(args, spark) -> dict:
+    """Named snapshots (round 5 — the Iceberg tag analog), pure-driver:
+    no NAME lists the tags, --delete drops one, otherwise NAME is
+    created/moved to --at (default: the current snapshot). A tagged
+    snapshot is protected from vacuum's history expiry and is accepted
+    anywhere a version is (`--as-of`, `rollback --to`, `diff --from/--to`)."""
+    from coco_search_spark.state import StateStore
+
+    store = StateStore(args.state)
+    try:
+        if args.name is None:
+            return {"ok": True, "tags": store.tags()}
+        if args.delete:
+            return {"ok": True, "deleted": args.name, "version": store.untag(args.name)}
+        return {"ok": True, "tag": args.name, "version": store.tag(args.name, args.at)}
+    except (ValueError, FileNotFoundError, KeyError) as e:
+        return {"ok": False, "error": str(e)}
 
 
 def _cmd_diff(args, spark) -> dict:
@@ -356,9 +383,17 @@ def _cmd_diff(args, spark) -> dict:
     cur = store.last_snapshot()
     if cur is None:
         return {"ok": False, "error": "no snapshot committed"}
-    v_to = args.v_to if args.v_to is not None else cur["version"]
-    diff = store.diff_table(spark, args.table, v_from=args.v_from, v_to=v_to)
-    n_changed = store.changed_convs(spark, args.table, args.v_from, v_to).count()
+    try:
+        v_from = store.resolve_version(args.v_from)
+        v_to = (
+            store.resolve_version(args.v_to)
+            if args.v_to is not None
+            else cur["version"]
+        )
+    except FileNotFoundError as e:
+        return {"ok": False, "error": str(e)}
+    diff = store.diff_table(spark, args.table, v_from=v_from, v_to=v_to)
+    n_changed = store.changed_convs(spark, args.table, v_from, v_to).count()
     counts = {
         r["change"]: r["n"]
         for r in diff.groupBy("change").agg(F.count(F.lit(1)).alias("n")).collect()
@@ -370,7 +405,7 @@ def _cmd_diff(args, spark) -> dict:
     return {
         "ok": True,
         "table": args.table,
-        "v_from": args.v_from,
+        "v_from": v_from,
         "v_to": v_to,
         "n_insert": counts.get("insert", 0),
         "n_delete": counts.get("delete", 0),
@@ -485,8 +520,8 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
     pl.add_argument("--state", required=True)
     pl.add_argument("--limit", type=int, default=100)
     pl.add_argument(
-        "--as-of", type=int, default=None, dest="as_of",
-        help="read the state table as of snapshot version V (see history)",
+        "--as-of", default=None, dest="as_of",
+        help="read the state table as of snapshot version or tag (see history)",
     )
 
     pg = sub.add_parser(
@@ -525,8 +560,8 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
     pt = sub.add_parser("stats", help="snapshot + state-table summary")
     pt.add_argument("--state", required=True)
     pt.add_argument(
-        "--as-of", type=int, default=None, dest="as_of",
-        help="summarize a historical snapshot version V (see history)",
+        "--as-of", default=None, dest="as_of",
+        help="summarize a historical snapshot version or tag (see history)",
     )
 
     ph = sub.add_parser("history", help="snapshot log (time-travel targets)")
@@ -537,12 +572,12 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
     )
     pdf.add_argument("--state", required=True)
     pdf.add_argument(
-        "--from", type=int, required=True, dest="v_from",
-        help="older snapshot version (see history)",
+        "--from", required=True, dest="v_from",
+        help="older snapshot version or tag (see history)",
     )
     pdf.add_argument(
-        "--to", type=int, default=None, dest="v_to",
-        help="newer snapshot version (default: current)",
+        "--to", default=None, dest="v_to",
+        help="newer snapshot version or tag (default: current)",
     )
     pdf.add_argument("--table", default="edges", choices=("facts", "chunks", "edges"))
     pdf.add_argument("--limit", type=int, default=100)
@@ -552,9 +587,20 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
     )
     prb.add_argument("--state", required=True)
     prb.add_argument(
-        "--to", type=int, required=True,
-        help="target snapshot version (see history); commits a new snapshot",
+        "--to", required=True,
+        help="target snapshot version or tag (see history); commits a new snapshot",
     )
+
+    ptg = sub.add_parser(
+        "tag", help="named snapshots: create/move/list/delete (vacuum-protected)"
+    )
+    ptg.add_argument("name", nargs="?", default=None, help="tag name (omit to list)")
+    ptg.add_argument("--state", required=True)
+    ptg.add_argument(
+        "--at", type=int, default=None,
+        help="snapshot version to pin (default: current)",
+    )
+    ptg.add_argument("--delete", action="store_true", help="drop the tag")
 
     pv = sub.add_parser("vacuum", help="remove superseded/orphaned version dirs")
     pv.add_argument("--state", required=True)
@@ -576,11 +622,12 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
         "history": _cmd_history,
         "diff": _cmd_diff,
         "rollback": _cmd_rollback,
+        "tag": _cmd_tag,
         "vacuum": _cmd_vacuum,
     }
     # pure-driver verbs: no DataFrame work, so no JVM spin-up
     if args.verb in (
-        "info", "init", "config", "clear", "vacuum", "history", "rollback"
+        "info", "init", "config", "clear", "vacuum", "history", "rollback", "tag"
     ):
         out = verbs[args.verb](args, None)
         print(json.dumps(out, default=str))
