@@ -159,6 +159,28 @@ def test_cli_extended_verbs(spark, tmp_path):
     r = coco_main(["config", str(bad), "--check"], spark=spark)
     assert not r["ok"] and len(r["problems"]) >= 2
 
+    # export: one plain parquet dir holding the RESOLVED table — vanilla
+    # spark.read.parquet sees the same rows read_table resolves
+    dest = str(tmp_path / "edges_export")
+    r = coco_main(
+        ["export", "--state", state, "--dest", dest, "--table", "edges"],
+        spark=spark,
+    )
+    want = StateStore(state).read_table(spark, "edges").count()
+    assert r["ok"] and r["rows"] == want >= 1
+    assert spark.read.parquet(dest).count() == want
+    # existing dest refuses without --force, overwrites with it
+    r = coco_main(
+        ["export", "--state", state, "--dest", dest, "--table", "edges"],
+        spark=spark,
+    )
+    assert not r["ok"]
+    r = coco_main(
+        ["export", "--state", state, "--dest", dest, "--table", "edges", "--force"],
+        spark=spark,
+    )
+    assert r["ok"] and r["rows"] == want
+
     # clear: refuses without --force, deletes both dirs with it, and a
     # snapshot-less dir is never deleted (mistyped-path guard)
     r = coco_main(["clear", "--state", state, "--out", out_dir], spark=spark)

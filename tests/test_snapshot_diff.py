@@ -114,6 +114,14 @@ def test_diff_table_insert_delete_edit_and_pruning(spark, tmp_path):
     assert applied.exceptAll(v2e).count() == 0
     assert v2e.exceptAll(applied).count() == 0
 
+    # chunks diff (third table kind; embedding float-arrays ride exceptAll)
+    cdiff = store.diff_table(spark, "chunks", v_from=1)
+    c_convs = {r["conv_id"] for r in cdiff.select("conv_id").distinct().collect()}
+    assert c_convs <= {"c1", "c2", "c3"} and "c2" in c_convs and "c3" in c_convs
+    assert cdiff.filter("conv_id = 'c2' and change = 'insert'").count() == 0
+    assert cdiff.filter("conv_id = 'c2' and change = 'delete'").count() > 0
+    assert cdiff.filter("conv_id = 'c3' and change = 'delete'").count() == 0
+
     # vacuum expires v1 → the diff must raise, never silently read current
     store.vacuum(out)
     with pytest.raises(FileNotFoundError):

@@ -15,6 +15,8 @@ delete-analog) fronted over the library surface:
           (a NEW commit; history is never rewritten)
   tag     [NAME] --state DIR [--at V] [--delete] — named snapshots
           (vacuum-protected; accepted anywhere a version is)
+  export  --state DIR --dest DIR [--table T] [--as-of V] [--force]
+          — materialize a resolved table as one plain parquet dir
   graph   tree|impact ROOT... --state DIR [--reverse] [--depth N]
   graph   pagerank|related|hits|communities|kcore|suggest --state DIR [--top N]
           [--rounds R] [-k K] [--max-hub D] — whole-graph analytics
@@ -436,6 +438,37 @@ def _cmd_rollback(args, spark) -> dict:
     }
 
 
+def _cmd_export(args, spark) -> dict:
+    """Materialize a state-managed table as ONE plain parquet dir for
+    downstream consumers — the RESOLVED view (per-conversation pointer
+    resolution applied, deleted conversations dropped), not the raw
+    versioned parts, optionally as of a historical version or tag. The
+    downstream contract is a vanilla `spark.read.parquet(dest)` with no
+    knowledge of the store."""
+    from coco_search_spark.state import StateStore
+
+    from pyspark.errors import AnalysisException
+
+    store = StateStore(args.state)
+    try:
+        df = store.read_table(spark, args.table, version=args.as_of)
+        df.write.mode("overwrite" if args.force else "errorifexists").parquet(
+            args.dest
+        )
+    except FileNotFoundError as e:
+        return {"ok": False, "error": str(e)}
+    except AnalysisException as e:
+        # dest already exists and --force not given
+        return {"ok": False, "error": str(e)}
+    return {
+        "ok": True,
+        "table": args.table,
+        "dest": args.dest,
+        "as_of": args.as_of,
+        "rows": spark.read.parquet(args.dest).count(),
+    }
+
+
 def _cmd_stats(args, spark) -> dict:
     from pyspark.sql import functions as F
 
@@ -591,6 +624,18 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
         help="target snapshot version or tag (see history); commits a new snapshot",
     )
 
+    pe = sub.add_parser(
+        "export", help="materialize a resolved table as one plain parquet dir"
+    )
+    pe.add_argument("--state", required=True)
+    pe.add_argument("--dest", required=True, help="output parquet directory")
+    pe.add_argument("--table", default="edges", choices=("facts", "chunks", "edges"))
+    pe.add_argument(
+        "--as-of", default=None, dest="as_of",
+        help="export as of a snapshot version or tag (default: current)",
+    )
+    pe.add_argument("--force", action="store_true", help="overwrite dest")
+
     ptg = sub.add_parser(
         "tag", help="named snapshots: create/move/list/delete (vacuum-protected)"
     )
@@ -623,6 +668,7 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
         "diff": _cmd_diff,
         "rollback": _cmd_rollback,
         "tag": _cmd_tag,
+        "export": _cmd_export,
         "vacuum": _cmd_vacuum,
     }
     # pure-driver verbs: no DataFrame work, so no JVM spin-up
