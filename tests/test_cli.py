@@ -335,6 +335,19 @@ def test_cli_history_and_as_of(spark, tmp_path):
     assert {r["conv_id"] for r in d["rows"]} == {"c2"}
     assert all(r["change"] == "insert" for r in d["rows"])
 
+    # search/graph --as-of: query the index as it was at snapshot v1 —
+    # the conversation that only exists in v2 is invisible there
+    cur_s = coco_main(["search", "zeta_svc", "--state", state], spark=spark)
+    old_s = coco_main(
+        ["search", "zeta_svc", "--state", state, "--as-of", "1"], spark=spark
+    )
+    assert any(r["chunk_id"].startswith("c2#") for r in cur_s["results"])
+    assert not any(r["chunk_id"].startswith("c2#") for r in old_s["results"])
+    g = coco_main(
+        ["graph", "pagerank", "--state", state, "--as-of", "1"], spark=spark
+    )
+    assert g["ok"] and g["n"] >= 1
+
     # rollback (pure-driver): back to the v1 world — a NEW commit v3
     rb = coco_main(["rollback", "--state", state, "--to", "1"], spark=None)
     assert rb["ok"] and rb["version"] == 3

@@ -5,6 +5,7 @@ delete-analog) fronted over the library surface:
 
   index   transcripts.parquet --out DIR --state DIR [--catalog P] [--config P]
   search  "query" --state DIR [-k N] [--min-score X] [--context] [--transcripts P]
+          [--as-of V] — hybrid search, optionally against a past snapshot
   analyze "query" --state DIR [-k N] — per-stage search diagnostics
   list    --state DIR [--limit N] [--as-of V] — indexed conversations
   stats   --state DIR [--as-of V]
@@ -75,7 +76,7 @@ def _cmd_index(args, spark) -> dict:
 def _cmd_search(args, spark) -> dict:
     # the chunk store keys on (conv_id, turn_idx, seg_idx); the search API
     # wants one opaque id — same synthesis the driver queries use
-    chunks = _load_chunks(spark, args.state)
+    chunks = _load_chunks(spark, args.state, args.as_of)
     kwargs = dict(k=args.k, rewrite=args.rewrite, min_score=args.min_score)
     if args.context:
         if not args.transcripts:
@@ -93,12 +94,12 @@ def _cmd_search(args, spark) -> dict:
     return {"ok": True, "query": args.query, "n": len(rows), "results": rows}
 
 
-def _load_chunks(spark, state: str):
+def _load_chunks(spark, state: str, as_of=None):
     from pyspark.sql import functions as F
 
     from coco_search_spark.state import StateStore
 
-    return StateStore(state).read_table(spark, "chunks").withColumn(
+    return StateStore(state).read_table(spark, "chunks", version=as_of).withColumn(
         "chunk_id", F.concat_ws("#", "conv_id", "turn_idx", "seg_idx")
     )
 
@@ -108,7 +109,7 @@ def _cmd_analyze(args, spark) -> dict:
     from coco_search_spark.search import analyze_search
 
     out = analyze_search(
-        _load_chunks(spark, args.state),
+        _load_chunks(spark, args.state, args.as_of),
         args.query,
         k=args.k,
         rewrite=args.rewrite,
@@ -156,7 +157,7 @@ def _cmd_graph(args, spark) -> dict:
     )
     from coco_search_spark.state import StateStore
 
-    edges = StateStore(args.state).read_table(spark, "edges")
+    edges = StateStore(args.state).read_table(spark, "edges", version=args.as_of)
     if args.mode in ("tree", "impact"):
         if not args.roots:
             return {"ok": False, "error": f"graph {args.mode} requires root ids"}
@@ -540,6 +541,10 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
         "--context", action="store_true", help="attach content + context window"
     )
     ps.add_argument("--transcripts", default=None, help="turn table for --context")
+    ps.add_argument(
+        "--as-of", default=None, dest="as_of",
+        help="search the chunk store as of a snapshot version or tag",
+    )
 
     pa_ = sub.add_parser("analyze", help="per-stage search diagnostics")
     pa_.add_argument("query")
@@ -548,6 +553,10 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
     pa_.add_argument("--min-score", type=float, default=None, dest="min_score")
     pa_.add_argument("--rewrite", action="store_true")
     pa_.add_argument("--where", default=None, help="SQL predicate over chunk columns")
+    pa_.add_argument(
+        "--as-of", default=None, dest="as_of",
+        help="analyze against the chunk store as of a snapshot version or tag",
+    )
 
     pl = sub.add_parser("list", help="indexed conversations")
     pl.add_argument("--state", required=True)
@@ -573,6 +582,10 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
     pg.add_argument(
         "--max-hub", type=int, default=1000, dest="max_hub",
         help="suggest: drop shared-neighbor buckets above this degree",
+    )
+    pg.add_argument(
+        "--as-of", default=None, dest="as_of",
+        help="walk the edge table as of a snapshot version or tag",
     )
 
     pc = sub.add_parser("config", help="resolved EngineConfig + identity hash")
