@@ -1890,6 +1890,102 @@ ORDER BY conv_id, turn_idx, subj_id, pred, obj_id
     )
 
 
+def q_kg_compact(spark, sf_dir):
+    """Explicit store compaction (round 5, Iceberg ``rewrite_data_files``
+    analog — reference twin: none; its per-file tables never fragment)
+    through the driver gate: run 1 indexes the derived corpus, run 2 grows
+    five conversations (the kg_edge_delta edit — vocabulary-preserving, so
+    facts/chunks/edges all gain a v2 delta part), then ``StateStore.
+    compact`` folds every table back to ONE part in a new snapshot. Output
+    = the RESOLVED edge table AFTER compaction plus the receipt (parts
+    before/after, committed stage). The oracle recomputes the full edge
+    table over the grown corpus and pins the receipt literals — value-
+    checking both claims: compaction preserved content exactly, and it
+    actually folded 2 parts into 1 via a 'compact' commit."""
+    import shutil
+    import tempfile
+
+    from coco_search_spark.pipeline import run_pipeline
+    from coco_search_spark.state import StateStore
+
+    base = derived_transcripts(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="coco_compact_")
+    try:
+        run_pipeline(spark, base, out_dir=f"{tmp}/out", state_dir=f"{tmp}/state")
+        donor = base.filter(
+            (F.col("conv_id") == "conv-1") & (F.col("turn_idx") == 0)
+        ).drop("conv_id", "turn_idx")
+        grown = base.unionByName(
+            donor.crossJoin(
+                spark.createDataFrame([(c,) for c in _DELTA_CONVS], "conv_id string")
+            ).withColumn("turn_idx", F.lit(900))
+        )
+        run_pipeline(spark, grown, out_dir=f"{tmp}/out", state_dir=f"{tmp}/state")
+        store = StateStore(f"{tmp}/state")
+        n_before = len(store.table_parts("edges"))
+        receipt = store.compact(spark, f"{tmp}/out")
+        n_after = len(store.table_parts("edges"))
+        return (
+            store.read_table(spark, "edges")
+            .select(
+                "conv_id",
+                "turn_idx",
+                "subj_id",
+                "pred",
+                "obj_id",
+                "subj",
+                "obj",
+                F.lit(n_before).cast("int").alias("n_parts_before"),
+                F.lit(n_after).cast("int").alias("n_parts_after"),
+                F.lit(store.last_snapshot()["stage"]).alias("stage"),
+                F.lit(len(receipt["compacted"])).cast("int").alias("n_compacted"),
+            )
+            .orderBy("conv_id", "turn_idx", "subj_id", "pred", "obj_id")
+            # materialize before the temp state dir disappears
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _compact_oracle() -> str:
+    """Full-recompute oracle over the grown corpus (same derivation as
+    kg_edge_delta's); the receipt literals pin that compaction folded the
+    two-part table into one via a 'compact' commit covering all three
+    delta-written tables."""
+    values = ", ".join(f"('{c}')" for c in _DELTA_CONVS)
+    return (
+        _canon_cte(include_bindings=True, include_standalone=True)
+        + f""",
+occ AS (
+  SELECT 'conv-' || (doc_id % 50) AS conv_id,
+         CAST(FLOOR(doc_id / 50.0) AS INT) AS turn_idx,
+         source || '_svc' AS subj, {_PRED_CASE} AS pred, lang || '_store' AS obj
+  FROM documents WHERE {_FORM_KEY} <= 3
+  UNION ALL
+  SELECT 'conv-' || (doc_id % 50), CAST(FLOOR(doc_id / 50.0) AS INT),
+         source || '_svc', {_PRED_CASE}, lang || '_cache'
+  FROM documents WHERE {_FORM_KEY} = 3
+),
+occ2 AS (
+  SELECT * FROM occ
+  UNION ALL
+  SELECT v.cid, 900, occ.subj, occ.pred, occ.obj
+  FROM occ CROSS JOIN (VALUES {values}) v(cid)
+  WHERE occ.conv_id = 'conv-1' AND occ.turn_idx = 0
+)
+SELECT occ2.conv_id, occ2.turn_idx, cs.canon_id AS subj_id, occ2.pred,
+       co.canon_id AS obj_id, occ2.subj, occ2.obj,
+       CAST(2 AS INT) AS n_parts_before, CAST(1 AS INT) AS n_parts_after,
+       'compact' AS stage, CAST(3 AS INT) AS n_compacted
+FROM occ2
+JOIN canon cs ON cs.surface = occ2.subj
+JOIN canon co ON co.surface = occ2.obj
+ORDER BY conv_id, turn_idx, subj_id, pred, obj_id
+"""
+    )
+
+
 def q_kg_time_travel(spark, sf_dir):
     """Snapshot history + time travel (round 5) through the driver gate:
     run 1 indexes the derived corpus; run 2 grows five conversations by a
@@ -3831,6 +3927,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_label_prop": q_graph_label_prop,
     "kg_vocab_delta": q_kg_vocab_delta,
     "kg_edge_delta": q_kg_edge_delta,
+    "kg_compact": q_kg_compact,
     "kg_scan_prune": q_kg_scan_prune,
     "kg_search_filtered": q_kg_search_filtered,
     "kg_search_context": q_kg_search_context,
@@ -3915,6 +4012,7 @@ ORACLES: dict[str, str] = {
     "graph_label_prop": _label_prop_oracle(),
     "kg_vocab_delta": _vocab_delta_oracle(),
     "kg_edge_delta": _edge_delta_oracle(),
+    "kg_compact": _compact_oracle(),
     "kg_rollback": _rollback_oracle(),
     "kg_snapshot_diff": _snapshot_diff_oracle(),
     "kg_time_travel": _time_travel_oracle(),

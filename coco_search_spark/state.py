@@ -656,6 +656,90 @@ class StateStore:
                     shutil.rmtree(v, ignore_errors=True)
         return victims
 
+    def compact(
+        self,
+        spark: SparkSession,
+        out_dir: str,
+        kinds: tuple[str, ...] = ("facts", "chunks", "edges"),
+        dry_run: bool = False,
+    ) -> dict:
+        """Explicit maintenance compaction — the Iceberg
+        ``rewrite_data_files`` analog, operator-invoked (off-peak) instead
+        of waiting for the pipeline's automatic COMPACT_PARTS_AFTER fold.
+
+        Every ``kind`` whose part list has >1 dir is resolved to its
+        current full contents (``read_table`` — embeddings reloaded, never
+        recomputed) and rewritten as ONE new-version part; the state
+        table's version pointers for that kind all move to the new part.
+        Everything else in the manifest — reuse fingerprints, link/canon/
+        vocab pointers, input manifest — carries verbatim: compaction
+        changes layout, never content, so every warm-run reuse gate
+        survives it. The commit is a normal snapshot (``stage='compact'``):
+        the pre-compact snapshot stays time-travel readable until
+        ``vacuum`` expires it (at which point the old fragmented parts are
+        deleted). Single-part tables are skipped; if nothing needs folding
+        the call is a no-op and commits nothing.
+
+        Returns ``{"compacted": [kinds], "version": int, "parts_before":
+        {kind: n}}`` (with ``dry_run`` nothing is written)."""
+        cur = self.last_snapshot()
+        if cur is None:
+            raise FileNotFoundError(f"no snapshot committed in {self.path}")
+        parts_before = {
+            k: len(self.table_parts(k) or []) for k in kinds
+        }
+        todo = [k for k in kinds if parts_before[k] > 1]
+        if dry_run or not todo:
+            return {
+                "compacted": todo,
+                "version": cur["version"],
+                "parts_before": parts_before,
+                "committed": False,
+            }
+        from coco_search_spark.operators.materialize import write_edges
+
+        version = self.next_version()
+        manifest = {
+            k: v
+            for k, v in cur.items()
+            if k
+            not in (
+                "version", "snapshot_id", "stage", "data_path", "committed_at",
+                "rolled_back_to", "rolled_back_from",
+            )
+        }
+        state = self.read(spark)
+        for kind in todo:
+            path = os.path.join(out_dir, f"{kind}_v{version:06d}")
+            full = self.read_table(spark, kind)
+            if kind == "edges":
+                # same layout contract as the pipeline's edge sink: salted
+                # repartition + conv_id row-group stats for the indexed
+                # delta fetch (_attach_metadata is a no-op on resolved
+                # rows — they already carry the metadata map)
+                write_edges(full, path)
+            else:
+                full.write.mode("overwrite").parquet(path)
+            manifest[f"{kind}_parts"] = [{"path": path, "version": version}]
+            if manifest.get(f"{kind}_path"):
+                manifest[f"{kind}_path"] = path
+            pointer = POINTER_COLS.get(kind, "written_version")
+            # pointer moves only where it was set: a NULL pointer (conv
+            # tracked before that table existed) must stay NULL
+            state = state.withColumn(
+                pointer,
+                F.when(F.col(pointer).isNotNull(), F.lit(version)).otherwise(
+                    F.col(pointer)
+                ),
+            )
+        self.commit(state.drop("snapshot_id"), stage="compact", extra=manifest)
+        return {
+            "compacted": todo,
+            "version": version,
+            "parts_before": parts_before,
+            "committed": True,
+        }
+
     def staleness_seconds(self) -> float | None:
         """Age of the last committed snapshot in seconds, or None when no
         snapshot exists — the check_staleness analog (reference:

@@ -26,6 +26,8 @@ delete-analog) fronted over the library surface:
   init    PATH [--force] — write a starter config file
   clear   --state DIR --out DIR --force — delete the index
   vacuum  --state DIR --out DIR [--dry-run]
+  compact --state DIR --out DIR [--dry-run] — fold multi-part delta tables
+          into one part per table (Iceberg rewrite_data_files analog)
 
 ``info``/``init``/``config``/``clear``/``vacuum``/``history``/``rollback``/
 ``tag`` are pure-driver verbs — they never start the JVM, so they return in
@@ -519,6 +521,18 @@ def _cmd_vacuum(args, spark) -> dict:
     return {"ok": True, "dry_run": args.dry_run, "removed": victims}
 
 
+def _cmd_compact(args, spark) -> dict:
+    """Explicit store maintenance (Iceberg rewrite_data_files analog):
+    fold every multi-part delta table into one part as a new snapshot.
+    The pre-compact snapshot stays time-travel readable until vacuum."""
+    from coco_search_spark.state import StateStore
+
+    out = StateStore(args.state).compact(spark, args.out, dry_run=args.dry_run)
+    out["ok"] = True
+    out["dry_run"] = args.dry_run
+    return out
+
+
 def main(argv: list[str] | None = None, spark=None) -> dict:
     p = argparse.ArgumentParser(prog="coco", description=__doc__)
     p.add_argument("--cpus", default="*", help="local[N] cores (default all)")
@@ -665,6 +679,13 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
     pv.add_argument("--out", required=True)
     pv.add_argument("--dry-run", action="store_true", dest="dry_run")
 
+    pk = sub.add_parser(
+        "compact", help="fold multi-part delta tables into one part per table"
+    )
+    pk.add_argument("--state", required=True)
+    pk.add_argument("--out", required=True)
+    pk.add_argument("--dry-run", action="store_true", dest="dry_run")
+
     args = p.parse_args(argv)
     verbs = {
         "index": _cmd_index,
@@ -683,6 +704,7 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
         "tag": _cmd_tag,
         "export": _cmd_export,
         "vacuum": _cmd_vacuum,
+        "compact": _cmd_compact,
     }
     # pure-driver verbs: no DataFrame work, so no JVM spin-up
     if args.verb in (
