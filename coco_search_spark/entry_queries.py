@@ -1890,6 +1890,115 @@ ORDER BY conv_id, turn_idx, subj_id, pred, obj_id
     )
 
 
+def q_kg_upsert(spark, sf_dir):
+    """Upsert-only mode (round 5 late — the streaming-indexer batch
+    contract) through the driver gate: run 1 indexes the derived corpus;
+    run 2 delivers a PARTIAL input holding only the five grown
+    conversations (their full turn sets + the copied turn — the
+    kg_edge_delta edit re-expressed as a micro-batch). With
+    ``upsert_only=True`` the 45 absent conversations are CARRIED, never
+    read as deletions, and the dirty five delta-write exactly as a
+    full-corpus incremental run would. Output = the resolved edge table
+    plus the receipt (origin part, carried-conversation count, part
+    count). The oracle recomputes the full grown-corpus edge table and
+    pins the receipt — value-checking that a partial input produces the
+    same store a full input does. Reference analog: none (the reference
+    must always be pointed at the full tree; flow.py:343-361 diffs
+    presence, so a partial input would delete)."""
+    import shutil
+    import tempfile
+
+    from coco_search_spark.pipeline import run_pipeline
+    from coco_search_spark.state import StateStore
+
+    base = derived_transcripts(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="coco_upsert_")
+    try:
+        run_pipeline(spark, base, out_dir=f"{tmp}/out", state_dir=f"{tmp}/state")
+        donor = base.filter(
+            (F.col("conv_id") == "conv-1") & (F.col("turn_idx") == 0)
+        ).drop("conv_id", "turn_idx")
+        batch = base.filter(F.col("conv_id").isin(list(_DELTA_CONVS))).unionByName(
+            donor.crossJoin(
+                spark.createDataFrame([(c,) for c in _DELTA_CONVS], "conv_id string")
+            ).withColumn("turn_idx", F.lit(900))
+        )
+        r = run_pipeline(
+            spark,
+            batch,
+            out_dir=f"{tmp}/out",
+            state_dir=f"{tmp}/state",
+            upsert_only=True,
+        )
+        store = StateStore(f"{tmp}/state")
+        n_parts = len(store.table_parts("edges"))
+        wv = store.read(spark).select("conv_id", "edges_wv")
+        return (
+            store.read_table(spark, "edges")
+            .join(wv, "conv_id")
+            .select(
+                "conv_id",
+                "turn_idx",
+                "subj_id",
+                "pred",
+                "obj_id",
+                "subj",
+                "obj",
+                F.when(F.col("edges_wv") == 2, "delta")
+                .otherwise("base")
+                .alias("origin"),
+                F.lit(int(r.metrics["n_unchanged_convs"]))
+                .cast("int")
+                .alias("n_carried"),
+                F.lit(n_parts).cast("int").alias("n_parts"),
+            )
+            .orderBy("conv_id", "turn_idx", "subj_id", "pred", "obj_id")
+            # materialize before the temp state dir disappears
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _upsert_oracle() -> str:
+    """Same grown-corpus recompute as kg_edge_delta's oracle; the receipt
+    pins 45 carried (absent, non-deleted) conversations and the two-part
+    delta layout — a partial input must produce the full-input store."""
+    delta_list = ", ".join(f"'{c}'" for c in _DELTA_CONVS)
+    values = ", ".join(f"('{c}')" for c in _DELTA_CONVS)
+    return (
+        _canon_cte(include_bindings=True, include_standalone=True)
+        + f""",
+occ AS (
+  SELECT 'conv-' || (doc_id % 50) AS conv_id,
+         CAST(FLOOR(doc_id / 50.0) AS INT) AS turn_idx,
+         source || '_svc' AS subj, {_PRED_CASE} AS pred, lang || '_store' AS obj
+  FROM documents WHERE {_FORM_KEY} <= 3
+  UNION ALL
+  SELECT 'conv-' || (doc_id % 50), CAST(FLOOR(doc_id / 50.0) AS INT),
+         source || '_svc', {_PRED_CASE}, lang || '_cache'
+  FROM documents WHERE {_FORM_KEY} = 3
+),
+occ2 AS (
+  SELECT * FROM occ
+  UNION ALL
+  SELECT v.cid, 900, occ.subj, occ.pred, occ.obj
+  FROM occ CROSS JOIN (VALUES {values}) v(cid)
+  WHERE occ.conv_id = 'conv-1' AND occ.turn_idx = 0
+)
+SELECT occ2.conv_id, occ2.turn_idx, cs.canon_id AS subj_id, occ2.pred,
+       co.canon_id AS obj_id, occ2.subj, occ2.obj,
+       CASE WHEN occ2.conv_id IN ({delta_list}) THEN 'delta' ELSE 'base' END
+         AS origin,
+       CAST(45 AS INT) AS n_carried, CAST(2 AS INT) AS n_parts
+FROM occ2
+JOIN canon cs ON cs.surface = occ2.subj
+JOIN canon co ON co.surface = occ2.obj
+ORDER BY conv_id, turn_idx, subj_id, pred, obj_id
+"""
+    )
+
+
 def q_kg_compact(spark, sf_dir):
     """Explicit store compaction (round 5, Iceberg ``rewrite_data_files``
     analog — reference twin: none; its per-file tables never fragment)
@@ -3928,6 +4037,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_vocab_delta": q_kg_vocab_delta,
     "kg_edge_delta": q_kg_edge_delta,
     "kg_compact": q_kg_compact,
+    "kg_upsert": q_kg_upsert,
     "kg_scan_prune": q_kg_scan_prune,
     "kg_search_filtered": q_kg_search_filtered,
     "kg_search_context": q_kg_search_context,
@@ -4013,6 +4123,7 @@ ORACLES: dict[str, str] = {
     "kg_vocab_delta": _vocab_delta_oracle(),
     "kg_edge_delta": _edge_delta_oracle(),
     "kg_compact": _compact_oracle(),
+    "kg_upsert": _upsert_oracle(),
     "kg_rollback": _rollback_oracle(),
     "kg_snapshot_diff": _snapshot_diff_oracle(),
     "kg_time_travel": _time_travel_oracle(),

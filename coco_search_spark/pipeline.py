@@ -106,6 +106,7 @@ def run_pipeline(
     extractor: str = "native",
     embed_dim: int = 64,
     config: "EngineConfig | None" = None,
+    upsert_only: bool = False,
 ) -> PipelineResult:
     """Full batch run. When ``state_dir`` is given, unchanged conversations
     (same content hash as the stored state) skip extraction; triples for
@@ -120,6 +121,18 @@ def run_pipeline(
     back to a full re-extract — mixing facts from two configs in one
     snapshot would be silently wrong (provenance rule; reference:
     management/metadata.py:29-50, management/git.py).
+
+    ``upsert_only``: the input is a PARTIAL corpus — new and changed
+    conversations only (a streaming micro-batch, a partner drop, a
+    backfill shard). Conversations in the stored state but absent from the
+    input are CARRIED (content hash, lineage, version pointers — all kept)
+    instead of read as deletions; nothing is ever deleted by an upsert
+    run. Granularity is the conversation: a conversation present in the
+    input replaces its stored rows entirely, so each batch must carry
+    whole conversations, not turn fragments. Scan pruning is skipped and
+    no input manifest is recorded — a partial input's file set must not
+    become the next run's pruning baseline (the next full-corpus run
+    simply re-hashes; correct, just not file-pruned).
     """
     import time as _time
 
@@ -163,7 +176,7 @@ def run_pipeline(
     # decision: under pruning only the re-read files are re-validated.
     cur_manifest = None
     prune = None
-    if store is not None and cfg.incremental_scan:
+    if store is not None and cfg.incremental_scan and not upsert_only:
         from coco_search_spark.operators.scan_pruning import (
             input_manifest,
             plan_pruned_scan,
@@ -240,6 +253,24 @@ def run_pipeline(
                 F.lit(None).cast("bigint").alias("stored_errors"),
                 F.lit(False).alias("carried"),
             ).cache()
+        if upsert_only:
+            # upsert contract: conversations absent from the partial input
+            # are carried, never deleted — union their STORED identity rows
+            # into the current set (hash == stored hash ⇒ the diff below
+            # reads them as 'unchanged', so every downstream reuse path —
+            # facts reload, pointer carry, vocab/node deltas — applies
+            # unmodified and 'deleted' cannot occur)
+            absent = stored.join(
+                cur_hashes.select("conv_id"), "conv_id", "left_anti"
+            ).select(
+                "conv_id",
+                "content_hash",
+                "rows_in",
+                "src_files",
+                F.col("errors").alias("stored_errors"),
+                F.lit(True).alias("carried"),
+            )
+            cur_hashes = cur_hashes.unionByName(absent).cache()
         diff = diff_against_state(cur_hashes, stored).cache()
         # ONE aggregation for every diff-status count (the naive form — one
         # filtered count per status — pays three scheduler round-trips for
@@ -1166,7 +1197,7 @@ def run_pipeline(
         errors_col = (
             F.when(F.col("carried"), F.coalesce(F.col("stored_errors"), F.lit(0)))
             .otherwise(F.coalesce(F.col("errors"), F.lit(0)))
-            if prune is not None
+            if (prune is not None or upsert_only)
             else F.coalesce(F.col("errors"), F.lit(0))
         )
         if delta_mode and not compact:

@@ -92,6 +92,65 @@ def run_streaming_pipeline(
     return writer.start()
 
 
+def run_streaming_indexer(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    catalog: DataFrame | None = None,
+    config=None,
+    trigger_available_now: bool = True,
+    max_files_per_trigger: int = 8,
+):
+    """readStream → foreachBatch(run_pipeline(upsert_only=True)) — the
+    streaming-maintained STATE STORE (where ``run_streaming_pipeline``
+    streams raw extraction output, this maintains the full index: facts,
+    chunks, edges, nodes, vocabulary, snapshots).
+
+    Each micro-batch is a partial corpus, so the batch pipeline runs in
+    upsert mode: conversations absent from the batch are carried, never
+    deleted, and every warm-path reuse gate (facts reload, pointer carry,
+    refcounted vocabulary, node/edge deltas) applies — steady-state batch
+    cost is O(batch), not O(corpus). Each batch commits one snapshot, so
+    the stream's progress is time-travel readable and a consumer reads a
+    consistent index at any commit via ``StateStore.read_table``.
+
+    Contract inherited from upsert mode: a batch must carry WHOLE
+    conversations (the file source satisfies this when each input file
+    holds complete conversations — the transcript-bundle layout). Source
+    offsets live in Spark's streaming checkpoint; replayed batches re-run
+    the same upsert idempotently (same content hash → unchanged).
+    """
+    from coco_search_spark.pipeline import run_pipeline
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        run_pipeline(
+            spark,
+            batch_df,
+            catalog=catalog,
+            out_dir=out_dir,
+            state_dir=state_dir,
+            config=config,
+            upsert_only=True,
+        )
+
+    writer = stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def turn_rate_metrics(
     transcripts_stream: DataFrame,
     window: str = "10 minutes",
