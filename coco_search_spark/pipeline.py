@@ -1311,7 +1311,13 @@ def run_pipeline(
             extra["chunks_parts"] = chunks_parts_new
         if catalog_fp:
             extra["catalog_fp"] = catalog_fp
-        snapshot_id = store.commit(state_rows, stage="materialize", extra=extra)
+        # expected_version: the versioned part dirs above were sized for
+        # `version` — a concurrent commit since the run started would make
+        # this manifest reference a mix of two runs' files (optimistic
+        # concurrency; commit raises instead of publishing)
+        snapshot_id = store.commit(
+            state_rows, stage="materialize", extra=extra, expected_version=version
+        )
         metrics["snapshot_id"] = snapshot_id
 
     # Drop the run-scoped state-diff caches. These never outlive the run

@@ -732,7 +732,12 @@ class StateStore:
                     F.col(pointer)
                 ),
             )
-        self.commit(state.drop("snapshot_id"), stage="compact", extra=manifest)
+        self.commit(
+            state.drop("snapshot_id"),
+            stage="compact",
+            extra=manifest,
+            expected_version=version,
+        )
         return {
             "compacted": todo,
             "version": version,
@@ -823,7 +828,11 @@ class StateStore:
         return manifest
 
     def commit(
-        self, state_rows: DataFrame, stage: str, extra: dict | None = None
+        self,
+        state_rows: DataFrame,
+        stage: str,
+        extra: dict | None = None,
+        expected_version: int | None = None,
     ) -> str:
         """Write a new state snapshot; returns snapshot id. Atomic via
         tempfile + os.replace (the single-writer analog of an Iceberg
@@ -832,8 +841,25 @@ class StateStore:
         ``extra``: additional manifest fields (e.g. ``facts_path``, config
         provenance) folded into the SAME atomic write — a post-commit patch
         of the manifest would reopen the torn-write window the tempfile
-        rename exists to close (round-3 verdict #2)."""
+        rename exists to close (round-3 verdict #2).
+
+        ``expected_version``: optimistic concurrency (the Iceberg commit-
+        conflict rule). A writer that sized its versioned part dirs against
+        a snapshot passes the version it assumed it would commit; if
+        another writer committed meanwhile, next_version() has moved and
+        publishing would reference part dirs that interleave two runs'
+        files — raise loudly instead (the caller re-runs against the new
+        snapshot; its orphaned part dirs are in-flight-protected from
+        vacuum only while newest, so re-run before vacuuming). None skips
+        the check (single-writer callers)."""
         version = self.next_version()
+        if expected_version is not None and version != expected_version:
+            raise RuntimeError(
+                f"concurrent commit detected in {self.path}: this run wrote "
+                f"its parts for v{expected_version} but v{version - 1} is "
+                "now current — refusing to publish a mixed snapshot; re-run "
+                "against the new snapshot"
+            )
         snapshot_id = f"v{version:06d}"
         data_path = os.path.join(self.path, f"state_{snapshot_id}")
         state_rows.withColumn("snapshot_id", F.lit(snapshot_id)).write.mode(
