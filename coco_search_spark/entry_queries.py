@@ -1999,6 +1999,78 @@ ORDER BY conv_id, turn_idx, subj_id, pred, obj_id
     )
 
 
+def q_kg_delete(spark, sf_dir):
+    """Targeted deletion (round 5 late — the reference's delete verb,
+    reference: src/cocosearch/management/delete.py, at engine granularity)
+    through the driver gate: index the derived corpus, then
+    ``StateStore.delete_convs`` removes five conversations as a
+    pointer-level snapshot (state rows dropped, zero data files touched).
+    Output = the resolved edge table AFTER the delete plus the receipt
+    (removed count, commit stage). The oracle recomputes the edge table
+    over the corpus EXCLUDING those conversations and pins the receipt —
+    value-checking that pointer-level deletion equals physical removal."""
+    import shutil
+    import tempfile
+
+    from coco_search_spark.pipeline import run_pipeline
+    from coco_search_spark.state import StateStore
+
+    base = derived_transcripts(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="coco_delete_")
+    try:
+        run_pipeline(spark, base, out_dir=f"{tmp}/out", state_dir=f"{tmp}/state")
+        store = StateStore(f"{tmp}/state")
+        receipt = store.delete_convs(spark, list(_DELTA_CONVS))
+        return (
+            store.read_table(spark, "edges")
+            .select(
+                "conv_id",
+                "turn_idx",
+                "subj_id",
+                "pred",
+                "obj_id",
+                "subj",
+                "obj",
+                F.lit(int(receipt["n_removed"])).cast("int").alias("n_removed"),
+                F.lit(store.last_snapshot()["stage"]).alias("stage"),
+            )
+            .orderBy("conv_id", "turn_idx", "subj_id", "pred", "obj_id")
+            # materialize before the temp state dir disappears
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _delete_oracle() -> str:
+    """Edge recompute over the corpus minus the deleted conversations;
+    the receipt pins 5 removed via a 'delete' commit."""
+    delta_list = ", ".join(f"'{c}'" for c in _DELTA_CONVS)
+    return (
+        _canon_cte(include_bindings=True, include_standalone=True)
+        + f""",
+occ AS (
+  SELECT 'conv-' || (doc_id % 50) AS conv_id,
+         CAST(FLOOR(doc_id / 50.0) AS INT) AS turn_idx,
+         source || '_svc' AS subj, {_PRED_CASE} AS pred, lang || '_store' AS obj
+  FROM documents WHERE {_FORM_KEY} <= 3
+  UNION ALL
+  SELECT 'conv-' || (doc_id % 50), CAST(FLOOR(doc_id / 50.0) AS INT),
+         source || '_svc', {_PRED_CASE}, lang || '_cache'
+  FROM documents WHERE {_FORM_KEY} = 3
+)
+SELECT occ.conv_id, occ.turn_idx, cs.canon_id AS subj_id, occ.pred,
+       co.canon_id AS obj_id, occ.subj, occ.obj,
+       CAST(5 AS INT) AS n_removed, 'delete' AS stage
+FROM occ
+JOIN canon cs ON cs.surface = occ.subj
+JOIN canon co ON co.surface = occ.obj
+WHERE occ.conv_id NOT IN ({delta_list})
+ORDER BY conv_id, turn_idx, subj_id, pred, obj_id
+"""
+    )
+
+
 def q_kg_compact(spark, sf_dir):
     """Explicit store compaction (round 5, Iceberg ``rewrite_data_files``
     analog — reference twin: none; its per-file tables never fragment)
@@ -4038,6 +4110,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_edge_delta": q_kg_edge_delta,
     "kg_compact": q_kg_compact,
     "kg_upsert": q_kg_upsert,
+    "kg_delete": q_kg_delete,
     "kg_scan_prune": q_kg_scan_prune,
     "kg_search_filtered": q_kg_search_filtered,
     "kg_search_context": q_kg_search_context,
@@ -4124,6 +4197,7 @@ ORACLES: dict[str, str] = {
     "kg_edge_delta": _edge_delta_oracle(),
     "kg_compact": _compact_oracle(),
     "kg_upsert": _upsert_oracle(),
+    "kg_delete": _delete_oracle(),
     "kg_rollback": _rollback_oracle(),
     "kg_snapshot_diff": _snapshot_diff_oracle(),
     "kg_time_travel": _time_travel_oracle(),

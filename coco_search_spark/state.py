@@ -745,6 +745,69 @@ class StateStore:
             "committed": True,
         }
 
+    def delete_convs(self, spark: SparkSession, conv_ids: list[str]) -> dict:
+        """Targeted deletion (the reference's ``delete`` verb,
+        management/delete.py, at engine granularity): remove conversations
+        from the index as a NEW snapshot, without touching a data file.
+
+        Deletion is pointer-level: every delta-written table (facts,
+        chunks, edges) resolves through a semi-join against the state
+        table, so committing a state table minus the ids makes their rows
+        vanish from every ``read_table`` immediately — O(state) cost, zero
+        data rewritten (the GDPR-takedown shape at 100 TB: delete by
+        pointer now, reclaim bytes at the next compact+vacuum). Derived
+        corpus-level tables (vocabulary refcounts, canon labels, link map,
+        nodes) are NOT incrementally adjusted; their manifest pointers and
+        reuse fingerprints are dropped from the new snapshot so the next
+        pipeline run recomputes them from the remaining corpus (loud
+        full-recompute gates — conservative, never stale). Until then the
+        authoritative per-conversation tables are already correct.
+
+        Recoverable: the pre-delete snapshot stays time-travel readable
+        and ``rollback`` restores it, until ``vacuum`` expires history.
+        Re-indexing a corpus that still CONTAINS the deleted conversations
+        re-adds them (same rule as the reference: delete removes index
+        entries, not source data). Unknown ids are ignored (idempotent);
+        deleting nothing raises rather than committing an empty change."""
+        cur = self.last_snapshot()
+        if cur is None:
+            raise FileNotFoundError(f"no snapshot committed in {self.path}")
+        state = self.read(spark)
+        hit = state.filter(F.col("conv_id").isin(conv_ids))
+        n_removed = hit.count()
+        if n_removed == 0:
+            raise KeyError(
+                f"none of the {len(conv_ids)} conversation ids exist in "
+                f"{self.path}; nothing to delete"
+            )
+        remaining = state.filter(~F.col("conv_id").isin(conv_ids))
+        version = self.next_version()
+        manifest = {
+            k: v
+            for k, v in cur.items()
+            if k
+            not in (
+                "version", "snapshot_id", "stage", "data_path", "committed_at",
+                "rolled_back_to", "rolled_back_from",
+                # derived-table pointers + reuse fingerprints: dropped so
+                # the next pipeline run recomputes vocabulary / canon /
+                # links / nodes from the remaining corpus instead of
+                # reusing values that still include the deleted rows
+                "vocab_path", "fact_kind_counts",
+                "canon_path", "canon_fp",
+                "linkmap_path", "links_path", "catalog_fp",
+                "input_manifest", "src_files_complete",
+            )
+        }
+        manifest["deleted_conv_count"] = int(n_removed)
+        self.commit(
+            remaining.drop("snapshot_id"),
+            stage="delete",
+            extra=manifest,
+            expected_version=version,
+        )
+        return {"version": version, "n_removed": int(n_removed)}
+
     def staleness_seconds(self) -> float | None:
         """Age of the last committed snapshot in seconds, or None when no
         snapshot exists — the check_staleness analog (reference:

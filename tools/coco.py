@@ -28,6 +28,8 @@ delete-analog) fronted over the library surface:
   vacuum  --state DIR --out DIR [--dry-run]
   compact --state DIR --out DIR [--dry-run] — fold multi-part delta tables
           into one part per table (Iceberg rewrite_data_files analog)
+  delete  ID... --state DIR — remove conversations from the index
+          (pointer-level snapshot; recoverable via rollback until vacuum)
 
 ``info``/``init``/``config``/``clear``/``vacuum``/``history``/``rollback``/
 ``tag`` are pure-driver verbs — they never start the JVM, so they return in
@@ -521,6 +523,20 @@ def _cmd_vacuum(args, spark) -> dict:
     return {"ok": True, "dry_run": args.dry_run, "removed": victims}
 
 
+def _cmd_delete(args, spark) -> dict:
+    """Targeted conversation deletion (reference delete verb analog):
+    pointer-level — a new snapshot whose state table omits the ids; no
+    data file is touched, recoverable via rollback until vacuum."""
+    from coco_search_spark.state import StateStore
+
+    try:
+        out = StateStore(args.state).delete_convs(spark, args.conv)
+    except KeyError as exc:
+        return {"ok": False, "error": str(exc)}
+    out["ok"] = True
+    return out
+
+
 def _cmd_compact(args, spark) -> dict:
     """Explicit store maintenance (Iceberg rewrite_data_files analog):
     fold every multi-part delta table into one part as a new snapshot.
@@ -679,6 +695,12 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
     pv.add_argument("--out", required=True)
     pv.add_argument("--dry-run", action="store_true", dest="dry_run")
 
+    pd_ = sub.add_parser(
+        "delete", help="remove conversations from the index (pointer-level)"
+    )
+    pd_.add_argument("conv", nargs="+", help="conversation ids to delete")
+    pd_.add_argument("--state", required=True)
+
     pk = sub.add_parser(
         "compact", help="fold multi-part delta tables into one part per table"
     )
@@ -705,6 +727,7 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
         "export": _cmd_export,
         "vacuum": _cmd_vacuum,
         "compact": _cmd_compact,
+        "delete": _cmd_delete,
     }
     # pure-driver verbs: no DataFrame work, so no JVM spin-up
     if args.verb in (
