@@ -2347,6 +2347,118 @@ ORDER BY conv_id, turn_idx, subj_id, pred, obj_id
     )
 
 
+def q_kg_branch_wap(spark, sf_dir):
+    """Branch refs + write-audit-publish (round 5 late —
+    ``StateStore.create_branch``/``publish`` + ``run_pipeline(branch=)``,
+    the Iceberg branch / ``spark.wap.branch`` / ``fast_forward`` analog;
+    the reference has ONE mutable index per store and no staging at all —
+    a bad ingest lands directly in the serving tables) through the driver
+    gate: run 1 indexes the derived corpus on main; a branch ``audit`` is
+    forked and run 2 grows five conversations ON THE BRANCH (the real
+    delta path — the branch run resumes incrementally from the branch
+    head). Output = three reads of the edge table stacked with a ``leg``
+    tag: ``main_pre`` (main AFTER the branch run — must still be the base
+    corpus: isolation), ``staged`` (as-of read by branch name — the grown
+    corpus), and ``published`` (main after ``publish`` fast-forwards the
+    pointer — identical to staged). Receipt columns pin the branch head at
+    v2 and main's pre-publish history at exactly 1 commit. The oracle
+    recomputes base ∪ grown ∪ grown independently — a single base-corpus
+    row leaking into ``published``, or a grown row into ``main_pre``,
+    is a hash mismatch."""
+    import shutil
+    import tempfile
+
+    from coco_search_spark.pipeline import run_pipeline
+    from coco_search_spark.state import StateStore
+
+    base = derived_transcripts(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="coco_branch_wap_")
+    try:
+        run_pipeline(spark, base, out_dir=f"{tmp}/out", state_dir=f"{tmp}/state")
+        store = StateStore(f"{tmp}/state")
+        store.create_branch("audit")
+        donor = base.filter(
+            (F.col("conv_id") == "conv-1") & (F.col("turn_idx") == 0)
+        ).drop("conv_id", "turn_idx")
+        grown = base.unionByName(
+            donor.crossJoin(
+                spark.createDataFrame([(c,) for c in _DELTA_CONVS], "conv_id string")
+            ).withColumn("turn_idx", F.lit(900))
+        )
+        run_pipeline(
+            spark, grown, out_dir=f"{tmp}/out", state_dir=f"{tmp}/state",
+            branch="audit",
+        )
+        n_main_pre = len(store.snapshots())
+        head_v = store.branches()["audit"]["version"]
+        cols = ["conv_id", "turn_idx", "subj_id", "pred", "obj_id", "subj", "obj"]
+        main_pre = store.read_table(spark, "edges").select(
+            *cols, F.lit("main_pre").alias("leg")
+        )
+        staged = store.read_table(spark, "edges", version="audit").select(
+            *cols, F.lit("staged").alias("leg")
+        )
+        store.publish("audit")
+        published = store.read_table(spark, "edges").select(
+            *cols, F.lit("published").alias("leg")
+        )
+        return (
+            main_pre.unionByName(staged)
+            .unionByName(published)
+            .withColumn("branch_head", F.lit(head_v).cast("int"))
+            .withColumn("n_main_pre", F.lit(n_main_pre).cast("int"))
+            .orderBy("leg", "conv_id", "turn_idx", "subj_id", "pred", "obj_id")
+            # materialize before the temp state dir disappears
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _branch_wap_oracle() -> str:
+    """Independent recompute of all three legs: ``main_pre`` from the base
+    occurrences, ``staged`` and ``published`` from the grown ones (one
+    canon CTE serves all — the grown turn is copied verbatim). Receipt
+    literals pinned: branch head v2, one main commit pre-publish."""
+    values = ", ".join(f"('{c}')" for c in _DELTA_CONVS)
+    return (
+        _canon_cte(include_bindings=True, include_standalone=True)
+        + f""",
+occ AS (
+  SELECT 'conv-' || (doc_id % 50) AS conv_id,
+         CAST(FLOOR(doc_id / 50.0) AS INT) AS turn_idx,
+         source || '_svc' AS subj, {_PRED_CASE} AS pred, lang || '_store' AS obj
+  FROM documents WHERE {_FORM_KEY} <= 3
+  UNION ALL
+  SELECT 'conv-' || (doc_id % 50), CAST(FLOOR(doc_id / 50.0) AS INT),
+         source || '_svc', {_PRED_CASE}, lang || '_cache'
+  FROM documents WHERE {_FORM_KEY} = 3
+),
+grown AS (
+  SELECT * FROM occ
+  UNION ALL
+  SELECT v.cid, 900, occ.subj, occ.pred, occ.obj
+  FROM occ CROSS JOIN (VALUES {values}) v(cid)
+  WHERE occ.conv_id = 'conv-1' AND occ.turn_idx = 0
+),
+legs AS (
+  SELECT *, 'main_pre' AS leg FROM occ
+  UNION ALL
+  SELECT *, 'staged' AS leg FROM grown
+  UNION ALL
+  SELECT *, 'published' AS leg FROM grown
+)
+SELECT legs.conv_id, legs.turn_idx, cs.canon_id AS subj_id, legs.pred,
+       co.canon_id AS obj_id, legs.subj, legs.obj, legs.leg,
+       CAST(2 AS INT) AS branch_head, CAST(1 AS INT) AS n_main_pre
+FROM legs
+JOIN canon cs ON cs.surface = legs.subj
+JOIN canon co ON co.surface = legs.obj
+ORDER BY leg, conv_id, turn_idx, subj_id, pred, obj_id
+"""
+    )
+
+
 # v2 corpus for kg_snapshot_diff: keeps the donor turn in conv-0/conv-10
 # (pointer-equal → pruned from the diff), drops it from conv-20/30/40
 # (deletes), adds it to conv-5/conv-15 (inserts)
@@ -4097,6 +4209,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Round 5 also RETIRED two redundant relational demos per the verdict
     # (pricing_summary ⊂ rollup_revenue, event_neighbors ⊂ kg_turn_window).
     # --- (1a) new / changed this round -----------------------------------
+    "kg_branch_wap": q_kg_branch_wap,
     "kg_rollback": q_kg_rollback,
     "kg_snapshot_diff": q_kg_snapshot_diff,
     "kg_time_travel": q_kg_time_travel,
@@ -4187,6 +4300,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 _PORTABLE_HASH = "CAST(('0x' || substr(md5({e}), 1, 15)) AS BIGINT)"
 
 ORACLES: dict[str, str] = {
+    "kg_branch_wap": _branch_wap_oracle(),
     "graph_ppr": _ppr_oracle(),
     "graph_hits": _hits_oracle(),
     "graph_kcore": _kcore_oracle(),

@@ -107,6 +107,7 @@ def run_pipeline(
     embed_dim: int = 64,
     config: "EngineConfig | None" = None,
     upsert_only: bool = False,
+    branch: str | None = None,
 ) -> PipelineResult:
     """Full batch run. When ``state_dir`` is given, unchanged conversations
     (same content hash as the stored state) skip extraction; triples for
@@ -133,6 +134,14 @@ def run_pipeline(
     no input manifest is recorded — a partial input's file set must not
     become the next run's pruning baseline (the next full-corpus run
     simply re-hashes; correct, just not file-pruned).
+
+    ``branch``: commit this run to a named branch (``StateStore.
+    create_branch`` first) instead of main — the write-audit-publish
+    staging pattern (Iceberg ``spark.wap.branch``). The run resumes from
+    the BRANCH head (diff, reuse gates, part resolution all against it),
+    writes its part dirs under globally-unique versions, and advances only
+    the branch pointer; main's readers see nothing until
+    ``StateStore.publish`` fast-forwards main after audit.
     """
     import time as _time
 
@@ -156,7 +165,9 @@ def run_pipeline(
         raise ValueError(f"unknown extractor {extractor!r}")
 
     raw_transcripts = transcripts
-    store = StateStore(state_dir) if state_dir else None
+    if branch is not None and not state_dir:
+        raise ValueError("branch= requires state_dir (branches live in the store)")
+    store = StateStore(state_dir, ref=branch) if state_dir else None
     snap = store.last_snapshot() if store else None
     # staleness metric (stats.py:642 analog): age of the state we resume
     # from, surfaced BEFORE this run commits a fresh snapshot

@@ -194,8 +194,18 @@ class StateStore:
     each commit writes a new versioned parquet snapshot and atomically
     renames manifest.json — crash-safe resume reads the last manifest."""
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, ref: str | None = None):
+        """``ref``: the branch this handle views and commits on — the
+        Iceberg branch-ref analog. None (or "main") is the main lineage
+        (``manifest.json``); a branch name makes ``last_snapshot`` return
+        the branch head and ``commit``/``rollback`` advance the branch
+        pointer in ``branches.json`` instead of the main pointer, so a
+        whole pipeline run can execute write-audit-publish: run on a
+        branch, validate its snapshot, then ``publish`` fast-forwards
+        main. Versions are GLOBAL across refs (one monotone counter), so
+        part dirs and archives never collide between branches."""
         self.path = path
+        self.ref = None if ref in (None, "main") else ref
         os.makedirs(path, exist_ok=True)
 
     def _manifest_path(self) -> str:
@@ -221,21 +231,38 @@ class StateStore:
         table parts) and any listed snapshot is time-travel readable via
         ``read``/``read_table(version=)`` until ``vacuum`` expires it.
         Archives with a version NEWER than the current pointer (a crash
-        between the archive write and the pointer swap) are ignored — the
-        same in-flight rule vacuum applies. Legacy stores (pre-archive
-        commits) list only the current snapshot."""
+        between the archive write and the pointer swap, or another ref's
+        commits) are ignored — the same in-flight rule vacuum applies.
+        Legacy stores (pre-archive commits) list only the current snapshot.
+
+        Lineage: commits record ``parent_version``, so with branches in
+        play (global version counter, interleaved archives) the history of
+        THIS handle's ref is the parent chain from its head — another
+        branch's commits never appear in it. Manifests predating the
+        parent pointer fall back to the version-order prefix (linear
+        history was the only possibility then)."""
         import glob
 
         cur = self.last_snapshot()
         if cur is None:
             return []
-        out = []
-        for p in sorted(glob.glob(os.path.join(self.path, "manifest_v*.json"))):
-            snap = self._load_json(p)
-            if snap is not None and snap.get("version", 0) <= cur["version"]:
-                out.append(snap)
-        if not any(s.get("version") == cur["version"] for s in out):
-            out.append(cur)
+        out = [cur]
+        node = cur
+        while node.get("parent_version"):
+            parent = self._load_json(self._archive_path(node["parent_version"]))
+            if parent is None:
+                # expired by vacuum (or pre-archive legacy) — chain ends
+                node = None
+                break
+            out.append(parent)
+            node = parent
+        if node is not None and "parent_version" not in node:
+            # legacy prefix: everything older than the oldest chained node
+            # (single-lineage era — version order IS lineage order)
+            for p in sorted(glob.glob(os.path.join(self.path, "manifest_v*.json"))):
+                snap = self._load_json(p)
+                if snap is not None and snap.get("version", 0) < node["version"]:
+                    out.append(snap)
         return sorted(out, key=lambda s: s.get("version", 0))
 
     def snapshot(self, version: int | str) -> dict | None:
@@ -249,7 +276,7 @@ class StateStore:
                 version = self.resolve_version(version)
             except FileNotFoundError:
                 return None
-        cur = self.last_snapshot()
+        cur = self._main_snapshot()
         if cur is not None and cur.get("version") == version:
             return cur
         return self._load_json(self._archive_path(version))
@@ -284,6 +311,8 @@ class StateStore:
             version = cur["version"]
         if name.isdigit():
             raise ValueError(f"tag name {name!r} would shadow a version number")
+        if name in self.branches() or name == "main":
+            raise ValueError(f"tag name {name!r} would shadow a branch")
         if self.snapshot(version) is None:
             raise FileNotFoundError(
                 f"snapshot v{version} unknown or expired in {self.path}"
@@ -304,19 +333,185 @@ class StateStore:
         return version
 
     def resolve_version(self, ref: int | str) -> int:
-        """Tag name or version literal → version int. Digit strings pass
-        through as versions; an unknown tag raises (never a silent
-        fallback to current)."""
+        """Tag name, branch name, or version literal → version int (a
+        branch resolves to its CURRENT head — mutable, unlike a tag).
+        Digit strings pass through as versions; an unknown name raises
+        (never a silent fallback to current). Tag/branch namespaces are
+        kept collision-free at creation time, so order here is moot."""
         if isinstance(ref, int):
             return ref
         tags = self.tags()
         if ref in tags:
             return tags[ref]
+        branches = self.branches()
+        if ref in branches:
+            return branches[ref]["version"]
+        if ref == "main":
+            cur = self._main_snapshot()
+            if cur is None:
+                raise FileNotFoundError(f"no snapshot committed in {self.path}")
+            return cur["version"]
         if ref.isdigit():
             return int(ref)
-        raise FileNotFoundError(f"unknown tag {ref!r} in {self.path}")
+        raise FileNotFoundError(f"unknown tag or branch {ref!r} in {self.path}")
+
+    # ---- branches (Iceberg branch refs + write-audit-publish) ----
+
+    def _branches_path(self) -> str:
+        return os.path.join(self.path, "branches.json")
+
+    def branches(self) -> dict[str, dict]:
+        """Named mutable lineages — the Iceberg branch-ref analog:
+        ``{name: {"version": head, "base": fork_version}}``. A branch is a
+        pointer into the SAME global snapshot chain (one monotone version
+        counter across refs); commits made through a ``StateStore(path,
+        ref=name)`` handle advance it without touching main. Branch heads
+        (and every snapshot on their parent chains that main still needs)
+        are protected from ``vacuum`` like tags; ``drop_branch`` releases
+        them. ``main`` is implicit — the ``manifest.json`` pointer — and
+        never listed here."""
+        raw = self._load_json(self._branches_path()) or {}
+        return {
+            str(k): {"version": int(v["version"]), "base": int(v["base"])}
+            for k, v in raw.items()
+        }
+
+    def _write_branches(self, branches: dict[str, dict]) -> None:
+        fd, tmp = tempfile.mkstemp(dir=self.path, suffix=".json")
+        with os.fdopen(fd, "w") as f:
+            f.write(json.dumps(branches))
+        os.replace(tmp, self._branches_path())
+
+    def create_branch(self, name: str, version: int | str | None = None) -> int:
+        """Fork a branch at a committed snapshot (default: this handle's
+        current head) and return the fork version. The branch starts as a
+        pure pointer — zero data copied; runs against ``StateStore(path,
+        ref=name)`` then commit NEW global versions that only this branch
+        references, which is the write-audit-publish staging pattern
+        (Iceberg's ``spark.wap.branch``): index on the branch, audit its
+        snapshot via as-of reads, ``publish`` to fast-forward main.
+        Name rules mirror tags (no digits, no shadowing main or an
+        existing tag/branch); the fork snapshot must be dereferenceable
+        the moment the branch exists — on a legacy store whose current
+        manifest was never archived, the archive is backfilled here so the
+        branch head always has one."""
+        if name.isdigit():
+            raise ValueError(f"branch name {name!r} would shadow a version number")
+        if name == "main":
+            raise ValueError("branch name 'main' is reserved for the main lineage")
+        if name in self.tags():
+            raise ValueError(f"branch name {name!r} would shadow a tag")
+        if name in self.branches():
+            raise ValueError(f"branch {name!r} already exists in {self.path}")
+        if version is None:
+            cur = self.last_snapshot()
+            if cur is None:
+                raise FileNotFoundError(f"no snapshot committed in {self.path}")
+            version = cur["version"]
+        else:
+            version = self.resolve_version(version)
+        snap = self.snapshot(version)
+        if snap is None:
+            raise FileNotFoundError(
+                f"snapshot v{version} unknown or expired in {self.path}"
+            )
+        if self._load_json(self._archive_path(version)) is None:
+            # legacy backfill: branch heads resolve through archives
+            self._write_json_atomic(self._archive_path(version), snap)
+        branches = self.branches()
+        branches[name] = {"version": int(version), "base": int(version)}
+        self._write_branches(branches)
+        return int(version)
+
+    def drop_branch(self, name: str) -> int:
+        """Remove a branch ref (returns its head version). Its snapshots
+        stay time-travel readable by version number until the next
+        ``vacuum`` expires whatever main's lineage no longer protects."""
+        branches = self.branches()
+        if name not in branches:
+            raise KeyError(f"unknown branch {name!r} in {self.path}")
+        head = branches.pop(name)["version"]
+        self._write_branches(branches)
+        return head
+
+    def _is_ancestor(self, version: int, head: dict) -> bool:
+        """True when ``version`` is on ``head``'s parent chain (or IS
+        head). The walk stops at expired/legacy parents — unknowable
+        lineage is treated as not-an-ancestor (publish then refuses:
+        conservative, never a silent history rewrite)."""
+        node: dict | None = head
+        while node is not None:
+            if node.get("version") == version:
+                return True
+            pv = node.get("parent_version")
+            node = self._load_json(self._archive_path(pv)) if pv else None
+        return False
+
+    def publish(self, name: str) -> dict:
+        """Fast-forward main to a branch's head — the audit-passed half of
+        write-audit-publish (Iceberg ``fast_forward('main', branch)``).
+        Requires main's current snapshot to be an ANCESTOR of the branch
+        head: if main committed independently since the fork, fast-forward
+        would silently discard those commits, so publish raises and the
+        operator re-branches from the new main instead (same
+        loud-conflict stance as ``commit(expected_version=)``). The
+        pointer swap is the entire cost — the branch's snapshots and part
+        dirs are already on disk and become main's history verbatim
+        (``parent_version`` chain included). The branch ref survives,
+        re-based at the published head, ready for the next staging run."""
+        branches = self.branches()
+        if name not in branches:
+            raise KeyError(f"unknown branch {name!r} in {self.path}")
+        head_v = branches[name]["version"]
+        head = self.snapshot(head_v)
+        if head is None:
+            raise FileNotFoundError(
+                f"branch {name!r} head v{head_v} unknown or expired in {self.path}"
+            )
+        cur = self._main_snapshot()
+        cur_v = cur["version"] if cur else 0
+        if head_v == cur_v:
+            raise ValueError(
+                f"branch {name!r} has no commits ahead of main (both at "
+                f"v{cur_v}); nothing to publish"
+            )
+        if cur is not None and not self._is_ancestor(cur_v, head):
+            raise RuntimeError(
+                f"main advanced to v{cur_v} since branch {name!r} forked — "
+                "fast-forward would discard main's commits; re-branch from "
+                "the current main and re-run instead"
+            )
+        self._write_json_atomic(self._manifest_path(), head)
+        branches[name] = {"version": head_v, "base": head_v}
+        self._write_branches(branches)
+        return head
 
     def last_snapshot(self) -> dict | None:
+        """Head snapshot of this handle's ref: the branch head when the
+        store was opened with ``ref=<branch>`` (its archived manifest —
+        every branchable commit is archive-backed), else the main
+        pointer. An unknown branch raises — silently reading main under a
+        branch handle would commit the wrong lineage."""
+        if self.ref is not None:
+            heads = self.branches()
+            if self.ref not in heads:
+                raise KeyError(f"unknown branch {self.ref!r} in {self.path}")
+            head = heads[self.ref]["version"]
+            snap = self._load_json(self._archive_path(head))
+            if snap is None:
+                cur = self._main_snapshot()
+                if cur is not None and cur.get("version") == head:
+                    return cur
+                raise FileNotFoundError(
+                    f"branch {self.ref!r} head v{head} archive missing in "
+                    f"{self.path} (vacuumed or damaged)"
+                )
+            return snap
+        return self._main_snapshot()
+
+    def _main_snapshot(self) -> dict | None:
+        """The main-lineage pointer (``manifest.json``), ref-independent —
+        vacuum and cross-ref plumbing read this directly."""
         mp = self._manifest_path()
         if not os.path.exists(mp):
             return None
@@ -548,7 +743,13 @@ class StateStore:
             maps,
         )
 
-    def vacuum(self, out_dir: str, dry_run: bool = False) -> list[str]:
+    def vacuum(
+        self,
+        out_dir: str,
+        dry_run: bool = False,
+        retain_last: int = 1,
+        older_than: float | None = None,
+    ) -> list[str]:
         """Delete version dirs in ``out_dir`` that the current manifest no
         longer references — superseded parts left behind by compaction and
         orphans from crashed runs (the Iceberg ``expire_snapshots`` +
@@ -578,21 +779,58 @@ class StateStore:
         and any in-flight (newer) versions are kept, and so is every
         TAGGED snapshot (``StateStore.tag`` — the Iceberg tag retention
         rule): its archive, state dir and referenced parts survive until
-        ``untag`` releases them."""
+        ``untag`` releases them.
+
+        Retention knobs (the Iceberg ``expire_snapshots`` arguments):
+        ``retain_last=N`` keeps the N most recent snapshots of main's
+        LINEAGE (the ``parent_version`` chain from the current head — a
+        sibling branch's interleaved versions don't count toward N)
+        readable, not just the current one; ``older_than=ts`` (epoch
+        seconds) additionally protects every snapshot committed at or
+        after ``ts`` regardless of position. Both only widen the keep-set;
+        the default (``retain_last=1``, no ``older_than``) is the original
+        current-plus-refs behavior."""
         import re
         import shutil
 
-        snap = self.last_snapshot()
+        if retain_last < 1:
+            raise ValueError(f"retain_last must be >= 1, got {retain_last}")
+        snap = self._main_snapshot()
         keep: set[str] = set()
         cur_version = snap["version"] if snap else 0
-        # tagged snapshots are protected from expiry (the Iceberg tag
-        # retention rule): their archives, state dirs and referenced parts
-        # all survive until untagged
+        # tagged snapshots and BRANCH HEADS are protected from expiry (the
+        # Iceberg tag/branch retention rule): their archives, state dirs
+        # and referenced parts all survive until untag/drop_branch. Branch
+        # commits NEWER than main are additionally covered by the
+        # in-flight rule below, like any not-yet-published version.
         protected: dict[int, dict] = {}
-        for v in set(self.tags().values()):
-            tagged = self.snapshot(v)
-            if tagged is not None and v != cur_version:
-                protected[v] = tagged
+        ref_versions = set(self.tags().values()) | {
+            b["version"] for b in self.branches().values()
+        }
+        for v in ref_versions:
+            pinned = self.snapshot(v)
+            if pinned is not None and v != cur_version:
+                protected[v] = pinned
+        # retention: the last N snapshots of main's lineage (parent chain
+        # from the head — NOT a version-range, so a sibling branch's
+        # interleaved versions neither count toward N nor get kept by it),
+        # plus everything committed at/after older_than
+        if snap is not None and retain_last > 1:
+            node = snap
+            for _ in range(retain_last - 1):
+                pv = node.get("parent_version")
+                node = self._load_json(self._archive_path(pv)) if pv else None
+                if node is None:
+                    break
+                if node["version"] != cur_version:
+                    protected[node["version"]] = node
+        if older_than is not None:
+            for hist in self.snapshots():
+                if (
+                    hist.get("committed_at", 0) >= older_than
+                    and hist["version"] != cur_version
+                ):
+                    protected[hist["version"]] = hist
         for live in ([snap] if snap else []) + list(protected.values()):
             for kind in ("facts", "chunks", "edges"):
                 for p in self.table_parts(kind, version=live["version"]) or []:
@@ -819,8 +1057,22 @@ class StateStore:
         return max(0.0, time.time() - float(snap["committed_at"]))
 
     def next_version(self) -> int:
-        snap = self.last_snapshot()
-        return (snap["version"] + 1) if snap else 1
+        """One more than the highest version ANY ref has committed — the
+        global monotone counter. Scanning the archive names (plus the main
+        pointer, for legacy stores that never archived) instead of this
+        ref's head keeps versions unique across branches: a branch commit
+        must never reuse — and its archive never clobber — a version main
+        or a sibling branch already took."""
+        import glob
+        import re
+
+        snap = self._main_snapshot()
+        mx = snap.get("version", 0) if snap else 0
+        for p in glob.glob(os.path.join(self.path, "manifest_v*.json")):
+            m = re.search(r"manifest_v(\d+)\.json$", p)
+            if m:
+                mx = max(mx, int(m.group(1)))
+        return mx + 1
 
     def rollback(self, version: int | str) -> dict:
         """Roll the CURRENT pointer back to an earlier committed snapshot —
@@ -875,7 +1127,7 @@ class StateStore:
                 f"snapshot v{version} data no longer on disk "
                 f"(vacuumed or damaged): {missing}"
             )
-        new_version = cur["version"] + 1
+        new_version = self.next_version()
         manifest = dict(target)
         manifest.update(
             {
@@ -885,6 +1137,10 @@ class StateStore:
                 "committed_at": time.time(),
                 "rolled_back_to": version,
                 "rolled_back_from": cur["version"],
+                # lineage: the rollback commit's parent is the head it
+                # reverted FROM (not the target it reuses) — history stays
+                # a chain, never a rewrite
+                "parent_version": cur["version"],
             }
         )
         self._write_manifest(manifest)
@@ -938,6 +1194,11 @@ class StateStore:
                 "committed_at": time.time(),
             }
         )
+        parent = self.last_snapshot()
+        if parent is not None:
+            # lineage pointer: snapshots()/publish walk parent chains so
+            # interleaved global versions still yield per-ref histories
+            manifest["parent_version"] = parent["version"]
         self._write_manifest(manifest)
         return snapshot_id
 
@@ -946,10 +1207,25 @@ class StateStore:
         orphan archive with version > the current pointer, which
         snapshots()/vacuum ignore under the in-flight rule — the reverse
         order would leave a committed snapshot missing from the history.
-        Both writes are atomic via tempfile + os.replace."""
-        body = json.dumps(manifest)
-        for target in (self._archive_path(manifest["version"]), self._manifest_path()):
-            fd, tmp = tempfile.mkstemp(dir=self.path, suffix=".json")
-            with os.fdopen(fd, "w") as f:
-                f.write(body)
-            os.replace(tmp, target)
+        All writes are atomic via tempfile + os.replace. The pointer this
+        swap moves is the handle's ref: ``manifest.json`` on main, the
+        branch's ``branches.json`` entry otherwise (main's pointer is
+        untouched by branch commits — that isolation IS the branch)."""
+        self._write_json_atomic(self._archive_path(manifest["version"]), manifest)
+        if self.ref is None:
+            self._write_json_atomic(self._manifest_path(), manifest)
+        else:
+            branches = self.branches()
+            if self.ref not in branches:
+                raise KeyError(
+                    f"unknown branch {self.ref!r} in {self.path} — create it "
+                    "with create_branch before committing to it"
+                )
+            branches[self.ref]["version"] = manifest["version"]
+            self._write_branches(branches)
+
+    def _write_json_atomic(self, target: str, payload: dict) -> None:
+        fd, tmp = tempfile.mkstemp(dir=self.path, suffix=".json")
+        with os.fdopen(fd, "w") as f:
+            f.write(json.dumps(payload))
+        os.replace(tmp, target)

@@ -4,6 +4,8 @@ src/cocosearch/cli.py:2665-2690 subcommand registry; index/search/stats/
 delete-analog) fronted over the library surface:
 
   index   transcripts.parquet --out DIR --state DIR [--catalog P] [--config P]
+          [--branch B] — run the pipeline; --branch commits to a staging
+          branch instead of main (write-audit-publish)
   search  "query" --state DIR [-k N] [--min-score X] [--context] [--transcripts P]
           [--as-of V] — hybrid search, optionally against a past snapshot
   analyze "query" --state DIR [-k N] — per-stage search diagnostics
@@ -18,6 +20,9 @@ delete-analog) fronted over the library surface:
           (vacuum-protected; accepted anywhere a version is)
   export  --state DIR --dest DIR [--table T] [--as-of V] [--force]
           — materialize a resolved table as one plain parquet dir
+  branch  [NAME] --state DIR [--at V] [--drop] — branch refs (Iceberg
+          branch analog); a branch name is accepted anywhere a version is
+  publish NAME --state DIR — fast-forward main to a branch head
   graph   tree|impact ROOT... --state DIR [--reverse] [--depth N]
   graph   pagerank|related|hits|communities|kcore|suggest --state DIR [--top N]
           [--rounds R] [-k K] [--max-hub D] — whole-graph analytics
@@ -32,8 +37,8 @@ delete-analog) fronted over the library surface:
           (pointer-level snapshot; recoverable via rollback until vacuum)
 
 ``info``/``init``/``config``/``clear``/``vacuum``/``history``/``rollback``/
-``tag`` are pure-driver verbs — they never start the JVM, so they return in
-interactive time.
+``tag``/``branch``/``publish`` are pure-driver verbs — they never start the
+JVM, so they return in interactive time.
 
 Every verb prints ONE JSON document to stdout (rows as a list for search)
 so the output is scriptable; human formatting is the caller's job — this
@@ -73,8 +78,56 @@ def _cmd_index(args, spark) -> dict:
         out_dir=args.out,
         state_dir=args.state,
         config=cfg,
+        branch=args.branch,
     )
-    return {"ok": True, "metrics": res.metrics}
+    return {"ok": True, "metrics": res.metrics, "branch": args.branch or "main"}
+
+
+def _cmd_branch(args, spark) -> dict:
+    """Branch refs (round 5 — the Iceberg branch / write-audit-publish
+    verb), pure-driver: no NAME lists branches, --drop removes one,
+    otherwise NAME forks a branch at --at (default: current main head).
+    Index onto it with `index --branch NAME`, audit via `--as-of NAME`
+    on list/stats/search/analyze/graph/diff, then `publish NAME`."""
+    from coco_search_spark.state import StateStore
+
+    store = StateStore(args.state)
+    try:
+        if args.name is None:
+            return {"ok": True, "branches": store.branches()}
+        if args.drop:
+            return {
+                "ok": True,
+                "dropped": args.name,
+                "version": store.drop_branch(args.name),
+            }
+        return {
+            "ok": True,
+            "branch": args.name,
+            "version": store.create_branch(args.name, args.at),
+        }
+    except (ValueError, FileNotFoundError, KeyError) as e:
+        return {"ok": False, "error": str(e)}
+
+
+def _cmd_publish(args, spark) -> dict:
+    """Fast-forward main to a branch head (the publish half of
+    write-audit-publish), pure-driver: a pointer swap — the branch's
+    already-written snapshots become main's history verbatim. Refuses if
+    main advanced independently since the fork (re-branch instead)."""
+    from coco_search_spark.state import StateStore
+
+    store = StateStore(args.state)
+    try:
+        head = store.publish(args.name)
+        return {
+            "ok": True,
+            "published": args.name,
+            "version": head.get("version"),
+            "stage": head.get("stage"),
+        }
+    except (ValueError, FileNotFoundError, KeyError, RuntimeError) as e:
+        return {"ok": False, "error": str(e)}
 
 
 def _cmd_search(args, spark) -> dict:
@@ -328,8 +381,11 @@ def _cmd_history(args, spark) -> dict:
     driver-side: manifest JSONs only, no Spark session."""
     from coco_search_spark.state import StateStore
 
-    store = StateStore(args.state)
-    snaps = store.snapshots()
+    store = StateStore(args.state, ref=args.ref)
+    try:
+        snaps = store.snapshots()
+    except (KeyError, FileNotFoundError) as e:
+        return {"ok": False, "error": str(e)}
     if not snaps:
         return {"ok": False, "error": "no snapshot committed"}
     rows = [
@@ -351,6 +407,8 @@ def _cmd_history(args, spark) -> dict:
         "ok": True,
         "n_snapshots": len(rows),
         "tags": store.tags(),
+        "ref": args.ref or "main",
+        "branches": store.branches(),
         "snapshots": rows,
     }
 
@@ -519,7 +577,12 @@ def _cmd_stats(args, spark) -> dict:
 def _cmd_vacuum(args, spark) -> dict:
     from coco_search_spark.state import StateStore
 
-    victims = StateStore(args.state).vacuum(args.out, dry_run=args.dry_run)
+    victims = StateStore(args.state).vacuum(
+        args.out,
+        dry_run=args.dry_run,
+        retain_last=args.retain_last,
+        older_than=args.older_than,
+    )
     return {"ok": True, "dry_run": args.dry_run, "removed": victims}
 
 
@@ -560,6 +623,10 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
     pi.add_argument("--state", required=True)
     pi.add_argument("--catalog", default=None, help="entity catalog parquet")
     pi.add_argument("--config", default=None, help="EngineConfig JSON file")
+    pi.add_argument(
+        "--branch", default=None,
+        help="commit to this branch instead of main (write-audit-publish)",
+    )
 
     ps = sub.add_parser("search", help="hybrid search over the chunk store")
     ps.add_argument("query")
@@ -642,6 +709,9 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
 
     ph = sub.add_parser("history", help="snapshot log (time-travel targets)")
     ph.add_argument("--state", required=True)
+    ph.add_argument(
+        "--ref", default=None, help="branch whose lineage to list (default main)"
+    )
 
     pdf = sub.add_parser(
         "diff", help="changelog between two snapshots (insert/delete rows)"
@@ -690,10 +760,35 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
     )
     ptg.add_argument("--delete", action="store_true", help="drop the tag")
 
+    pb = sub.add_parser(
+        "branch", help="branch refs: create/list/drop (write-audit-publish staging)"
+    )
+    pb.add_argument("name", nargs="?", default=None, help="branch name (omit to list)")
+    pb.add_argument("--state", required=True)
+    pb.add_argument(
+        "--at", default=None,
+        help="snapshot version/tag to fork at (default: current main head)",
+    )
+    pb.add_argument("--drop", action="store_true", help="drop the branch ref")
+
+    pp = sub.add_parser(
+        "publish", help="fast-forward main to a branch head (audit passed)"
+    )
+    pp.add_argument("name", help="branch to publish")
+    pp.add_argument("--state", required=True)
+
     pv = sub.add_parser("vacuum", help="remove superseded/orphaned version dirs")
     pv.add_argument("--state", required=True)
     pv.add_argument("--out", required=True)
     pv.add_argument("--dry-run", action="store_true", dest="dry_run")
+    pv.add_argument(
+        "--retain-last", type=int, default=1, dest="retain_last",
+        help="keep the last N snapshots of main's lineage readable",
+    )
+    pv.add_argument(
+        "--older-than", type=float, default=None, dest="older_than",
+        help="only expire snapshots committed before this epoch timestamp",
+    )
 
     pd_ = sub.add_parser(
         "delete", help="remove conversations from the index (pointer-level)"
@@ -725,13 +820,16 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
         "rollback": _cmd_rollback,
         "tag": _cmd_tag,
         "export": _cmd_export,
+        "branch": _cmd_branch,
+        "publish": _cmd_publish,
         "vacuum": _cmd_vacuum,
         "compact": _cmd_compact,
         "delete": _cmd_delete,
     }
     # pure-driver verbs: no DataFrame work, so no JVM spin-up
     if args.verb in (
-        "info", "init", "config", "clear", "vacuum", "history", "rollback", "tag"
+        "info", "init", "config", "clear", "vacuum", "history", "rollback",
+        "tag", "branch", "publish",
     ):
         out = verbs[args.verb](args, None)
         print(json.dumps(out, default=str))
