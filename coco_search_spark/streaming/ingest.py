@@ -102,6 +102,7 @@ def run_streaming_indexer(
     config=None,
     trigger_available_now: bool = True,
     max_files_per_trigger: int = 8,
+    branch: str | None = None,
 ):
     """readStream → foreachBatch(run_pipeline(upsert_only=True)) — the
     streaming-maintained STATE STORE (where ``run_streaming_pipeline``
@@ -121,6 +122,13 @@ def run_streaming_indexer(
     holds complete conversations — the transcript-bundle layout). Source
     offsets live in Spark's streaming checkpoint; replayed batches re-run
     the same upsert idempotently (same content hash → unchanged).
+
+    ``branch``: commit every micro-batch to a staging branch
+    (``StateStore.create_branch`` first) instead of main — streaming
+    write-audit-publish: the stream maintains the branch continuously
+    while main serves a stable audited snapshot, and an operator
+    ``publish``es at a chosen cadence (main must not commit independently
+    meanwhile — the usual fast-forward rule).
     """
     from coco_search_spark.pipeline import run_pipeline
 
@@ -141,6 +149,7 @@ def run_streaming_indexer(
             state_dir=state_dir,
             config=config,
             upsert_only=True,
+            branch=branch,
         )
 
     writer = stream.writeStream.foreachBatch(process_batch).option(

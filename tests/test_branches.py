@@ -253,3 +253,49 @@ def test_cli_branch_publish_roundtrip(spark, tmp_path):
     assert r["branches"]["audit"] == {"version": 2, "base": 2}
     r = coco.main(["branch", "audit", "--state", state, "--drop"], spark=spark)
     assert r["ok"] and r["dropped"] == "audit"
+
+
+def test_streaming_indexer_into_branch(spark, tmp_path):
+    """Streaming write-audit-publish: the indexer maintains a staging
+    branch (one snapshot per micro-batch), main serves the audited
+    snapshot untouched until publish."""
+    import glob
+    import os
+    import shutil
+
+    from coco_search_spark.streaming.ingest import run_streaming_indexer
+
+    out, state = str(tmp_path / "o"), str(tmp_path / "s")
+    run_pipeline(spark, _tdf(spark, BASE), out_dir=out, state_dir=state)
+    store = StateStore(state)
+    v1 = store.last_snapshot()["version"]
+    store.create_branch("stream")
+
+    input_dir = str(tmp_path / "in")
+    os.makedirs(input_dir, exist_ok=True)
+    fresh = {"s0": "svc9_svc emits queue9_queue .", "s1": "svc8_svc uses disk8_disk ."}
+    for conv, text in fresh.items():
+        tmp = f"{input_dir}__stage_{conv}"
+        _tdf(spark, {conv: text}).coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "*.parquet"))[0]
+        os.replace(part, os.path.join(input_dir, f"{conv}.parquet"))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    q = run_streaming_indexer(
+        spark, input_dir, out, state, str(tmp_path / "ckpt"),
+        max_files_per_trigger=1, branch="stream",
+    )
+    q.awaitTermination(120)
+
+    # two micro-batches → two branch commits; main never moved
+    assert store.last_snapshot()["version"] == v1
+    assert store.branches()["stream"]["version"] == v1 + 2
+    main_edges = store.read_table(spark, "edges")
+    assert main_edges.filter(F.col("conv_id").isin("s0", "s1")).count() == 0
+    branch_edges = store.read_table(spark, "edges", version="stream")
+    assert branch_edges.filter(F.col("conv_id").isin("s0", "s1")).count() == 2
+    # upsert contract held on the branch: base conversations carried
+    assert branch_edges.count() == main_edges.count() + 2
+
+    store.publish("stream")
+    assert _edge_rows(store.read_table(spark, "edges")) == _edge_rows(branch_edges)
