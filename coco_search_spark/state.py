@@ -1046,6 +1046,55 @@ class StateStore:
         )
         return {"version": version, "n_removed": int(n_removed)}
 
+    def files(self, version: int | str | None = None) -> list[dict]:
+        """The Iceberg ``files``/``manifests`` metadata-table analog,
+        driver-side: every data directory the resolved snapshot references
+        — state table, per-kind versioned parts, derived-table pointers —
+        with file counts and byte sizes (checksum sidecars excluded). One
+        row per directory: ``{"kind", "version", "path", "n_files",
+        "bytes"}``. Accepts a version/tag/branch like every other as-of
+        surface; storage questions ("which parts does the audit branch pin
+        that main doesn't?", "how fragmented is facts?") become list
+        comprehensions over two calls. Paths missing on disk (externally
+        damaged) report ``n_files=0, bytes=0`` rather than raising —
+        this is an inspection surface, reads are where loud failure
+        belongs."""
+        snap = self._resolve_snapshot(version)
+        if snap is None:
+            return []
+
+        def _du(p: str) -> tuple[int, int]:
+            n = b = 0
+            for root, _, names in os.walk(p):
+                for f in names:
+                    if f.endswith(".crc"):
+                        continue
+                    n += 1
+                    try:
+                        b += os.path.getsize(os.path.join(root, f))
+                    except OSError:
+                        pass
+            return n, b
+
+        rows: list[dict] = []
+
+        def _add(kind: str, ver, path: str | None) -> None:
+            if not path:
+                return
+            n, b = _du(path)
+            rows.append(
+                {"kind": kind, "version": ver, "path": path,
+                 "n_files": n, "bytes": b}
+            )
+
+        _add("state", snap.get("version"), snap.get("data_path"))
+        for kind in ("facts", "chunks", "edges"):
+            for part in self.table_parts(kind, version=snap["version"]) or []:
+                _add(kind, part["version"], part["path"])
+        for key in ("links_path", "linkmap_path", "canon_path", "vocab_path"):
+            _add(key[: -len("_path")], snap.get("version"), snap.get(key))
+        return rows
+
     def staleness_seconds(self) -> float | None:
         """Age of the last committed snapshot in seconds, or None when no
         snapshot exists — the check_staleness analog (reference:

@@ -112,3 +112,30 @@ def test_cli_vacuum_retention_flags(spark, tmp_path):
     assert r["ok"]
     store = StateStore(state)
     assert store.snapshot(1) is None and store.snapshot(2) is not None
+
+
+def test_files_metadata_inspection(spark, tmp_path):
+    """StateStore.files (the Iceberg `files` metadata-table analog): one
+    row per referenced data dir with counts/bytes, as-of aware, and the
+    delta story is visible — v2 references strictly more part dirs."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    import coco
+
+    out, state = str(tmp_path / "o"), str(tmp_path / "s")
+    _run(spark, out, state, 0)
+    _run(spark, out, state, 1)
+    store = StateStore(state)
+    v1 = store.files(version=1)
+    cur = store.files()
+    assert all(r["n_files"] > 0 and r["bytes"] > 0 for r in v1)
+    kinds = {r["kind"] for r in cur}
+    assert {"state", "facts", "chunks", "edges"} <= kinds
+    # the warm run delta-wrote: the current snapshot resolves MORE part
+    # dirs than v1 (cold part + delta part)
+    n_parts = lambda rows, k: sum(1 for r in rows if r["kind"] == k)  # noqa: E731
+    assert n_parts(cur, "facts") == n_parts(v1, "facts") + 1
+    assert n_parts(cur, "edges") == n_parts(v1, "edges") + 1
+    r = coco.main(["files", "--state", state, "--as-of", "1"], spark=spark)
+    assert r["ok"] and r["n_dirs"] == len(v1) and r["total_bytes"] > 0

@@ -23,6 +23,8 @@ delete-analog) fronted over the library surface:
   branch  [NAME] --state DIR [--at V] [--drop] — branch refs (Iceberg
           branch analog); a branch name is accepted anywhere a version is
   publish NAME --state DIR — fast-forward main to a branch head
+  files   --state DIR [--as-of V] — referenced data dirs + sizes
+          (the Iceberg `files` metadata-table analog)
   graph   tree|impact ROOT... --state DIR [--reverse] [--depth N]
   graph   pagerank|related|hits|communities|kcore|suggest --state DIR [--top N]
           [--rounds R] [-k K] [--max-hub D] — whole-graph analytics
@@ -37,8 +39,8 @@ delete-analog) fronted over the library surface:
           (pointer-level snapshot; recoverable via rollback until vacuum)
 
 ``info``/``init``/``config``/``clear``/``vacuum``/``history``/``rollback``/
-``tag``/``branch``/``publish`` are pure-driver verbs — they never start the
-JVM, so they return in interactive time.
+``tag``/``branch``/``publish``/``files`` are pure-driver verbs — they never
+start the JVM, so they return in interactive time.
 
 Every verb prints ONE JSON document to stdout (rows as a list for search)
 so the output is scriptable; human formatting is the caller's job — this
@@ -574,6 +576,25 @@ def _cmd_stats(args, spark) -> dict:
     }
 
 
+def _cmd_files(args, spark) -> dict:
+    """Storage inspection (the Iceberg `files` metadata-table analog),
+    pure-driver: every data dir the resolved snapshot references with
+    file counts and bytes. --as-of accepts a version, tag, or branch."""
+    from coco_search_spark.state import StateStore
+
+    try:
+        rows = StateStore(args.state).files(version=args.as_of)
+    except (FileNotFoundError, KeyError) as e:
+        return {"ok": False, "error": str(e)}
+    return {
+        "ok": True,
+        "as_of": args.as_of or "current",
+        "n_dirs": len(rows),
+        "total_bytes": sum(r["bytes"] for r in rows),
+        "files": rows,
+    }
+
+
 def _cmd_vacuum(args, spark) -> dict:
     from coco_search_spark.state import StateStore
 
@@ -777,6 +798,15 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
     pp.add_argument("name", help="branch to publish")
     pp.add_argument("--state", required=True)
 
+    pf = sub.add_parser(
+        "files", help="storage inspection: referenced data dirs + sizes"
+    )
+    pf.add_argument("--state", required=True)
+    pf.add_argument(
+        "--as-of", default=None, dest="as_of",
+        help="snapshot version, tag, or branch (default: current)",
+    )
+
     pv = sub.add_parser("vacuum", help="remove superseded/orphaned version dirs")
     pv.add_argument("--state", required=True)
     pv.add_argument("--out", required=True)
@@ -822,6 +852,7 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
         "export": _cmd_export,
         "branch": _cmd_branch,
         "publish": _cmd_publish,
+        "files": _cmd_files,
         "vacuum": _cmd_vacuum,
         "compact": _cmd_compact,
         "delete": _cmd_delete,
@@ -829,7 +860,7 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
     # pure-driver verbs: no DataFrame work, so no JVM spin-up
     if args.verb in (
         "info", "init", "config", "clear", "vacuum", "history", "rollback",
-        "tag", "branch", "publish",
+        "tag", "branch", "publish", "files",
     ):
         out = verbs[args.verb](args, None)
         print(json.dumps(out, default=str))
