@@ -52,9 +52,14 @@ def test_corrupt_manifest_degrades_to_full_reextract(spark, fx, tmp_path, recwar
     # full re-extract: nothing treated as unchanged, results identical
     assert r2.metrics["n_unchanged_convs"] == 0
     assert r2.metrics["n_triples"] == r1.metrics["n_triples"]
-    # and the store heals: the new manifest is valid again
+    # and the store heals: the new manifest is valid again. Round 5: the
+    # healing commit takes v2, not v1 — next_version() is a GLOBAL counter
+    # over the archive log (branch safety), so external pointer damage
+    # never makes a new commit clobber the intact v1 archive; the original
+    # history stays time-travel readable through the heal.
     healed = store.last_snapshot()
-    assert healed is not None and healed["snapshot_id"] == "v000001"
+    assert healed is not None and healed["snapshot_id"] == "v000002"
+    assert store.snapshot(1) is not None
 
 
 def test_crash_between_facts_write_and_commit_resumes_cleanly(spark, fx, tmp_path):
