@@ -96,10 +96,13 @@ def candidate_pairs(
 
     LSH bucket self-join + exact-Jaccard verification + exact-normalized
     union. Output is symmetric-free (a < b) and distinct.
+
+    Input contract: ``surfaces`` rows must already be DISTINCT — the only
+    caller (canonicalize_surfaces) passes its checkpointed distinct table,
+    and re-distincting here paid a redundant shuffle per invocation.
     """
     base = (
         surfaces.select("surface")
-        .distinct()
         .withColumn("norm", normalize_name_col(F.col("surface")))
         .withColumn("sh", shingles_col(F.col("surface")))
     )

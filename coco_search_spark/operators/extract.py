@@ -185,10 +185,14 @@ def _form_triples(
             fields.append(m.alias("m"))
         return F.struct(*fields)
 
-    out = F.transform(matches, lambda m: triple(m, 3))
     if re.compile(regex).groups >= 4:  # conjunction: second object → second triple
-        out = F.concat(out, F.transform(matches, lambda m: triple(m, 4)))
-    return out
+        # both triples built in ONE pass over ONE match array — a concat of
+        # two transforms duplicates the guarded regexp_extract_all expression
+        # (and so the full-text regex scan) in the physical plan
+        return F.flatten(
+            F.transform(matches, lambda m: F.array(triple(m, 3), triple(m, 4)))
+        )
+    return F.transform(matches, lambda m: triple(m, 3))
 
 
 def extract_triples(segments: DataFrame) -> DataFrame:
@@ -447,9 +451,17 @@ def extract_all(segments: DataFrame) -> DataFrame:
     for rx, sw, mp, gd in GRAMMAR:
         pred_map = _map_expr(mp)
         matches = _guarded_matches(seg, rx, _phrase_words(mp), gd)
-        arrays.append(F.transform(matches, triple_builder(rx, sw, pred_map, 3)))
         if re.compile(rx).groups >= 4:
-            arrays.append(F.transform(matches, triple_builder(rx, sw, pred_map, 4)))
+            # one pass over one match array builds both triples — appending
+            # two transforms would duplicate the guarded regexp_extract_all
+            # (and so the full-text regex scan) in the physical plan
+            b3 = triple_builder(rx, sw, pred_map, 3)
+            b4 = triple_builder(rx, sw, pred_map, 4)
+            arrays.append(
+                F.flatten(F.transform(matches, lambda m: F.array(b3(m), b4(m))))
+            )
+        else:
+            arrays.append(F.transform(matches, triple_builder(rx, sw, pred_map, 3)))
 
     def mention_builder(kind: str):
         def build(x):

@@ -76,7 +76,12 @@ def transitive_closure(
         )
         if nxt.isEmpty():
             break
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        # lazy union of ≤max_depth ALREADY-checkpointed level frames: the
+        # anti-join's scan of it is level-table-sized, and skipping the
+        # per-level re-checkpoint of the whole visited set removes one
+        # scheduler round-trip per level (these tiny-frame BFS loops are
+        # job-count-bound, not data-bound)
+        visited = visited.unionByName(nxt)
         frontier = nxt.select("node")
     return visited
 
@@ -116,7 +121,9 @@ def transitive_closure_per_root(
         )
         if nxt.isEmpty():
             break
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        # lazy union of checkpointed level frames — same job-count trim as
+        # transitive_closure
+        visited = visited.unionByName(nxt)
         frontier = nxt.select("root", "node")
     return visited
 

@@ -257,9 +257,18 @@ def write_edges(edges: DataFrame, path: str, sort_by_conv: bool = True) -> None:
     StateStore — the storeless layout (write_graph) skips it: a per-
     partition sort of the corpus-sized edge table bought nothing there."""
     out = _attach_metadata(edges)
-    out = out.withColumn(
-        "write_bucket", F.pmod(F.xxhash64("subj_id", "conv_id", "turn_idx"), F.lit(32))
-    ).repartition(32, "write_bucket").drop("write_bucket")
+    # Hash-repartition directly on the (near-unique) natural key instead of
+    # a synthetic pmod-32 bucket: a synthetic key with exactly as many
+    # distinct values as partitions leaves some partitions empty and others
+    # doubled under hash collisions (guide §2.5 — use far more distinct key
+    # values than partitions), while (subj_id, conv_id, turn_idx) spreads
+    # evenly AND still scatters any hot subj_id across every write task.
+    # The partition count follows the session's shuffle-partition setting
+    # (scale-adaptive) rather than a constant tuned to one machine size.
+    n_parts = int(
+        edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    out = out.repartition(n_parts, "subj_id", "conv_id", "turn_idx")
     if sort_by_conv:
         out = out.sortWithinPartitions("conv_id")
     out.write.mode("overwrite").partitionBy("pred").parquet(path)
@@ -275,10 +284,40 @@ def write_edges(edges: DataFrame, path: str, sort_by_conv: bool = True) -> None:
         out.limit(0).write.mode("overwrite").parquet(path)
 
 
-def write_nodes(nodes: DataFrame, out_dir: str) -> None:
+# Sidecar filename inside {out}/nodes recording the global snapshot version
+# that produced the table. Underscore-prefixed → invisible to parquet
+# readers. The carry/delta node gates require it to match the resumed
+# snapshot's `nodes_version` stamp: without it, a branch (or any other ref)
+# run that overwrote {out}/nodes with ITS corpus degrees would silently
+# pass a later main warm run's gates and have a delta applied on top of the
+# wrong base table (ADVICE r5, high).
+NODES_VERSION_MARKER = "_PRODUCED_VERSION"
+
+
+def write_nodes(nodes: DataFrame, out_dir: str, version: int | None = None) -> None:
     """Node sink: vocabulary-sized (distinct canonical entities), so a full
-    rewrite per run is cheap — same policy as the per-surface links table."""
+    rewrite per run is cheap — same policy as the per-surface links table.
+    ``version``: global snapshot version stamped as a sidecar for the node
+    reuse gates (store runs only — storeless layouts have no gate)."""
+    import os
+
     nodes.write.mode("overwrite").parquet(f"{out_dir}/nodes")
+    if version is not None:
+        with open(os.path.join(out_dir, "nodes", NODES_VERSION_MARKER), "w") as f:
+            f.write(str(version))
+
+
+def nodes_version_on_disk(nodes_path: str) -> int | None:
+    """The version sidecar of an on-disk nodes table, or None (pre-stamp
+    table, storeless layout, unreadable marker — all gate to a full
+    rebuild: unknown is not known-current)."""
+    import os
+
+    try:
+        with open(os.path.join(nodes_path, NODES_VERSION_MARKER)) as f:
+            return int(f.read().strip())
+    except (OSError, ValueError):
+        return None
 
 
 def write_graph(nodes: DataFrame, edges: DataFrame, out_dir: str) -> None:

@@ -29,7 +29,7 @@ from coco_search_spark.operators.extract import (
     split_extracted,
 )
 from coco_search_spark.operators.linking import link_surfaces
-from coco_search_spark.operators.materialize import build_nodes, resolve_edges, write_graph
+from coco_search_spark.operators.materialize import build_nodes, resolve_edges
 from coco_search_spark.operators.segments import segment_turns
 from coco_search_spark.operators.validate import split_quarantine
 from coco_search_spark.state import StateStore, conversation_hashes, diff_against_state
@@ -425,6 +425,68 @@ def run_pipeline(
             embed(embed_input).alias("embedding"),
         )
 
+    # ---- overlapped chunk sink (guide §2.6: overlap independent jobs) ---
+    # On FULL runs (no reusable previous facts) the chunk sink is the plain
+    # corpus-sized write to chunks_v{version} and depends on nothing the
+    # rest of the pipeline computes — submit it from a thread NOW so its
+    # scan/tokenize/embed/write jobs back-fill executor slots left idle by
+    # the extraction and linking stages' shuffle barriers and stage tails
+    # (FIFO scheduling interleaves the jobs). Delta runs keep the
+    # sequential sink: their write is delta-sized and the carry/compaction
+    # logic depends on the diff. The version is computed once here and
+    # reused for every other versioned part below (single-writer; the
+    # commit's expected_version still guards concurrent writers).
+    version = store.next_version() if store else 1
+    from concurrent.futures import ThreadPoolExecutor as _TPE
+
+    bg_pool = _TPE(max_workers=2)
+    chunks_future = None
+    chunks_path_bg = None
+    if chunks is not None and prev_facts is None:
+        chunks_path_bg = f"{out_dir}/chunks_v{version:06d}"
+
+        def _write_chunks_bg(df=chunks, path=chunks_path_bg):
+            spark.sparkContext.setJobDescription("chunks: tokenize+embed+write")
+            df.write.mode("overwrite").parquet(path)
+            spark.sparkContext.setJobDescription(None)
+
+        chunks_future = bg_pool.submit(_write_chunks_bg)
+
+    # the quarantine sink (carry-forward + write + count) depends only on
+    # the quarantine split and the prune decision — both final here — so it
+    # also runs overlapped instead of adding a corpus-scan-sized job after
+    # the write stage. Rows carry their source file so a PRUNED run can
+    # carry forward the quarantine of files it did not re-scan (their
+    # malformed rows are still in the corpus).
+    def _quarantine_sink():
+        q = quarantined.withColumn("src_file", F.input_file_name())
+        if out_dir:
+            spark.sparkContext.setJobDescription("quarantine sink")
+            q_path = f"{out_dir}/quarantine"
+            if prune is not None and os.path.exists(q_path):
+                prev_q = spark.read.parquet(q_path)
+                if "src_file" in prev_q.columns:
+                    # drop re-scanned files' rows (re-detected this run)
+                    # and removed files' rows (no longer in the corpus);
+                    # both exclusion lists are delta-sized
+                    gone = list(prune.scanned_files) + list(prune.removed_files)
+                    q = q.unionByName(
+                        prev_q.filter(~F.col("src_file").isin(gone)),
+                        allowMissingColumns=True,
+                    )
+                # pre-upgrade quarantine without src_file: rows cannot be
+                # attributed to files — re-detected on their next re-scan
+            # materialize BEFORE the overwrite of the dir the carry-forward
+            # may still be lazily reading; always overwrite (even when
+            # empty): a rerun after the data was fixed must not leave the
+            # previous run's rows contradicting n_quarantined_turns=0
+            q = q.localCheckpoint(eager=True)
+            q.write.mode("overwrite").parquet(q_path)
+            spark.sparkContext.setJobDescription(None)
+        return q.count()
+
+    quarantine_future = bg_pool.submit(_quarantine_sink)
+
     # ONE corpus scan + ONE shuffle extracts every fact family (triples
     # with provenance, standalone mentions, alias bindings) — at 10^12
     # turns the scan dominates, so the pipeline must not pay it per family.
@@ -559,20 +621,39 @@ def run_pipeline(
         from coco_search_spark.operators.vocab_state import vocab_surfaces
 
         surfaces = vocab_surfaces(vocab).localCheckpoint(eager=True)
+    elif combined is not None:
+        # vocabulary-sized surface table in ONE pass over the fact
+        # checkpoint: every family's surface column (triple subj/obj,
+        # standalone mention, both binding sides — an alias bound in text
+        # but never mentioned elsewhere must still canonicalize into its
+        # target's cluster) explodes from one kind-gated array, nulls
+        # filtered, ONE distinct shuffle with map-side partial aggregation.
+        # The previous per-column-distinct union paid five scans of the
+        # fact table and six shuffles for the identical set.
+        surfaces = (
+            combined.select(
+                F.explode(
+                    F.array(
+                        F.when(F.col("kind") == "triple", F.col("subj")),
+                        F.when(F.col("kind") == "triple", F.col("obj")),
+                        F.when(F.col("kind") == "mention", F.col("mention")),
+                        F.when(F.col("kind") == "binding", F.col("target")),
+                        F.when(F.col("kind") == "binding", F.col("alias")),
+                    )
+                ).alias("surface")
+            )
+            .filter(F.col("surface").isNotNull())
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
     else:
-        # vocabulary-sized surface table straight from the cached triples +
-        # standalone mentions: per-column distincts collapse map-side BEFORE
-        # the union, so no occurrence-level shuffle exists anywhere in the
-        # linking path
+        # Arrow escape hatch: per-family frames (no combined kind table)
         surface_parts = [
             triples.select(F.col("subj").alias("surface")).distinct(),
             triples.select(F.col("obj").alias("surface")).distinct(),
             standalone.select(F.col("mention").alias("surface")).distinct(),
         ]
         if bindings is not None:
-            # both binding sides are observed surfaces — an alias bound in
-            # text but never mentioned elsewhere must still canonicalize
-            # into its target's cluster
             surface_parts.append(
                 bindings.select(F.col("target").alias("surface")).distinct()
             )
@@ -767,7 +848,7 @@ def run_pipeline(
         .distinct()
     )
 
-    version = store.next_version() if store else 1
+    # (version was computed once, up at the overlapped-chunk-sink launch)
     # delta-write mode: this run extracted only the dirty conversations, so
     # only THEIR rows go into the new facts/chunks part dirs — O(delta)
     # write instead of an O(corpus) rewrite per incremental run. Once the
@@ -897,6 +978,22 @@ def run_pipeline(
     nodes = None
     nodes_mode = "full"
     old_nodes_path = os.path.join(out_dir, "nodes") if out_dir else None
+    # provenance gate on the on-disk node table (ADVICE r5, high): the
+    # carry/delta paths assume {out}/nodes holds exactly the degrees the
+    # resumed snapshot committed — but the sink dir is shared across refs
+    # (a branch run, a rollback, any other writer overwrites it). The
+    # producing snapshot's global version is stamped both into the manifest
+    # (`nodes_version`) and as a sidecar in the dir; any mismatch (or a
+    # pre-stamp table) falls back to nodes_mode=full, mirroring the other
+    # reuse gates.
+    nodes_provenance_ok = False
+    if old_nodes_path and store is not None and os.path.exists(old_nodes_path):
+        from coco_search_spark.operators.materialize import nodes_version_on_disk
+
+        stamped = snap.get("nodes_version") if snap else None
+        nodes_provenance_ok = (
+            stamped is not None and nodes_version_on_disk(old_nodes_path) == stamped
+        )
     if (
         out_dir
         and store is not None
@@ -906,7 +1003,7 @@ def run_pipeline(
         # while still retiring its conversation's degree contributions —
         # carrying the node table would go stale
         and n_deleted == 0
-        and os.path.exists(old_nodes_path)
+        and nodes_provenance_ok
     ):
         # value-identical link map and zero replaced conversations: the
         # on-disk node table is already current
@@ -921,7 +1018,7 @@ def run_pipeline(
         out_dir
         and store is not None
         and edge_dirty_ids is not None
-        and os.path.exists(old_nodes_path)
+        and nodes_provenance_ok
     ):
         from coco_search_spark.operators.materialize import (
             apply_node_delta,
@@ -993,6 +1090,14 @@ def run_pipeline(
             if noop_delta:
                 chunks_parts_new = list(chunks_parts)
                 chunks_path = chunks_parts_new[-1]["path"]
+            elif chunks_future is not None:
+                # full-run sink ran overlapped with extraction/linking —
+                # join the background write here (raises on failure); the
+                # write_chunks stamp therefore measures residual wait only
+                chunks_future.result()
+                chunks_future = None
+                chunks_path = chunks_path_bg
+                chunks_parts_new = [{"path": chunks_path, "version": version}]
             else:
                 chunks_path = f"{out_dir}/chunks_v{version:06d}"
                 new_part = {"path": chunks_path, "version": version}
@@ -1016,24 +1121,42 @@ def run_pipeline(
         # ---- edge/node sinks: the gate above decided carry/delta/full ---
         from coco_search_spark.operators.materialize import write_edges, write_nodes
 
+        # independent sinks are collected as thunks and submitted together
+        # (guide §2.6): every sink writes its own directory from inputs
+        # already materialized (or delta-sized), so the write stage costs
+        # ≈max(sink) wall instead of sum(sink)
+        sinks: list = []
         if store is None:
-            # storeless layout: no manifest to version against
-            write_graph(nodes, edges, out_dir)
+            # storeless layout (write_graph semantics): no manifest to
+            # version against, no indexed reader → no conv_id sort
+            sinks.append(
+                (
+                    "edges",
+                    lambda: write_edges(
+                        edges, f"{out_dir}/edges", sort_by_conv=False
+                    ),
+                )
+            )
+            sinks.append(("nodes", lambda: write_nodes(nodes, out_dir)))
         else:
             if carry_edges:
                 edges_parts_new = list(edges_parts_prev)
             elif edge_dirty_ids is not None:
                 epath = f"{out_dir}/edges_v{version:06d}"
-                write_edges(edges_dirty, epath)
+                sinks.append(
+                    ("edges", lambda p=epath: write_edges(edges_dirty, p))
+                )
                 edges_parts_new = list(edges_parts_prev) + [
                     {"path": epath, "version": version}
                 ]
             else:
                 epath = f"{out_dir}/edges_v{version:06d}"
-                write_edges(edges, epath)
+                sinks.append(("edges", lambda p=epath: write_edges(edges, p)))
                 edges_parts_new = [{"path": epath, "version": version}]
             if nodes_mode != "carry":
-                write_nodes(nodes, out_dir)
+                sinks.append(
+                    ("nodes", lambda: write_nodes(nodes, out_dir, version=version))
+                )
             if canon_reused:
                 canon_path = snap.get("canon_path")
             else:
@@ -1042,7 +1165,14 @@ def run_pipeline(
                 # sized — full rewrite when recomputed, same policy as
                 # the link map)
                 canon_path = f"{out_dir}/canon_v{version:06d}"
-                canon.write.mode("overwrite").parquet(canon_path)
+                sinks.append(
+                    (
+                        "canon",
+                        lambda p=canon_path: canon.write.mode(
+                            "overwrite"
+                        ).parquet(p),
+                    )
+                )
             if combined is not None:
                 if (
                     noop_delta
@@ -1064,9 +1194,14 @@ def run_pipeline(
                     from coco_search_spark.operators.vocab_state import vocab_contrib
 
                     vocab_path = f"{out_dir}/vocab_v{version:06d}"
-                    (
-                        vocab if vocab is not None else vocab_contrib(combined)
-                    ).write.mode("overwrite").parquet(vocab_path)
+                    sinks.append(
+                        (
+                            "vocab",
+                            lambda p=vocab_path, df=(
+                                vocab if vocab is not None else vocab_contrib(combined)
+                            ): df.write.mode("overwrite").parquet(p),
+                        )
+                    )
             if n_moved == 0:
                 # the link map is value-identical to the persisted copy —
                 # carry the pointer instead of rewriting the same bytes
@@ -1076,7 +1211,14 @@ def run_pipeline(
                 # edge-delta gate diffs against (vocabulary-sized — full
                 # rewrite per run is cheap, same policy as links)
                 linkmap_path = f"{out_dir}/linkmap_v{version:06d}"
-                link_map.write.mode("overwrite").parquet(linkmap_path)
+                sinks.append(
+                    (
+                        "linkmap",
+                        lambda p=linkmap_path: link_map.write.mode(
+                            "overwrite"
+                        ).parquet(p),
+                    )
+                )
         if combined is not None:
             # the COMBINED fact table (triples + standalone mentions +
             # bindings, kind-tagged) is the resume unit — restoring triples
@@ -1097,7 +1239,14 @@ def run_pipeline(
                 else:
                     facts_out = combined
                     facts_parts_new = [new_part]
-                facts_out.write.mode("overwrite").parquet(facts_path)
+                sinks.append(
+                    (
+                        "facts",
+                        lambda p=facts_path, df=facts_out: df.write.mode(
+                            "overwrite"
+                        ).parquet(p),
+                    )
+                )
         if catalog is not None:
             if (
                 prev_links is not None
@@ -1122,39 +1271,35 @@ def run_pipeline(
                 # versioned like facts so a lazy reader of the previous
                 # snapshot survives.
                 links_path = f"{out_dir}/links_v{version:06d}"
-                surfaces.select(F.col("surface").alias("mention")).join(
-                    surface_links, "mention", "left"
-                ).write.mode("overwrite").parquet(links_path)
+                sinks.append(
+                    (
+                        "links",
+                        lambda p=links_path: surfaces.select(
+                            F.col("surface").alias("mention")
+                        )
+                        .join(surface_links, "mention", "left")
+                        .write.mode("overwrite")
+                        .parquet(p),
+                    )
+                )
+        if sinks:
+            with _TPE(max_workers=min(4, len(sinks))) as wpool:
+
+                def _run_sink(name_fn):
+                    name, fn = name_fn
+                    spark.sparkContext.setJobDescription(f"sink: {name}")
+                    fn()
+                    spark.sparkContext.setJobDescription(None)
+
+                futs = [wpool.submit(_run_sink, nf) for nf in sinks]
+                for f in futs:
+                    f.result()
         _stamp("write_graph_triples")
 
-    # quarantine rows carry their source file so a PRUNED run can carry
-    # forward the quarantine of files it did not re-scan (their malformed
-    # rows are still in the corpus — dropping them would contradict the
-    # sink's "malformed rows currently present" meaning)
-    q_out = quarantined.withColumn("src_file", F.input_file_name())
-    if out_dir:
-        q_path = f"{out_dir}/quarantine"
-        if prune is not None and os.path.exists(q_path):
-            prev_q = spark.read.parquet(q_path)
-            if "src_file" in prev_q.columns:
-                # drop re-scanned files' rows (re-detected this run) and
-                # removed files' rows (no longer in the corpus); both
-                # exclusion lists are delta-sized
-                gone = list(prune.scanned_files) + list(prune.removed_files)
-                q_out = q_out.unionByName(
-                    prev_q.filter(~F.col("src_file").isin(gone)),
-                    allowMissingColumns=True,
-                )
-            # pre-upgrade quarantine without src_file: rows cannot be
-            # attributed to files — re-detected only on their next re-scan
-        # materialize BEFORE the overwrite of the dir the carry-forward
-        # may still be lazily reading
-        q_out = q_out.localCheckpoint(eager=True)
-        # always overwrite (even when empty): a rerun after the data was
-        # fixed must not leave the previous run's quarantine rows behind
-        # contradicting n_quarantined_turns=0 in metrics
-        q_out.write.mode("overwrite").parquet(q_path)
-    n_quarantined = q_out.count()
+    # join the overlapped quarantine sink (launched next to the chunk sink;
+    # raises here on failure)
+    n_quarantined = quarantine_future.result()
+    bg_pool.shutdown()
 
     metrics = {
         "n_triples": n_triples,
@@ -1289,6 +1434,13 @@ def run_pipeline(
             "grammar_version": GRAMMAR_VERSION,
             "config": cfg.to_dict(),
         }
+        if out_dir:
+            # node-table provenance (ADVICE r5, high): the version whose
+            # run produced {out}/nodes — this run's on a rewrite, carried
+            # on a carry (the disk sidecar still matches it)
+            extra["nodes_version"] = (
+                version if nodes_mode != "carry" else snap.get("nodes_version")
+            )
         if facts_path:
             extra["facts_path"] = facts_path
             extra["facts_parts"] = facts_parts_new

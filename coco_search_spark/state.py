@@ -867,7 +867,16 @@ class StateStore:
         # the current version (their out_dir parts are going away above)
         expired_files = []
         if snap is not None:
-            cur_data = os.path.realpath(snap.get("data_path", ""))
+            # exempt the state data dir of EVERY kept snapshot, not just
+            # the current one (ADVICE r5, medium): a rollback commit vN
+            # aliases its data_path to the target's state_vK (K < N), so a
+            # protected rollback snapshot must keep state_vK alive even
+            # though K itself is neither current nor in the protected set.
+            kept_data = {
+                os.path.realpath(live["data_path"])
+                for live in ([snap] if snap else []) + list(protected.values())
+                if live.get("data_path")
+            }
             for name in sorted(os.listdir(self.path)):
                 m = re.fullmatch(r"manifest_v(\d+)\.json", name) or re.fullmatch(
                     r"state_v(\d+)", name
@@ -879,7 +888,7 @@ class StateStore:
                 ):
                     continue
                 full = os.path.realpath(os.path.join(self.path, name))
-                if full != cur_data:
+                if full not in kept_data:
                     victims.append(full)
                     if name.endswith(".json"):
                         expired_files.append(full)

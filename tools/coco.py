@@ -96,6 +96,10 @@ def _cmd_branch(args, spark) -> dict:
     store = StateStore(args.state)
     try:
         if args.name is None:
+            if args.drop:
+                # a typo'd `branch --drop` must not silently degrade into
+                # a listing that looks like success (ADVICE r5, low)
+                return {"ok": False, "error": "--drop requires a branch name"}
             return {"ok": True, "branches": store.branches()}
         if args.drop:
             return {
