@@ -75,7 +75,23 @@ def segment_turns(
             )
         return F.struct(*fields)
 
-    seg_struct = F.transform(F.sequence(F.lit(0), n_seg - 1), seg_fields)
+    # fast path for turns that fit in ONE segment (the common case): the
+    # segment text IS the turn text — array_join(split(t, " "), " ") == t
+    # for every string (single-space split round-trips runs of spaces as
+    # empty elements), so the per-window slice+join copy is skipped. Field
+    # values match the general path exactly: seg_idx 0, start_word 0,
+    # end_word = least(seg_size, n) = n, start_char 0.
+    single_fields = [
+        F.lit(0).alias("seg_idx"),
+        F.lit(0).alias("start_word"),
+        n.cast("int").alias("end_word"),
+        F.col("text").alias("seg_text"),
+    ]
+    if with_offsets:
+        single_fields.append(F.lit(0).alias("start_char"))
+    seg_struct = F.when(n <= seg_size, F.array(F.struct(*single_fields))).otherwise(
+        F.transform(F.sequence(F.lit(0), n_seg - 1), seg_fields)
+    )
     passthrough = [c for c in transcripts.columns if c != "text"]
     out_cols = [
         F.col("seg.seg_idx").alias("seg_idx"),

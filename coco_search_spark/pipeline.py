@@ -428,21 +428,31 @@ def run_pipeline(
     # ---- overlapped chunk sink (guide §2.6: overlap independent jobs) ---
     # On FULL runs (no reusable previous facts) the chunk sink is the plain
     # corpus-sized write to chunks_v{version} and depends on nothing the
-    # rest of the pipeline computes — submit it from a thread NOW so its
-    # scan/tokenize/embed/write jobs back-fill executor slots left idle by
-    # the extraction and linking stages' shuffle barriers and stage tails
-    # (FIFO scheduling interleaves the jobs). Delta runs keep the
-    # sequential sink: their write is delta-sized and the carry/compaction
-    # logic depends on the diff. The version is computed once here and
-    # reused for every other versioned part below (single-writer; the
-    # commit's expected_version still guards concurrent writers).
+    # rest of the pipeline computes — submit it from a thread so its
+    # scan/tokenize/embed/write jobs back-fill executor slots. Submission
+    # is deferred until AFTER the extraction checkpoint on purpose:
+    # extraction saturates every core, so overlapping the (equally
+    # CPU-bound) chunk projection with it buys nothing, while the
+    # linking/canonicalization stage that follows is scheduling-bound over
+    # vocabulary-sized tables and leaves most cores idle — that idle
+    # capacity is what the chunk write soaks up (measured: submit-at-start
+    # left the headline wall unchanged; submit-after-extract is where the
+    # overlap is real). Delta runs keep the sequential sink: their write is
+    # delta-sized and the carry/compaction logic depends on the diff. The
+    # version is computed once here and reused for every other versioned
+    # part below (single-writer; the commit's expected_version still guards
+    # concurrent writers).
     version = store.next_version() if store else 1
     from concurrent.futures import ThreadPoolExecutor as _TPE
 
     bg_pool = _TPE(max_workers=2)
     chunks_future = None
     chunks_path_bg = None
-    if chunks is not None and prev_facts is None:
+
+    def _launch_chunk_sink():
+        nonlocal chunks_future, chunks_path_bg
+        if chunks is None or prev_facts is not None:
+            return
         chunks_path_bg = f"{out_dir}/chunks_v{version:06d}"
 
         def _write_chunks_bg(df=chunks, path=chunks_path_bg):
@@ -485,7 +495,7 @@ def run_pipeline(
             spark.sparkContext.setJobDescription(None)
         return q.count()
 
-    quarantine_future = bg_pool.submit(_quarantine_sink)
+    quarantine_future = None
 
     # ONE corpus scan + ONE shuffle extracts every fact family (triples
     # with provenance, standalone mentions, alias bindings) — at 10^12
@@ -614,6 +624,11 @@ def run_pipeline(
         n_triples = triples.count()
         n_standalone = standalone.count()
     _stamp("extract")
+    # extraction (core-saturating) is done — NOW hand the idle capacity of
+    # the vocabulary-sized linking/canonicalize stages to the overlapped
+    # corpus-sized sinks (see the deferred-submission note above)
+    _launch_chunk_sink()
+    quarantine_future = bg_pool.submit(_quarantine_sink)
 
     if vocab is not None and vocab_mode == "delta":
         # vocabulary straight from the delta-maintained refcounts — a

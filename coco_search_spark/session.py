@@ -41,6 +41,14 @@ def get_spark(
         # cores× empty tasks and anti-scale with parallelism
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # FAIR scheduling: the pipeline overlaps corpus-sized background
+        # sinks (chunk write, quarantine) with vocabulary-sized foreground
+        # stages (linking/canonicalize, guide §2.6). Under default FIFO the
+        # background job's long pending-task queue starves the foreground
+        # stage's tiny jobs (measured: link_canonicalize 5s → 11s); FAIR
+        # round-robins slots between concurrent jobs so the tiny jobs
+        # schedule promptly while the big sink soaks the remaining cores.
+        .config("spark.scheduler.mode", "FAIR")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
