@@ -203,9 +203,14 @@ def extract_triples(segments: DataFrame) -> DataFrame:
     partial aggregation (map-side combine) collapses the overlap dupes
     before exchange, so the shuffle carries ≈unique triples only.
     """
-    seg = F.col("seg_text")
-    all_forms = F.concat(
-        *[_form_triples(seg, rx, sw, mp, gd) for rx, sw, mp, gd in GRAMMAR]
+    all_forms = _cached_col(
+        "extract_triples",
+        lambda: F.concat(
+            *[
+                _form_triples(F.col("seg_text"), rx, sw, mp, gd)
+                for rx, sw, mp, gd in GRAMMAR
+            ]
+        ),
     )
     exploded = (
         segments.select("conv_id", "turn_idx", F.explode(all_forms).alias("t"))
@@ -309,12 +314,14 @@ def extract_triples_prov(segments: DataFrame) -> DataFrame:
     column). Same single-shuffle shape as extract_triples: the groupBy
     min(struct) combines map-side, so the exchange carries ≈unique triples.
     """
-    seg = F.col("seg_text")
-    all_forms = F.concat(
-        *[
-            _form_triples(seg, rx, sw, mp, gd, with_match=True)
-            for rx, sw, mp, gd in GRAMMAR
-        ]
+    all_forms = _cached_col(
+        "extract_triples_prov",
+        lambda: F.concat(
+            *[
+                _form_triples(F.col("seg_text"), rx, sw, mp, gd, with_match=True)
+                for rx, sw, mp, gd in GRAMMAR
+            ]
+        ),
     )
     exploded = (
         segments.select(
@@ -413,6 +420,23 @@ def extract_standalone_mentions(segments: DataFrame) -> DataFrame:
 
 EXTRACT_KINDS = ("triple", "mention", "binding")
 
+# Memo for the big grammar Column trees. Building one costs ~0.6-0.9 s of
+# DRIVER time (hundreds of py4j round-trips marshalling the regex
+# alternations into Catalyst expression objects) and the result is an
+# immutable unresolved expression — independent of DataFrame and session,
+# valid for the lifetime of the gateway JVM (one per Python process). The
+# build cost was paid on EVERY pipeline run, warm runs included, where it
+# was a measurable slice of the fixed floor.
+_COL_CACHE: dict = {}
+
+
+def _cached_col(key: str, builder):
+    col = _COL_CACHE.get(key)
+    if col is None:
+        col = builder()
+        _COL_CACHE[key] = col
+    return col
+
 
 def _null_str(name: str):
     return F.lit(None).cast("string").alias(name)
@@ -429,7 +453,6 @@ def extract_all(segments: DataFrame) -> DataFrame:
     One corpus scan, one explode, one shuffle; provenance offsets ride the
     same min-struct aggregate the triple dedup needs anyway."""
     seg = F.col("seg_text")
-    arrays = []
 
     def triple_builder(regex: str, swap: bool, pred_map, obj_group: int):
         def build(m):
@@ -448,20 +471,33 @@ def extract_all(segments: DataFrame) -> DataFrame:
 
         return build
 
-    for rx, sw, mp, gd in GRAMMAR:
-        pred_map = _map_expr(mp)
-        matches = _guarded_matches(seg, rx, _phrase_words(mp), gd)
-        if re.compile(rx).groups >= 4:
-            # one pass over one match array builds both triples — appending
-            # two transforms would duplicate the guarded regexp_extract_all
-            # (and so the full-text regex scan) in the physical plan
-            b3 = triple_builder(rx, sw, pred_map, 3)
-            b4 = triple_builder(rx, sw, pred_map, 4)
-            arrays.append(
-                F.flatten(F.transform(matches, lambda m: F.array(b3(m), b4(m))))
-            )
-        else:
-            arrays.append(F.transform(matches, triple_builder(rx, sw, pred_map, 3)))
+    def build_all_forms():
+        arrays = []
+        for rx, sw, mp, gd in GRAMMAR:
+            pred_map = _map_expr(mp)
+            matches = _guarded_matches(seg, rx, _phrase_words(mp), gd)
+            if re.compile(rx).groups >= 4:
+                # one pass over one match array builds both triples —
+                # appending two transforms would duplicate the guarded
+                # regexp_extract_all (and so the full-text regex scan) in
+                # the physical plan
+                b3 = triple_builder(rx, sw, pred_map, 3)
+                b4 = triple_builder(rx, sw, pred_map, 4)
+                arrays.append(
+                    F.flatten(F.transform(matches, lambda m: F.array(b3(m), b4(m))))
+                )
+            else:
+                arrays.append(
+                    F.transform(matches, triple_builder(rx, sw, pred_map, 3))
+                )
+        for rx, kind, guards in MENTION_GRAMMAR:
+            m_arr = _guarded_matches(seg, rx, guards, [], group=1)
+            arrays.append(F.transform(m_arr, mention_builder(kind)))
+        b_arr = _guarded_matches(
+            seg, ALIAS_BINDING_RE, _phrase_words(PRED_OF_PHRASE), ["as"]
+        )
+        arrays.append(F.transform(b_arr, binding_builder))
+        return F.concat(*arrays)
 
     def mention_builder(kind: str):
         def build(x):
@@ -479,10 +515,6 @@ def extract_all(segments: DataFrame) -> DataFrame:
 
         return build
 
-    for rx, kind, guards in MENTION_GRAMMAR:
-        m_arr = _guarded_matches(seg, rx, guards, [], group=1)
-        arrays.append(F.transform(m_arr, mention_builder(kind)))
-
     def binding_builder(x):
         return F.struct(
             F.lit("binding").alias("kind"),
@@ -496,14 +528,13 @@ def extract_all(segments: DataFrame) -> DataFrame:
             F.regexp_extract(x, ALIAS_BINDING_RE, 2).alias("alias"),
         )
 
-    b_arr = _guarded_matches(seg, ALIAS_BINDING_RE, _phrase_words(PRED_OF_PHRASE), ["as"])
-    arrays.append(F.transform(b_arr, binding_builder))
+    all_forms = _cached_col("extract_all", build_all_forms)
 
     stop = list(STOP_IDENTS)
     exploded = (
         segments.select(
             "conv_id", "turn_idx", "seg_idx", "start_char", "seg_text",
-            F.explode(F.concat(*arrays)).alias("t"),
+            F.explode(all_forms).alias("t"),
         )
         .select(
             "conv_id",

@@ -160,6 +160,82 @@ def degree_contrib(edges: DataFrame) -> DataFrame:
     )
 
 
+def degree_delta(new_edges: DataFrame, old_edges: DataFrame) -> DataFrame:
+    """Signed degree contribution of replacing ``old_edges`` with
+    ``new_edges`` — (entity_id, d_out, d_in) where each value is
+    contrib(new) − contrib(old). ONE aggregation over the signed endpoint
+    union instead of two ``degree_contrib`` aggs joined full-outer
+    (3 shuffles → 1); the signed sums combine map-side exactly like the
+    unsigned ones, so the skew posture is unchanged."""
+
+    def endpoints(edges: DataFrame, sign: int) -> DataFrame:
+        return edges.select(
+            F.col("subj_id").alias("entity_id"),
+            F.lit(sign).alias("sgn"),
+            F.lit(1).alias("is_out"),
+        ).unionAll(
+            edges.select(
+                F.col("obj_id").alias("entity_id"),
+                F.lit(sign).alias("sgn"),
+                F.lit(0).alias("is_out"),
+            )
+        )
+
+    eps = endpoints(new_edges, 1).unionAll(endpoints(old_edges, -1))
+    return (
+        eps.filter(F.col("entity_id").isNotNull())
+        .groupBy("entity_id")
+        .agg(
+            F.coalesce(F.sum(F.col("sgn") * F.col("is_out")), F.lit(0)).alias(
+                "d_out"
+            ),
+            F.coalesce(
+                F.sum(F.col("sgn") * (1 - F.col("is_out"))), F.lit(0)
+            ).alias("d_in"),
+        )
+    )
+
+
+def apply_degree_delta(
+    old_nodes: DataFrame,
+    delta: DataFrame,
+    standalone_ids: DataFrame,
+) -> DataFrame:
+    """``old_nodes`` + a signed (entity_id, d_out, d_in) delta →
+    maintained node table; membership refreshed from the CURRENT
+    standalone set (same rule as apply_node_delta, whose add/sub pair this
+    skips when the caller already has the signed delta)."""
+    return (
+        old_nodes.select(
+            "entity_id",
+            F.col("out_degree").alias("o_out"),
+            F.col("in_degree").alias("o_in"),
+        )
+        .join(delta, "entity_id", "full_outer")
+        .join(
+            standalone_ids.select(
+                "entity_id", F.lit(True).alias("is_standalone")
+            ).distinct(),
+            "entity_id",
+            "full_outer",
+        )
+        .select(
+            "entity_id",
+            (F.coalesce("o_out", F.lit(0)) + F.coalesce("d_out", F.lit(0)))
+            .cast("long")
+            .alias("out_degree"),
+            (F.coalesce("o_in", F.lit(0)) + F.coalesce("d_in", F.lit(0)))
+            .cast("long")
+            .alias("in_degree"),
+            F.coalesce("is_standalone", F.lit(False)).alias("is_standalone"),
+        )
+        .filter(
+            (F.col("out_degree") + F.col("in_degree") > 0) | F.col("is_standalone")
+        )
+        .drop("is_standalone")
+    )
+
+
 def apply_node_delta(
     old_nodes: DataFrame,
     add: DataFrame,
@@ -196,35 +272,7 @@ def apply_node_delta(
             ),
         )
     )
-    return (
-        old_nodes.select(
-            "entity_id",
-            F.col("out_degree").alias("o_out"),
-            F.col("in_degree").alias("o_in"),
-        )
-        .join(delta, "entity_id", "full_outer")
-        .join(
-            standalone_ids.select(
-                "entity_id", F.lit(True).alias("is_standalone")
-            ).distinct(),
-            "entity_id",
-            "full_outer",
-        )
-        .select(
-            "entity_id",
-            (F.coalesce("o_out", F.lit(0)) + F.coalesce("d_out", F.lit(0)))
-            .cast("long")
-            .alias("out_degree"),
-            (F.coalesce("o_in", F.lit(0)) + F.coalesce("d_in", F.lit(0)))
-            .cast("long")
-            .alias("in_degree"),
-            F.coalesce("is_standalone", F.lit(False)).alias("is_standalone"),
-        )
-        .filter(
-            (F.col("out_degree") + F.col("in_degree") > 0) | F.col("is_standalone")
-        )
-        .drop("is_standalone")
-    )
+    return apply_degree_delta(old_nodes, delta, standalone_ids)
 
 
 def _attach_metadata(edges: DataFrame) -> DataFrame:
@@ -246,7 +294,12 @@ def _attach_metadata(edges: DataFrame) -> DataFrame:
     )
 
 
-def write_edges(edges: DataFrame, path: str, sort_by_conv: bool = True) -> None:
+def write_edges(
+    edges: DataFrame,
+    path: str,
+    sort_by_conv: bool = True,
+    delta_sized: bool = False,
+) -> None:
     """Edge sink (one full table or one delta part): repartitioned by a
     salted subj_id so one hot entity cannot produce one giant output file,
     then sorted within partitions by conv_id so each row group carries a
@@ -255,20 +308,30 @@ def write_edges(edges: DataFrame, path: str, sort_by_conv: bool = True) -> None:
     conversations' previous edges (StateStore.read_table). The sort's only
     consumer is that indexed fetch, which exists only for runs with a
     StateStore — the storeless layout (write_graph) skips it: a per-
-    partition sort of the corpus-sized edge table bought nothing there."""
+    partition sort of the corpus-sized edge table bought nothing there.
+
+    ``delta_sized``: the input is a warm-run delta — size the output by
+    bytes (AQE REBALANCE, guide §6 coalesce-on-write) instead of fanning
+    it over the full shuffle-partition count, which produced up to
+    partitions × preds tiny files per delta part that every later
+    read_table then had to list and open."""
     out = _attach_metadata(edges)
-    # Hash-repartition directly on the (near-unique) natural key instead of
-    # a synthetic pmod-32 bucket: a synthetic key with exactly as many
-    # distinct values as partitions leaves some partitions empty and others
-    # doubled under hash collisions (guide §2.5 — use far more distinct key
-    # values than partitions), while (subj_id, conv_id, turn_idx) spreads
-    # evenly AND still scatters any hot subj_id across every write task.
-    # The partition count follows the session's shuffle-partition setting
-    # (scale-adaptive) rather than a constant tuned to one machine size.
-    n_parts = int(
-        edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
-    )
-    out = out.repartition(n_parts, "subj_id", "conv_id", "turn_idx")
+    if delta_sized:
+        out = out.hint("rebalance", "subj_id", "conv_id", "turn_idx")
+    else:
+        # Hash-repartition directly on the (near-unique) natural key
+        # instead of a synthetic pmod-32 bucket: a synthetic key with
+        # exactly as many distinct values as partitions leaves some
+        # partitions empty and others doubled under hash collisions (guide
+        # §2.5 — use far more distinct key values than partitions), while
+        # (subj_id, conv_id, turn_idx) spreads evenly AND still scatters
+        # any hot subj_id across every write task. The partition count
+        # follows the session's shuffle-partition setting (scale-adaptive)
+        # rather than a constant tuned to one machine size.
+        n_parts = int(
+            edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+        out = out.repartition(n_parts, "subj_id", "conv_id", "turn_idx")
     if sort_by_conv:
         out = out.sortWithinPartitions("conv_id")
     out.write.mode("overwrite").partitionBy("pred").parquet(path)

@@ -63,6 +63,12 @@ from pyspark.sql import functions as F
 # (most files new) also takes the full-scan path.
 MAX_DIRTY_FILE_FRACTION = 0.5
 
+# Cap on the fused candidate collect (ids + home sets in one job): ~100
+# bytes per id plus the home list keeps the driver transfer ≤ tens of MB.
+# Above it the two-job plan (checkpoint ids, collect home files) runs
+# instead — same answer, bounded driver memory.
+MAX_FUSED_CAND_IDS = 100_000
+
 
 def _local_path(uri: str) -> str | None:
     """file:// URI (or bare path) → local filesystem path; None when the
@@ -169,21 +175,39 @@ def plan_pruned_scan(
             .distinct()
         )
         cand_ids = cand_ids.unionByName(new_ids).distinct()
-    # delta-sized; consumed by several joins downstream
-    cand_ids = cand_ids.localCheckpoint(eager=True)
     # Home files must cover EVERY candidate with stored rows — including
     # conversations discovered only inside a changed/new file (a new data
     # file appending turns to an existing conversation is the common
     # incremental shape): their full current row set spans their old,
     # untouched home files too, and hashing/re-extracting from the changed
     # file alone would silently drop the old rows' facts.
-    home_files = [
-        r["f"]
-        for r in stored.join(cand_ids, "conv_id", "left_semi")
-        .select(F.explode("src_files").alias("f"))
-        .distinct()
-        .collect()
-    ]
+    #
+    # ONE capped collect returns both the candidate id set and the home
+    # sets (the previous two-job form — checkpoint the ids, then collect
+    # the joined home files — paid an extra scheduler round-trip on every
+    # warm run); under the cap the ids come back as a driver-built local
+    # relation (broadcast-sized for the downstream semi-joins), over it
+    # the original two-job plan runs (correct, just not fused).
+    cand_rows = cand_ids.join(
+        stored.select("conv_id", "src_files"), "conv_id", "left"
+    ).take(MAX_FUSED_CAND_IDS + 1)
+    if len(cand_rows) <= MAX_FUSED_CAND_IDS:
+        home_files = sorted(
+            {f for r in cand_rows if r["src_files"] for f in r["src_files"]}
+        )
+        cand_ids = spark.createDataFrame(
+            [(r["conv_id"],) for r in cand_rows], "conv_id string"
+        )
+    else:
+        # delta-sized; consumed by several joins downstream
+        cand_ids = cand_ids.localCheckpoint(eager=True)
+        home_files = [
+            r["f"]
+            for r in stored.join(cand_ids, "conv_id", "left_semi")
+            .select(F.explode("src_files").alias("f"))
+            .distinct()
+            .collect()
+        ]
     files_needed = sorted((set(changed) | set(home_files)) & set(cur_manifest))
     if files_needed:
         scoped_raw = spark.read.schema(schema).parquet(*files_needed)

@@ -49,6 +49,19 @@ def vocab_contrib(facts: DataFrame) -> DataFrame:
     in apply_vocab_delta). NULL k1 rows are dropped — the extraction
     grammar never emits them, and a NULL join key would break the delta
     join the same way."""
+    return (
+        # distinct's partial aggregation dedups (conv, key) map-side, so
+        # the shuffle carries per-partition-distinct rows, not occurrences
+        _contrib_rows(facts)
+        .distinct()
+        .groupBy(*_KEYS)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _contrib_rows(facts: DataFrame) -> DataFrame:
+    """(conv_id, vkind, k1, k2) key-observation rows of a facts subset —
+    the pre-distinct form shared by vocab_contrib and the signed delta."""
     t = facts.filter(F.col("kind") == "triple")
     m = facts.filter(F.col("kind") == "mention")
     b = facts.filter(F.col("kind") == "binding")
@@ -59,7 +72,7 @@ def vocab_contrib(facts: DataFrame) -> DataFrame:
             "conv_id", F.lit(vkind).alias("vkind"), F.col(k1).alias("k1"), e
         )
 
-    rows = (
+    return (
         row(t, SURFACE, "subj")
         .unionAll(row(t, SURFACE, "obj"))
         .unionAll(row(m, SURFACE, "mention"))
@@ -74,29 +87,32 @@ def vocab_contrib(facts: DataFrame) -> DataFrame:
                 F.col("alias").alias("k2"),
             )
         )
+        .filter(F.col("k1").isNotNull())
+    )
+
+
+def vocab_contrib_delta(new_facts: DataFrame, old_facts: DataFrame) -> DataFrame:
+    """Signed contribution delta: cnt_new − cnt_old per key, in TWO
+    shuffles (one distinct over the signed union, one sum) instead of the
+    five the add/sub pair paid (per-side distinct + agg + full-outer
+    join). The sign rides the distinct as a column — constant within each
+    side, so per-side distinctness is preserved — and a conversation
+    present on both sides contributes +1 and −1 that cancel in the sum,
+    exactly the add − sub arithmetic."""
+    rows = _contrib_rows(new_facts).withColumn("sgn", F.lit(1)).unionAll(
+        _contrib_rows(old_facts).withColumn("sgn", F.lit(-1))
     )
     return (
-        rows.filter(F.col("k1").isNotNull())
-        # distinct's partial aggregation dedups (conv, key) map-side, so
-        # the shuffle carries per-partition-distinct rows, not occurrences
-        .distinct()
+        rows.distinct()
         .groupBy(*_KEYS)
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum("sgn").alias("d"))
     )
 
 
-def apply_vocab_delta(old: DataFrame, add: DataFrame, sub: DataFrame) -> DataFrame:
-    """new cnt = old + add − sub, all keys kept (including zero and
+def apply_vocab_signed(old: DataFrame, delta: DataFrame) -> DataFrame:
+    """new cnt = old + signed delta, all keys kept (including zero and
     negative results — the caller filters cnt > 0 after checking the
     cnt < 0 invariant; a silent drop here would hide corruption)."""
-    delta = (
-        add.select(*_KEYS, F.col("cnt").alias("a"))
-        .join(sub.select(*_KEYS, F.col("cnt").alias("s")), _KEYS, "full_outer")
-        .select(
-            *_KEYS,
-            (F.coalesce("a", F.lit(0)) - F.coalesce("s", F.lit(0))).alias("d"),
-        )
-    )
     return (
         old.select(*_KEYS, F.col("cnt").alias("o"))
         .join(delta, _KEYS, "full_outer")
@@ -108,6 +124,21 @@ def apply_vocab_delta(old: DataFrame, add: DataFrame, sub: DataFrame) -> DataFra
         )
         .filter(F.col("cnt") != 0)
     )
+
+
+def apply_vocab_delta(old: DataFrame, add: DataFrame, sub: DataFrame) -> DataFrame:
+    """new cnt = old + add − sub (compat form over precomputed per-side
+    contributions; the pipeline uses the fused vocab_contrib_delta +
+    apply_vocab_signed path)."""
+    delta = (
+        add.select(*_KEYS, F.col("cnt").alias("a"))
+        .join(sub.select(*_KEYS, F.col("cnt").alias("s")), _KEYS, "full_outer")
+        .select(
+            *_KEYS,
+            (F.coalesce("a", F.lit(0)) - F.coalesce("s", F.lit(0))).alias("d"),
+        )
+    )
+    return apply_vocab_signed(old, delta)
 
 
 def vocab_surfaces(vocab: DataFrame) -> DataFrame:

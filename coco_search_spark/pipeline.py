@@ -161,6 +161,19 @@ def run_pipeline(
         timings[name] = round(now - _t0, 2)
         _t0 = now
 
+    # fine-grained sub-stage attribution (SPARK_GRAFT_FINE_STAMPS=1): each
+    # mark records the time since the previous mark as f_<name> — used by
+    # tools/profile_incr.py to attribute the warm-run floor job by job
+    _fine_on = bool(os.environ.get("SPARK_GRAFT_FINE_STAMPS"))
+    _tf = [_time.perf_counter()]
+
+    def _fine(name: str) -> None:
+        if not _fine_on:
+            return
+        now = _time.perf_counter()
+        timings["f_" + name] = round(now - _tf[0], 3)
+        _tf[0] = now
+
     if extractor not in ("native", "arrow"):
         raise ValueError(f"unknown extractor {extractor!r}")
 
@@ -203,6 +216,7 @@ def run_pipeline(
                 stored,
                 src_files_complete=bool(snap.get("src_files_complete")),
             )
+            _fine("prune_plan")
 
     # parse-status gate (parse_tracking.py:58-111 analog): malformed turns
     # are quarantined and counted per conversation into state `errors`;
@@ -290,6 +304,7 @@ def run_pipeline(
             r["status"]: r["n"]
             for r in diff.groupBy("status").agg(F.count(F.lit(1)).alias("n")).collect()
         }
+        _fine("diff_counts")
         n_unchanged = status_counts.get("unchanged", 0)
         dirty_ids = diff.filter(F.col("status").isin("new", "changed")).select("conv_id")
         n_dirty = status_counts.get("new", 0) + status_counts.get("changed", 0)
@@ -370,6 +385,53 @@ def run_pipeline(
                 dirty = transcripts
                 n_unchanged = 0
 
+    # background machinery for overlapped sinks/fetches (guide §2.6): the
+    # pool exists from here so the prefetch below can run during the
+    # segment/extract stages; the version is computed once and reused for
+    # every versioned part (single-writer; the commit's expected_version
+    # still guards concurrent writers)
+    version = store.next_version() if store else 1
+    from concurrent.futures import ThreadPoolExecutor as _TPE
+
+    bg_pool = _TPE(max_workers=3)
+    prev_kind_totals = snap.get("fact_kind_counts") if snap else None
+    # prefetch the replaced conversations' PREVIOUS facts (the vocab-delta
+    # subtrahend) while extraction saturates the cores — it depends only on
+    # the diff and the committed parts. The guard mirrors the vocab-delta
+    # gate exactly, so the future exists iff the gate will consume it.
+    old_rep_future = None
+    if (
+        extractor == "native"
+        and store is not None
+        and out_dir
+        and prev_facts is not None
+        and isinstance(prev_kind_totals, dict)
+        and snap.get("vocab_path")
+        and os.path.exists(snap["vocab_path"])
+    ):
+
+        def _fetch_old_rep():
+            spark.sparkContext.setJobDescription("prefetch: replaced facts")
+            replaced = diff.filter(
+                F.col("status").isin("changed", "deleted")
+            ).select("conv_id")
+            rep_sample = replaced.take(EDGE_FETCH_PUSHDOWN_LIMIT + 1)
+            if len(rep_sample) <= EDGE_FETCH_PUSHDOWN_LIMIT:
+                old = store.read_table(
+                    spark, "facts", conv_ids=[r["conv_id"] for r in rep_sample]
+                )
+            else:
+                old = store.read_table(spark, "facts").join(
+                    replaced, "conv_id", "left_semi"
+                )
+            # delta-sized; consumed by the fused contrib delta AND the
+            # signed kind-count aggregation
+            out = old.localCheckpoint(eager=True)
+            spark.sparkContext.setJobDescription(None)
+            return out
+
+        old_rep_future = bg_pool.submit(_fetch_old_rep)
+
     # native path carries char offsets for edge provenance; the Arrow path
     # (grammar-in-Python escape hatch) skips them.
     # segments feed BOTH the extraction and the chunk projection. On DELTA
@@ -438,29 +500,52 @@ def run_pipeline(
     # capacity is what the chunk write soaks up (measured: submit-at-start
     # left the headline wall unchanged; submit-after-extract is where the
     # overlap is real). Delta runs keep the sequential sink: their write is
-    # delta-sized and the carry/compaction logic depends on the diff. The
-    # version is computed once here and reused for every other versioned
-    # part below (single-writer; the commit's expected_version still guards
-    # concurrent writers).
-    version = store.next_version() if store else 1
-    from concurrent.futures import ThreadPoolExecutor as _TPE
-
-    bg_pool = _TPE(max_workers=2)
+    # delta-sized and the carry/compaction logic depends on the diff.
     chunks_future = None
     chunks_path_bg = None
+    facts_future = None
+    facts_path_bg = None
 
-    def _launch_chunk_sink():
-        nonlocal chunks_future, chunks_path_bg
-        if chunks is None or prev_facts is not None:
-            return
-        chunks_path_bg = f"{out_dir}/chunks_v{version:06d}"
+    def _launch_bg_sinks():
+        """Submit the chunk and fact sinks whose write is the PLAIN
+        versioned part (full table on a full run, the dirty delta on a
+        delta run) — every input they need (the chunk projection, the
+        extraction checkpoint, the compaction decision) is final once the
+        extraction checkpoint exists. The carry (noop-delta) and
+        compaction branches stay sequential in the write section: they
+        depend on bookkeeping or fold in reloaded parts."""
+        nonlocal chunks_future, chunks_path_bg, facts_future, facts_path_bg
+        delta = prev_facts is not None
+        noop = delta and n_dirty == 0
+        will_compact = (
+            delta and not noop and (len(facts_parts) + 1 > cfg.compact_parts_after)
+        )
+        if chunks is not None and not noop and not will_compact:
+            chunks_path_bg = f"{out_dir}/chunks_v{version:06d}"
 
-        def _write_chunks_bg(df=chunks, path=chunks_path_bg):
-            spark.sparkContext.setJobDescription("chunks: tokenize+embed+write")
-            df.write.mode("overwrite").parquet(path)
-            spark.sparkContext.setJobDescription(None)
+            def _write_chunks_bg(df=chunks, path=chunks_path_bg):
+                spark.sparkContext.setJobDescription("chunks: tokenize+embed+write")
+                df.write.mode("overwrite").parquet(path)
+                spark.sparkContext.setJobDescription(None)
 
-        chunks_future = bg_pool.submit(_write_chunks_bg)
+            chunks_future = bg_pool.submit(_write_chunks_bg)
+        if (
+            out_dir
+            and dirty_facts is not None
+            and combined is not None
+            and not noop
+            and not will_compact
+        ):
+            # the delta IS the extraction checkpoint; on a full run
+            # combined == dirty_facts, so one sink body covers both
+            facts_path_bg = f"{out_dir}/facts_v{version:06d}"
+
+            def _write_facts_bg(df=dirty_facts, path=facts_path_bg):
+                spark.sparkContext.setJobDescription("facts sink")
+                df.write.mode("overwrite").parquet(path)
+                spark.sparkContext.setJobDescription(None)
+
+            facts_future = bg_pool.submit(_write_facts_bg)
 
     # the quarantine sink (carry-forward + write + count) depends only on
     # the quarantine split and the prune decision — both final here — so it
@@ -496,6 +581,7 @@ def run_pipeline(
         return q.count()
 
     quarantine_future = None
+    state_rows_future = None
 
     # ONE corpus scan + ONE shuffle extracts every fact family (triples
     # with provenance, standalone mentions, alias bindings) — at 10^12
@@ -505,7 +591,6 @@ def run_pipeline(
     dirty_facts: DataFrame | None = None
     vocab: DataFrame | None = None  # refcounted vocabulary (vocab_state)
     vocab_mode = None  # None (storeless/arrow) | "full" | "delta"
-    prev_kind_totals = snap.get("fact_kind_counts") if snap else None
     kind_counts: dict | None = None
     lean_facts = False
     if extractor == "native":
@@ -515,6 +600,7 @@ def run_pipeline(
         # materialization: localCheckpoint stores the deduped fact rows
         # once; family splits below are cheap filters over it.
         dirty_facts = extract_all(segments).localCheckpoint(eager=True)
+        _fine("extract_ckpt")
         # ---- refcounted vocabulary maintenance (round 5 late) ----------
         # The surface/binding/standalone sets are per-conversation-distinct
         # unions over the facts, so a warm run maintains their refcounts
@@ -525,8 +611,8 @@ def run_pipeline(
         # cap). Any gate miss → full recompute below.
         if store is not None and out_dir:
             from coco_search_spark.operators.vocab_state import (
-                apply_vocab_delta,
-                vocab_contrib,
+                apply_vocab_signed,
+                vocab_contrib_delta,
             )
 
             vocab_mode = "full"
@@ -537,27 +623,20 @@ def run_pipeline(
                 and os.path.exists(snap["vocab_path"])
             ):
                 old_vocab = spark.read.parquet(snap["vocab_path"])
-                replaced = diff.filter(
-                    F.col("status").isin("changed", "deleted")
-                ).select("conv_id")
-                rep_sample = replaced.take(EDGE_FETCH_PUSHDOWN_LIMIT + 1)
-                if len(rep_sample) <= EDGE_FETCH_PUSHDOWN_LIMIT:
-                    old_rep = store.read_table(
-                        spark, "facts", conv_ids=[r["conv_id"] for r in rep_sample]
-                    )
-                else:
-                    old_rep = store.read_table(spark, "facts").join(
-                        replaced, "conv_id", "left_semi"
-                    )
-                # delta-sized; consumed by the contrib agg AND the signed
-                # kind-count aggregation below
-                old_rep = old_rep.localCheckpoint(eager=True)
-                cand = apply_vocab_delta(
-                    old_vocab, vocab_contrib(dirty_facts), vocab_contrib(old_rep)
+                # fetched+checkpointed by the background prefetch that ran
+                # during the segment/extract stages (the guard up there
+                # mirrors this gate exactly)
+                old_rep = old_rep_future.result()
+                _fine("old_rep_fetch")
+                # fused signed delta (vocab_contrib_delta): 2 shuffles
+                # instead of the add/sub pair's 5 — warm-floor job count
+                cand = apply_vocab_signed(
+                    old_vocab, vocab_contrib_delta(dirty_facts, old_rep)
                 ).localCheckpoint(eager=True)
                 # loud invariant: a negative refcount means the subtracted
                 # facts were not what the snapshot held — recompute from
                 # the corpus rather than persist a corrupt vocabulary
+                _fine("vocab_delta_ckpt")
                 if cand.filter(F.col("cnt") < 0).limit(1).count() > 0:
                     cand.unpersist()
                 else:
@@ -575,6 +654,7 @@ def run_pipeline(
                         .agg(F.sum("sgn").alias("net"))
                         .collect()
                     }
+                    _fine("kind_net")
                     kind_counts = {
                         k: int(prev_kind_totals.get(k, 0)) + int(net.get(k, 0))
                         for k in set(prev_kind_totals) | set(net)
@@ -627,7 +707,7 @@ def run_pipeline(
     # extraction (core-saturating) is done — NOW hand the idle capacity of
     # the vocabulary-sized linking/canonicalize stages to the overlapped
     # corpus-sized sinks (see the deferred-submission note above)
-    _launch_chunk_sink()
+    _launch_bg_sinks()
     quarantine_future = bg_pool.submit(_quarantine_sink)
 
     if vocab is not None and vocab_mode == "delta":
@@ -636,6 +716,7 @@ def run_pipeline(
         from coco_search_spark.operators.vocab_state import vocab_surfaces
 
         surfaces = vocab_surfaces(vocab).localCheckpoint(eager=True)
+        _fine("surfaces_ckpt")
     elif combined is not None:
         # vocabulary-sized surface table in ONE pass over the fact
         # checkpoint: every family's surface column (triple subj/obj,
@@ -684,6 +765,7 @@ def run_pipeline(
     # broadcast (no AQE conversion overhead); over it (the 10^9-surface
     # contingency) every join keeps its sort-merge fallback
     n_surfaces = surfaces.count()
+    _fine("n_surfaces")
     links_small = n_surfaces <= cfg.broadcast_surface_limit
 
     # linking and canonicalization are INDEPENDENT consumers of the same
@@ -907,21 +989,35 @@ def run_pipeline(
         and snap.get("linkmap_path")
         and os.path.exists(snap["linkmap_path"])
     ):
-        old_map = spark.read.parquet(snap["linkmap_path"])
-        # surfaces whose canonical id differs from the previous run —
-        # including surfaces added to / removed from the vocabulary
-        moved = (
-            link_map.select("mention", F.col("canon_id").alias("new_id"))
-            .join(
-                old_map.select("mention", F.col("canon_id").alias("old_id")),
-                "mention",
-                "full_outer",
+        if canon_reused and prev_links is not None and n_links_fresh == 0:
+            # identity-proven empty move set, no jobs: link_map = canon ⋈
+            # per-surface links. canon reuse means the canon-input
+            # fingerprint matched — the surface SET and every label are the
+            # previous run's — and zero fresh links over that same surface
+            # set means the link table rows are the previous run's too, so
+            # the composed map is value-identical by construction (the same
+            # exactness argument the links_path pointer carry makes). The
+            # value diff below would compare two equal tables for ~1 s of
+            # warm wall on the steady-state cron path.
+            n_moved = 0
+            _fine("linkmap_diff")
+        else:
+            old_map = spark.read.parquet(snap["linkmap_path"])
+            # surfaces whose canonical id differs from the previous run —
+            # including surfaces added to / removed from the vocabulary
+            moved = (
+                link_map.select("mention", F.col("canon_id").alias("new_id"))
+                .join(
+                    old_map.select("mention", F.col("canon_id").alias("old_id")),
+                    "mention",
+                    "full_outer",
+                )
+                .filter(~F.col("new_id").eqNullSafe(F.col("old_id")))
+                .select("mention")
+                .localCheckpoint(eager=True)
             )
-            .filter(~F.col("new_id").eqNullSafe(F.col("old_id")))
-            .select("mention")
-            .localCheckpoint(eager=True)
-        )
-        n_moved = moved.count()
+            n_moved = moved.count()
+            _fine("linkmap_diff")
         if n_moved == 0:
             edge_dirty_ids = dirty_ids.localCheckpoint(eager=True)
             n_edge_dirty = n_dirty
@@ -948,6 +1044,7 @@ def run_pipeline(
                 dirty_ids.unionByName(affected).distinct().localCheckpoint(eager=True)
             )
             n_edge_dirty = edge_dirty_ids.count()
+            _fine("edge_dirty_ids")
         # else: move set beyond the broadcast budget — cluster churn at
         # that scale means most edges move anyway; full paths below
     carry_edges = edge_dirty_ids is not None and n_edge_dirty == 0
@@ -1036,8 +1133,8 @@ def run_pipeline(
         and nodes_provenance_ok
     ):
         from coco_search_spark.operators.materialize import (
-            apply_node_delta,
-            degree_contrib,
+            apply_degree_delta,
+            degree_delta,
         )
 
         replaced_ids = (
@@ -1054,6 +1151,7 @@ def run_pipeline(
         # bounded: above the cap (driver-memory guard) the plain semi-join
         # path reads the parts in full (correct, just not pruned).
         sample = replaced_ids.take(EDGE_FETCH_PUSHDOWN_LIMIT + 1)
+        _fine("replaced_take")
         if len(sample) <= EDGE_FETCH_PUSHDOWN_LIMIT:
             prev_edges_replaced = store.read_table(
                 spark, "edges", conv_ids=[r["conv_id"] for r in sample]
@@ -1062,14 +1160,19 @@ def run_pipeline(
             prev_edges_replaced = store.read_table(spark, "edges").join(
                 replaced_ids, "conv_id", "left_semi"
             )
-        cand = apply_node_delta(
+        _fine("prev_edges_read")
+        # ONE signed aggregation for the degree delta (degree_delta:
+        # contrib(new) − contrib(old) over the signed endpoint union)
+        # instead of two contrib aggs + a full-outer join — the delta is
+        # delta-sized, so the warm floor here is shuffle/job count
+        cand = apply_degree_delta(
             spark.read.parquet(old_nodes_path),
-            degree_contrib(edges_dirty),
-            degree_contrib(prev_edges_replaced),
+            degree_delta(edges_dirty, prev_edges_replaced),
             standalone_ids,
             # materialize BEFORE the sink overwrites the old nodes dir the
             # plan lazily reads (vocabulary-sized)
         ).localCheckpoint(eager=True)
+        _fine("node_delta_ckpt")
         # loud invariant: a negative degree means the subtracted edge set
         # was not what the snapshot held — rebuild instead of persisting a
         # corrupt table (cheap check, vocabulary-sized)
@@ -1084,10 +1187,94 @@ def run_pipeline(
         else:
             nodes = cand
             nodes_mode = "delta"
+        _fine("node_neg_check")
     else:
         nodes = build_nodes(edges, extra_entities=standalone_ids).cache()
         nodes.count()
     _stamp("resolve_nodes")
+    _tf[0] = _time.perf_counter()
+
+    def _build_state_rows():
+        err_by_conv = (
+            quarantined.filter(F.col("conv_id").isNotNull())
+            .groupBy("conv_id")
+            .agg(F.count(F.lit(1)).alias("errors"))
+        )
+        base = cur_hashes.join(err_by_conv, "conv_id", "left")
+        # pruned runs did not re-scan carried conversations' files — their
+        # advisory error counts carry forward from the stored state
+        errors_col = (
+            F.when(F.col("carried"), F.coalesce(F.col("stored_errors"), F.lit(0)))
+            .otherwise(F.coalesce(F.col("errors"), F.lit(0)))
+            if (prune is not None or upsert_only)
+            else F.coalesce(F.col("errors"), F.lit(0))
+        )
+        if delta_mode and not compact:
+            # written_version: dirty conversations' rows went into THIS
+            # run's part; unchanged ones keep the version of the part that
+            # last wrote them — the pointer _reload_parts resolves against
+            base = base.join(
+                diff.select("conv_id", "status"), "conv_id", "left"
+            ).join(
+                stored.select(
+                    "conv_id",
+                    F.col("written_version").alias("prev_wv"),
+                    F.col("edges_wv").alias("prev_ewv"),
+                ),
+                "conv_id",
+                "left",
+            )
+            # legacy upgrade path (ADVICE r4, high): a pre-delta snapshot has
+            # no written_version column, so prev_wv is NULL for unchanged
+            # conversations — carrying that NULL forward would make version
+            # resolution drop their rows on the NEXT run. Their facts live in
+            # the legacy full part, which table_parts surfaces as parts[0];
+            # coalesce the pointer to its version.
+            wv_col = (
+                F.when(F.col("status").isin("new", "changed"), F.lit(version))
+                .otherwise(
+                    F.coalesce(
+                        F.col("prev_wv"), F.lit(facts_parts[0]["version"])
+                    )
+                )
+                .cast("bigint")
+            )
+        else:
+            wv_col = F.lit(version).cast("bigint")
+        # edges pointer: NULL when no versioned edge parts exist (out_dir
+        # unset); the run's version on a full rewrite; per-conversation on a
+        # delta/carry run — this run's version for edge-dirty conversations,
+        # the previous pointer otherwise (coalesced to the oldest part for
+        # pre-pointer snapshots, the same legacy rule as written_version)
+        if edges_parts_new is None:
+            ewv_col = F.lit(None).cast("bigint")
+        elif edge_dirty_ids is None:
+            ewv_col = F.lit(version).cast("bigint")
+        else:
+            base = base.join(
+                edge_dirty_ids.withColumn("_edirty", F.lit(True)), "conv_id", "left"
+            )
+            ewv_col = (
+                F.when(F.col("_edirty"), F.lit(version))
+                .otherwise(
+                    F.coalesce(
+                        F.col("prev_ewv"), F.lit(edges_parts_prev[0]["version"])
+                    )
+                )
+                .cast("bigint")
+            )
+        return base.select(
+            "conv_id",
+            "content_hash",
+            F.lit("materialize").alias("stage"),
+            F.lit("pending").alias("snapshot_id"),
+            F.col("rows_in"),
+            F.lit(n_triples).alias("rows_out"),
+            errors_col.cast("bigint").alias("errors"),
+            wv_col.alias("written_version"),
+            ewv_col.alias("edges_wv"),
+            F.col("src_files"),
+        )
 
     facts_path = None
     links_path = None
@@ -1106,13 +1293,18 @@ def run_pipeline(
                 chunks_parts_new = list(chunks_parts)
                 chunks_path = chunks_parts_new[-1]["path"]
             elif chunks_future is not None:
-                # full-run sink ran overlapped with extraction/linking —
+                # sink ran overlapped since the extraction checkpoint —
                 # join the background write here (raises on failure); the
                 # write_chunks stamp therefore measures residual wait only
                 chunks_future.result()
                 chunks_future = None
                 chunks_path = chunks_path_bg
-                chunks_parts_new = [{"path": chunks_path, "version": version}]
+                new_part = {"path": chunks_path, "version": version}
+                chunks_parts_new = (
+                    list(chunks_parts) + [new_part]
+                    if (delta_mode and not compact)
+                    else [new_part]
+                )
             else:
                 chunks_path = f"{out_dir}/chunks_v{version:06d}"
                 new_part = {"path": chunks_path, "version": version}
@@ -1159,7 +1351,12 @@ def run_pipeline(
             elif edge_dirty_ids is not None:
                 epath = f"{out_dir}/edges_v{version:06d}"
                 sinks.append(
-                    ("edges", lambda p=epath: write_edges(edges_dirty, p))
+                    (
+                        "edges",
+                        lambda p=epath: write_edges(
+                            edges_dirty, p, delta_sized=True
+                        ),
+                    )
                 )
                 edges_parts_new = list(edges_parts_prev) + [
                     {"path": epath, "version": version}
@@ -1249,19 +1446,26 @@ def run_pipeline(
                     # scoped to the dirty conversations, so this equals the
                     # old corpus-union semi-join row for row without the
                     # corpus scan
-                    facts_out = dirty_facts
                     facts_parts_new = list(facts_parts) + [new_part]
                 else:
-                    facts_out = combined
                     facts_parts_new = [new_part]
-                sinks.append(
-                    (
-                        "facts",
-                        lambda p=facts_path, df=facts_out: df.write.mode(
-                            "overwrite"
-                        ).parquet(p),
+                if facts_future is not None:
+                    # sink ran overlapped since the extraction checkpoint
+                    # (same path/content as the sequential write would use)
+                    sinks.append(("facts", facts_future.result))
+                else:
+                    # compaction fold (or a path the bg launch declined)
+                    facts_out = (
+                        dirty_facts if (delta_mode and not compact) else combined
                     )
-                )
+                    sinks.append(
+                        (
+                            "facts",
+                            lambda p=facts_path, df=facts_out: df.write.mode(
+                                "overwrite"
+                            ).parquet(p),
+                        )
+                    )
         if catalog is not None:
             if (
                 prev_links is not None
@@ -1297,6 +1501,14 @@ def run_pipeline(
                         .parquet(p),
                     )
                 )
+        if store is not None and cur_hashes is not None:
+            # every input of the state-table rows (diff, version pointers,
+            # edge-dirty flags, quarantine error counts) is final here —
+            # materialize them concurrently with the sinks so the commit
+            # after the write stage only writes the checkpointed rows
+            state_rows_future = bg_pool.submit(
+                lambda: _build_state_rows().localCheckpoint(eager=True)
+            )
         if sinks:
             with _TPE(max_workers=min(4, len(sinks))) as wpool:
 
@@ -1357,85 +1569,12 @@ def run_pipeline(
     }
 
     if store is not None and cur_hashes is not None:
-        err_by_conv = (
-            quarantined.filter(F.col("conv_id").isNotNull())
-            .groupBy("conv_id")
-            .agg(F.count(F.lit(1)).alias("errors"))
-        )
-        base = cur_hashes.join(err_by_conv, "conv_id", "left")
-        # pruned runs did not re-scan carried conversations' files — their
-        # advisory error counts carry forward from the stored state
-        errors_col = (
-            F.when(F.col("carried"), F.coalesce(F.col("stored_errors"), F.lit(0)))
-            .otherwise(F.coalesce(F.col("errors"), F.lit(0)))
-            if (prune is not None or upsert_only)
-            else F.coalesce(F.col("errors"), F.lit(0))
-        )
-        if delta_mode and not compact:
-            # written_version: dirty conversations' rows went into THIS
-            # run's part; unchanged ones keep the version of the part that
-            # last wrote them — the pointer _reload_parts resolves against
-            base = base.join(
-                diff.select("conv_id", "status"), "conv_id", "left"
-            ).join(
-                stored.select(
-                    "conv_id",
-                    F.col("written_version").alias("prev_wv"),
-                    F.col("edges_wv").alias("prev_ewv"),
-                ),
-                "conv_id",
-                "left",
-            )
-            # legacy upgrade path (ADVICE r4, high): a pre-delta snapshot has
-            # no written_version column, so prev_wv is NULL for unchanged
-            # conversations — carrying that NULL forward would make version
-            # resolution drop their rows on the NEXT run. Their facts live in
-            # the legacy full part, which table_parts surfaces as parts[0];
-            # coalesce the pointer to its version.
-            wv_col = (
-                F.when(F.col("status").isin("new", "changed"), F.lit(version))
-                .otherwise(
-                    F.coalesce(
-                        F.col("prev_wv"), F.lit(facts_parts[0]["version"])
-                    )
-                )
-                .cast("bigint")
-            )
-        else:
-            wv_col = F.lit(version).cast("bigint")
-        # edges pointer: NULL when no versioned edge parts exist (out_dir
-        # unset); the run's version on a full rewrite; per-conversation on a
-        # delta/carry run — this run's version for edge-dirty conversations,
-        # the previous pointer otherwise (coalesced to the oldest part for
-        # pre-pointer snapshots, the same legacy rule as written_version)
-        if edges_parts_new is None:
-            ewv_col = F.lit(None).cast("bigint")
-        elif edge_dirty_ids is None:
-            ewv_col = F.lit(version).cast("bigint")
-        else:
-            base = base.join(
-                edge_dirty_ids.withColumn("_edirty", F.lit(True)), "conv_id", "left"
-            )
-            ewv_col = (
-                F.when(F.col("_edirty"), F.lit(version))
-                .otherwise(
-                    F.coalesce(
-                        F.col("prev_ewv"), F.lit(edges_parts_prev[0]["version"])
-                    )
-                )
-                .cast("bigint")
-            )
-        state_rows = base.select(
-            "conv_id",
-            "content_hash",
-            F.lit("materialize").alias("stage"),
-            F.lit("pending").alias("snapshot_id"),
-            F.col("rows_in"),
-            F.lit(n_triples).alias("rows_out"),
-            errors_col.cast("bigint").alias("errors"),
-            wv_col.alias("written_version"),
-            ewv_col.alias("edges_wv"),
-            F.col("src_files"),
+        # rows were materialized concurrently with the sinks when possible
+        # (state_rows_future); the commit then writes the checkpointed rows
+        state_rows = (
+            state_rows_future.result()
+            if state_rows_future is not None
+            else _build_state_rows()
         )
         # facts_path + producing-config provenance ride the SAME atomic
         # manifest write as the snapshot — a separate post-commit patch
@@ -1496,6 +1635,7 @@ def run_pipeline(
         snapshot_id = store.commit(
             state_rows, stage="materialize", extra=extra, expected_version=version
         )
+        _fine("commit")
         metrics["snapshot_id"] = snapshot_id
 
     # Drop the run-scoped state-diff caches. These never outlive the run
