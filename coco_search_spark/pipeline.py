@@ -297,19 +297,37 @@ def run_pipeline(
             )
             cur_hashes = cur_hashes.unionByName(absent).cache()
         diff = diff_against_state(cur_hashes, stored).cache()
-        # ONE aggregation for every diff-status count (the naive form — one
-        # filtered count per status — pays three scheduler round-trips for
-        # the same cached scan; warm-run latency is job-count-bound)
-        status_counts = {
-            r["status"]: r["n"]
-            for r in diff.groupBy("status").agg(F.count(F.lit(1)).alias("n")).collect()
-        }
-        _fine("diff_counts")
-        n_unchanged = status_counts.get("unchanged", 0)
-        dirty_ids = diff.filter(F.col("status").isin("new", "changed")).select("conv_id")
-        n_dirty = status_counts.get("new", 0) + status_counts.get("changed", 0)
-        n_deleted = status_counts.get("deleted", 0)
-        dirty = transcripts.join(dirty_ids, "conv_id", "left_semi")
+        if snap is None:
+            # FIRST commit into an empty store: every conversation is
+            # 'new' by construction, so the (corpus-sized) content-hash
+            # job has exactly one real consumer — the commit's state
+            # rows, which materialize on a background thread overlapped
+            # with the write-stage sinks. Running it here as a foreground
+            # diff stage cost the cold incremental run a full corpus pass
+            # of wall for numbers that are all statically known.
+            n_unchanged = 0
+            n_deleted = 0
+            n_dirty = -1  # unknown; only ever compared under delta_mode
+            dirty = transcripts
+        else:
+            # ONE aggregation for every diff-status count (the naive form
+            # — one filtered count per status — pays three scheduler
+            # round-trips for the same cached scan; warm-run latency is
+            # job-count-bound)
+            status_counts = {
+                r["status"]: r["n"]
+                for r in diff.groupBy("status")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            _fine("diff_counts")
+            n_unchanged = status_counts.get("unchanged", 0)
+            dirty_ids = diff.filter(
+                F.col("status").isin("new", "changed")
+            ).select("conv_id")
+            n_dirty = status_counts.get("new", 0) + status_counts.get("changed", 0)
+            n_deleted = status_counts.get("deleted", 0)
+            dirty = transcripts.join(dirty_ids, "conv_id", "left_semi")
         _stamp("diff_scan")
         # provenance gate: stored facts produced under a different config /
         # grammar identity must not be mixed into this run's output.
@@ -578,7 +596,14 @@ def run_pipeline(
             q = q.localCheckpoint(eager=True)
             q.write.mode("overwrite").parquet(q_path)
             spark.sparkContext.setJobDescription(None)
-        return q.count()
+            # hand the checkpoint to the state-row builder: its per-conv
+            # error counts would otherwise re-scan the corpus (cold runs
+            # paid a second full pass inside the commit). Carried prev
+            # rows belong only to carried conversations (their files were
+            # not re-scanned), whose errors_col reads stored_errors — so
+            # counting from this table is value-identical.
+            return q.count(), q
+        return q.count(), None
 
     quarantine_future = None
     state_rows_future = None
@@ -1195,8 +1220,12 @@ def run_pipeline(
     _tf[0] = _time.perf_counter()
 
     def _build_state_rows():
+        # the quarantine sink's checkpoint (when available) replaces a
+        # second corpus scan for the per-conversation error counts
+        _qn, q_src = quarantine_future.result()
         err_by_conv = (
-            quarantined.filter(F.col("conv_id").isNotNull())
+            (q_src if q_src is not None else quarantined)
+            .filter(F.col("conv_id").isNotNull())
             .groupBy("conv_id")
             .agg(F.count(F.lit(1)).alias("errors"))
         )
@@ -1525,7 +1554,7 @@ def run_pipeline(
 
     # join the overlapped quarantine sink (launched next to the chunk sink;
     # raises here on failure)
-    n_quarantined = quarantine_future.result()
+    n_quarantined, _ = quarantine_future.result()
     bg_pool.shutdown()
 
     metrics = {
