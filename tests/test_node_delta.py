@@ -186,3 +186,30 @@ def test_vocabulary_churn_beyond_budget_rebuilds_fully(spark, tmp_path):
     assert r2.metrics["n_edge_dirty_convs"] is None  # edges full-rewrote
     got = _node_rows(spark, out)
     assert any(e == "E2" for e, _, _ in got) and any(e == "E4" for e, _, _ in got)
+
+
+def test_foreign_nodes_table_fails_provenance_gate(spark, tmp_path):
+    """ADVICE r5 (high): a branch (or any other ref) run overwrites the
+    shared {out}/nodes sink with ITS corpus degrees; a later warm run on
+    main must NOT apply a delta on top of that foreign base. The gate is
+    the producing-version stamp: manifest `nodes_version` must match the
+    `_PRODUCED_VERSION` sidecar in the dir — here we simulate the foreign
+    writer by rewriting the sidecar, and the warm run must fall back to
+    nodes_mode=full with degrees equal to a from-scratch rebuild."""
+    import os
+
+    out, state = str(tmp_path / "o"), str(tmp_path / "s")
+    texts = {f"c{i}": f"svc{i}_svc calls hub_store ." for i in range(5)}
+    run_pipeline(spark, _tdf(spark, texts), out_dir=out, state_dir=state)
+    # foreign writer: same dir, different producing snapshot
+    with open(os.path.join(out, "nodes", "_PRODUCED_VERSION"), "w") as f:
+        f.write("999999")
+    texts["c1"] = "svc1_svc imports alt_store ."
+    r2 = run_pipeline(spark, _tdf(spark, texts), out_dir=out, state_dir=state)
+    assert r2.metrics["nodes_mode"] == "full"
+    assert _node_rows(spark, out) == _fresh_nodes(spark, texts, tmp_path, "prov")
+    # the rebuild re-stamps provenance, so the NEXT warm run is delta again
+    texts["c2"] = "svc2_svc emits beta_store ."
+    r3 = run_pipeline(spark, _tdf(spark, texts), out_dir=out, state_dir=state)
+    assert r3.metrics["nodes_mode"] == "delta"
+    assert _node_rows(spark, out) == _fresh_nodes(spark, texts, tmp_path, "prov3")

@@ -139,3 +139,26 @@ def test_files_metadata_inspection(spark, tmp_path):
     assert n_parts(cur, "edges") == n_parts(v1, "edges") + 1
     r = coco.main(["files", "--state", state, "--as-of", "1"], spark=spark)
     assert r["ok"] and r["n_dirs"] == len(v1) and r["total_bytes"] > 0
+
+
+def test_vacuum_keeps_protected_rollback_snapshots_state_dir(spark, tmp_path):
+    """ADVICE r5 (medium): a rollback commit vN aliases its data_path to
+    the TARGET's state_vK (K < N). When the rollback snapshot is protected
+    (tag / retain_last), vacuum must exempt state_vK even though K itself
+    is neither current nor protected — otherwise the supposedly-retained
+    snapshot becomes unreadable."""
+    out, state = str(tmp_path / "o"), str(tmp_path / "s")
+    _run(spark, out, state, 0)   # v1
+    _run(spark, out, state, 1)   # v2
+    store = StateStore(state)
+    rb = store.rollback(1)       # v3, data_path -> state_v000001
+    store.tag("keep", rb["version"])
+    _run(spark, out, state, 2)   # v4 (current)
+    victims = store.vacuum(out)
+    # the rollback snapshot stays readable after vacuum
+    assert store.read(spark, version=rb["version"]).count() > 0
+    data_dir = store.snapshot(rb["version"])["data_path"]
+    import os
+
+    assert os.path.exists(data_dir)
+    assert all("state_v000001" not in v for v in victims)
