@@ -411,7 +411,7 @@ def run_pipeline(
     version = store.next_version() if store else 1
     from concurrent.futures import ThreadPoolExecutor as _TPE
 
-    bg_pool = _TPE(max_workers=3)
+    bg_pool = _TPE(max_workers=4)
     prev_kind_totals = snap.get("fact_kind_counts") if snap else None
     # prefetch the replaced conversations' PREVIOUS facts (the vocab-delta
     # subtrahend) while extraction saturates the cores — it depends only on
@@ -734,6 +734,50 @@ def run_pipeline(
     # corpus-sized sinks (see the deferred-submission note above)
     _launch_bg_sinks()
     quarantine_future = bg_pool.submit(_quarantine_sink)
+    # speculative prefetch of the replaced conversations' PREVIOUS edges —
+    # the node-delta subtrahend. When no surface moves (the steady-state
+    # path), the node path's replaced set is exactly new ∪ changed ∪
+    # deleted, which is known NOW; prefetching the pushdown-pruned part
+    # read here overlaps it with the linking/canonicalize window. The
+    # consumer uses it only when n_moved == 0 (where the speculation is
+    # provably exact); a moved-surface run discards it (read-only waste).
+    # The guard mirrors the edge-delta gate's preconditions.
+    prev_edges_future = None
+    edges_parts_prev = store.table_parts("edges") if store else None
+    _will_compact_spec = (
+        prev_facts is not None
+        and n_dirty > 0
+        and facts_parts is not None
+        and len(facts_parts) + 1 > cfg.compact_parts_after
+    )
+    if (
+        out_dir
+        and store is not None
+        and prev_facts is not None
+        and not _will_compact_spec
+        and _parts_ok(edges_parts_prev)
+        and len(edges_parts_prev) + 1 <= cfg.compact_parts_after
+        and snap.get("linkmap_path")
+        and os.path.exists(snap["linkmap_path"])
+    ):
+
+        def _fetch_prev_edges():
+            spark.sparkContext.setJobDescription("prefetch: replaced edges")
+            spec_ids = diff.filter(F.col("status") != "unchanged").select("conv_id")
+            sample = spec_ids.take(EDGE_FETCH_PUSHDOWN_LIMIT + 1)
+            if len(sample) <= EDGE_FETCH_PUSHDOWN_LIMIT:
+                prev = store.read_table(
+                    spark, "edges", conv_ids=[r["conv_id"] for r in sample]
+                )
+            else:
+                prev = store.read_table(spark, "edges").join(
+                    spec_ids, "conv_id", "left_semi"
+                )
+            out = prev.localCheckpoint(eager=True)
+            spark.sparkContext.setJobDescription(None)
+            return out
+
+        prev_edges_future = bg_pool.submit(_fetch_prev_edges)
 
     if vocab is not None and vocab_mode == "delta":
         # vocabulary straight from the delta-maintained refcounts — a
@@ -1003,7 +1047,7 @@ def run_pipeline(
     edge_dirty_ids = None
     n_edge_dirty = None
     n_moved = None
-    edges_parts_prev = store.table_parts("edges") if store else None
+    # edges_parts_prev was resolved up at the prev-edges prefetch launch
     if (
         out_dir
         and store is not None
@@ -1162,30 +1206,39 @@ def run_pipeline(
             degree_delta,
         )
 
-        replaced_ids = (
-            diff.filter(F.col("status") == "deleted")
-            .select("conv_id")
-            .unionByName(edge_dirty_ids)
-            .distinct()
-        )
-        # delta-sized id set → pushed `isin` predicate on the part scans:
-        # parquet row groups whose conv_id min/max (kept tight by
-        # write_edges' sortWithinPartitions) miss the set are skipped
-        # without reading — an indexed fetch of the replaced conversations'
-        # previous edges instead of an O(all-edges) scan. The collect is
-        # bounded: above the cap (driver-memory guard) the plain semi-join
-        # path reads the parts in full (correct, just not pruned).
-        sample = replaced_ids.take(EDGE_FETCH_PUSHDOWN_LIMIT + 1)
-        _fine("replaced_take")
-        if len(sample) <= EDGE_FETCH_PUSHDOWN_LIMIT:
-            prev_edges_replaced = store.read_table(
-                spark, "edges", conv_ids=[r["conv_id"] for r in sample]
-            )
+        if prev_edges_future is not None and n_moved == 0:
+            # the speculative prefetch's id set (every non-unchanged
+            # conversation) EQUALS deleted ∪ edge_dirty_ids here, because
+            # with zero moved surfaces edge_dirty_ids is exactly the dirty
+            # set — consume the checkpoint fetched during linking
+            prev_edges_replaced = prev_edges_future.result()
+            _fine("prev_edges_read")
         else:
-            prev_edges_replaced = store.read_table(spark, "edges").join(
-                replaced_ids, "conv_id", "left_semi"
+            replaced_ids = (
+                diff.filter(F.col("status") == "deleted")
+                .select("conv_id")
+                .unionByName(edge_dirty_ids)
+                .distinct()
             )
-        _fine("prev_edges_read")
+            # delta-sized id set → pushed `isin` predicate on the part
+            # scans: parquet row groups whose conv_id min/max (kept tight
+            # by write_edges' sortWithinPartitions) miss the set are
+            # skipped without reading — an indexed fetch of the replaced
+            # conversations' previous edges instead of an O(all-edges)
+            # scan. The collect is bounded: above the cap (driver-memory
+            # guard) the plain semi-join path reads the parts in full
+            # (correct, just not pruned).
+            sample = replaced_ids.take(EDGE_FETCH_PUSHDOWN_LIMIT + 1)
+            _fine("replaced_take")
+            if len(sample) <= EDGE_FETCH_PUSHDOWN_LIMIT:
+                prev_edges_replaced = store.read_table(
+                    spark, "edges", conv_ids=[r["conv_id"] for r in sample]
+                )
+            else:
+                prev_edges_replaced = store.read_table(spark, "edges").join(
+                    replaced_ids, "conv_id", "left_semi"
+                )
+            _fine("prev_edges_read")
         # ONE signed aggregation for the degree delta (degree_delta:
         # contrib(new) − contrib(old) over the signed endpoint union)
         # instead of two contrib aggs + a full-outer join — the delta is
