@@ -411,7 +411,10 @@ def run_pipeline(
     version = store.next_version() if store else 1
     from concurrent.futures import ThreadPoolExecutor as _TPE
 
-    bg_pool = _TPE(max_workers=4)
+    # workers sized to the maximum concurrent background jobs (chunk sink,
+    # facts sink, quarantine sink, prev-edges prefetch, node resolution,
+    # state rows) — a queued submission here would serialize an overlap
+    bg_pool = _TPE(max_workers=6)
     prev_kind_totals = snap.get("fact_kind_counts") if snap else None
     # prefetch the replaced conversations' PREVIOUS facts (the vocab-delta
     # subtrahend) while extraction saturates the cores — it depends only on
@@ -1175,6 +1178,16 @@ def run_pipeline(
         nodes_provenance_ok = (
             stamped is not None and nodes_version_on_disk(old_nodes_path) == stamped
         )
+    # The non-carry node resolution runs as a BACKGROUND future consumed by
+    # the write-stage nodes sink (and metrics): the node aggregation /
+    # delta checkpoint is independent of every other sink, so overlapping
+    # it with the write stage soaks the same idle capacity the other
+    # overlapped jobs use (guide §2.6). Values are identical to the old
+    # inline form — same DataFrames, only the scheduling moved. The
+    # `resolve_nodes` stamp therefore measures only the foreground part
+    # (the shared-edges materialization on full runs); the background tail
+    # shows up inside the write window it overlaps.
+    nodes_future = None
     if (
         out_dir
         and store is not None
@@ -1206,69 +1219,97 @@ def run_pipeline(
             degree_delta,
         )
 
-        if prev_edges_future is not None and n_moved == 0:
-            # the speculative prefetch's id set (every non-unchanged
-            # conversation) EQUALS deleted ∪ edge_dirty_ids here, because
-            # with zero moved surfaces edge_dirty_ids is exactly the dirty
-            # set — consume the checkpoint fetched during linking
-            prev_edges_replaced = prev_edges_future.result()
-            _fine("prev_edges_read")
-        else:
-            replaced_ids = (
-                diff.filter(F.col("status") == "deleted")
-                .select("conv_id")
-                .unionByName(edge_dirty_ids)
-                .distinct()
-            )
-            # delta-sized id set → pushed `isin` predicate on the part
-            # scans: parquet row groups whose conv_id min/max (kept tight
-            # by write_edges' sortWithinPartitions) miss the set are
-            # skipped without reading — an indexed fetch of the replaced
-            # conversations' previous edges instead of an O(all-edges)
-            # scan. The collect is bounded: above the cap (driver-memory
-            # guard) the plain semi-join path reads the parts in full
-            # (correct, just not pruned).
-            sample = replaced_ids.take(EDGE_FETCH_PUSHDOWN_LIMIT + 1)
-            _fine("replaced_take")
-            if len(sample) <= EDGE_FETCH_PUSHDOWN_LIMIT:
-                prev_edges_replaced = store.read_table(
-                    spark, "edges", conv_ids=[r["conv_id"] for r in sample]
-                )
+        def _nodes_delta_bg():
+            spark.sparkContext.setJobDescription("nodes: degree delta")
+            _bt = _time.perf_counter()
+            if prev_edges_future is not None and n_moved == 0:
+                # the speculative prefetch's id set (every non-unchanged
+                # conversation) EQUALS deleted ∪ edge_dirty_ids here,
+                # because with zero moved surfaces edge_dirty_ids is
+                # exactly the dirty set — consume the checkpoint fetched
+                # during linking
+                prev_edges_replaced = prev_edges_future.result()
+                if _fine_on:
+                    timings["f_prev_edges_read"] = round(_time.perf_counter() - _bt, 3)
+                    _bt = _time.perf_counter()
             else:
-                prev_edges_replaced = store.read_table(spark, "edges").join(
-                    replaced_ids, "conv_id", "left_semi"
+                replaced_ids = (
+                    diff.filter(F.col("status") == "deleted")
+                    .select("conv_id")
+                    .unionByName(edge_dirty_ids)
+                    .distinct()
                 )
-            _fine("prev_edges_read")
-        # ONE signed aggregation for the degree delta (degree_delta:
-        # contrib(new) − contrib(old) over the signed endpoint union)
-        # instead of two contrib aggs + a full-outer join — the delta is
-        # delta-sized, so the warm floor here is shuffle/job count
-        cand = apply_degree_delta(
-            spark.read.parquet(old_nodes_path),
-            degree_delta(edges_dirty, prev_edges_replaced),
-            standalone_ids,
-            # materialize BEFORE the sink overwrites the old nodes dir the
-            # plan lazily reads (vocabulary-sized)
-        ).localCheckpoint(eager=True)
-        _fine("node_delta_ckpt")
-        # loud invariant: a negative degree means the subtracted edge set
-        # was not what the snapshot held — rebuild instead of persisting a
-        # corrupt table (cheap check, vocabulary-sized)
-        if (
-            cand.filter((F.col("out_degree") < 0) | (F.col("in_degree") < 0))
-            .limit(1)
-            .count()
-            > 0
-        ):
-            nodes = build_nodes(edges, extra_entities=standalone_ids).cache()
-            nodes.count()
-        else:
-            nodes = cand
-            nodes_mode = "delta"
-        _fine("node_neg_check")
+                # delta-sized id set → pushed `isin` predicate on the part
+                # scans: parquet row groups whose conv_id min/max (kept
+                # tight by write_edges' sortWithinPartitions) miss the set
+                # are skipped without reading — an indexed fetch of the
+                # replaced conversations' previous edges instead of an
+                # O(all-edges) scan. The collect is bounded: above the cap
+                # (driver-memory guard) the plain semi-join path reads the
+                # parts in full (correct, just not pruned).
+                sample = replaced_ids.take(EDGE_FETCH_PUSHDOWN_LIMIT + 1)
+                if len(sample) <= EDGE_FETCH_PUSHDOWN_LIMIT:
+                    prev_edges_replaced = store.read_table(
+                        spark, "edges", conv_ids=[r["conv_id"] for r in sample]
+                    )
+                else:
+                    prev_edges_replaced = store.read_table(spark, "edges").join(
+                        replaced_ids, "conv_id", "left_semi"
+                    )
+                if _fine_on:
+                    timings["f_prev_edges_read"] = round(_time.perf_counter() - _bt, 3)
+                    _bt = _time.perf_counter()
+            # ONE signed aggregation for the degree delta (degree_delta:
+            # contrib(new) − contrib(old) over the signed endpoint union)
+            # instead of two contrib aggs + a full-outer join — the delta
+            # is delta-sized, so the warm floor here is shuffle/job count
+            cand = apply_degree_delta(
+                spark.read.parquet(old_nodes_path),
+                degree_delta(edges_dirty, prev_edges_replaced),
+                standalone_ids,
+                # materialize BEFORE the sink overwrites the old nodes dir
+                # the plan lazily reads (vocabulary-sized) — ordering holds
+                # by construction: the nodes sink thunk consumes THIS
+                # future before it writes the dir
+            ).localCheckpoint(eager=True)
+            if _fine_on:
+                timings["f_node_delta_ckpt"] = round(_time.perf_counter() - _bt, 3)
+                _bt = _time.perf_counter()
+            # loud invariant: a negative degree means the subtracted edge
+            # set was not what the snapshot held — rebuild instead of
+            # persisting a corrupt table (cheap check, vocabulary-sized)
+            if (
+                cand.filter((F.col("out_degree") < 0) | (F.col("in_degree") < 0))
+                .limit(1)
+                .count()
+                > 0
+            ):
+                full = build_nodes(edges, extra_entities=standalone_ids).cache()
+                full.count()
+                spark.sparkContext.setJobDescription(None)
+                return full, "full"
+            if _fine_on:
+                timings["f_node_neg_check"] = round(_time.perf_counter() - _bt, 3)
+            spark.sparkContext.setJobDescription(None)
+            return cand, "delta"
+
+        nodes_future = bg_pool.submit(_nodes_delta_bg)
     else:
-        nodes = build_nodes(edges, extra_entities=standalone_ids).cache()
-        nodes.count()
+        if out_dir:
+            # full rebuild with sinks ahead: the nodes aggregation and the
+            # edge sink share `edges` — materialize the cached corpus join
+            # ONCE in the foreground so the two concurrent consumers read
+            # the filled cache instead of racing (and duplicating) the fill
+            edges.count()
+
+        def _nodes_full_bg():
+            spark.sparkContext.setJobDescription("nodes: full build")
+            n = build_nodes(edges, extra_entities=standalone_ids).cache()
+            n.count()
+            spark.sparkContext.setJobDescription(None)
+            return n, "full"
+
+        nodes_future = bg_pool.submit(_nodes_full_bg)
     _stamp("resolve_nodes")
     _tf[0] = _time.perf_counter()
 
@@ -1426,7 +1467,9 @@ def run_pipeline(
                     ),
                 )
             )
-            sinks.append(("nodes", lambda: write_nodes(nodes, out_dir)))
+            sinks.append(
+                ("nodes", lambda: write_nodes(nodes_future.result()[0], out_dir))
+            )
         else:
             if carry_edges:
                 edges_parts_new = list(edges_parts_prev)
@@ -1447,9 +1490,17 @@ def run_pipeline(
                 epath = f"{out_dir}/edges_v{version:06d}"
                 sinks.append(("edges", lambda p=epath: write_edges(edges, p)))
                 edges_parts_new = [{"path": epath, "version": version}]
-            if nodes_mode != "carry":
+            if nodes_future is not None:  # ⇔ not a carry run
+                # the thunk joins the background node resolution (delta
+                # checkpoint or full build), THEN overwrites the dir — the
+                # old-nodes read the delta plan needs is materialized first
                 sinks.append(
-                    ("nodes", lambda: write_nodes(nodes, out_dir, version=version))
+                    (
+                        "nodes",
+                        lambda: write_nodes(
+                            nodes_future.result()[0], out_dir, version=version
+                        ),
+                    )
                 )
             if canon_reused:
                 canon_path = snap.get("canon_path")
@@ -1606,8 +1657,13 @@ def run_pipeline(
         _stamp("write_graph_triples")
 
     # join the overlapped quarantine sink (launched next to the chunk sink;
-    # raises here on failure)
+    # raises here on failure), then the background node resolution — the
+    # write-stage nodes sink already joined it when sinks ran; with no
+    # out_dir this is where the build is forced (the old inline position's
+    # only remaining consumer is metrics/result)
     n_quarantined, _ = quarantine_future.result()
+    if nodes_future is not None:
+        nodes, nodes_mode = nodes_future.result()
     bg_pool.shutdown()
 
     metrics = {
@@ -1675,7 +1731,7 @@ def run_pipeline(
             # run produced {out}/nodes — this run's on a rewrite, carried
             # on a carry (the disk sidecar still matches it)
             extra["nodes_version"] = (
-                version if nodes_mode != "carry" else snap.get("nodes_version")
+                version if nodes_future is not None else snap.get("nodes_version")
             )
         if facts_path:
             extra["facts_path"] = facts_path
